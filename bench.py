@@ -1,0 +1,54 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
+total wall times. Each query is fully materialized through a noop sink so the
+whole physical plan (scan -> shuffle -> window/join/agg) executes; nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from recsys_pipeline_spark import queries as Q
+from recsys_pipeline_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("recsys-pipeline-bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in Q.QUERIES.items():
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        materialize(df)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Sources and sinks (SURVEY §2.1).
+
+The reference reads '::'-delimited header-less CSV (S1/S2), writes CSV (S4) and
+pickles dict side-tables (S5). Spark-first equivalents:
+
+  * multi-char-separator CSV scan with explicit schema + encoding option
+    (Spark 3+ supports multi-char ``sep``; ``read.text``+``split`` fallback kept
+    for older builds);
+  * Parquet everywhere for intermediates — pickle has no Spark analog and
+    Parquet round-trips Map/Array columns (SURVEY §1.3);
+  * KV sinks (Redis S7 / ES S8) become persisted ``user_state`` /
+    ``item_state`` tables: the online lookup is then a broadcast join.
+
+All readers return lazy DataFrames; filters/projections compose before the scan
+so Catalyst pushes them into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from recsys_pipeline_spark import schemas
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = "::",
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """S1/S2: header-less CSV with a (possibly multi-char) separator.
+
+    Mirrors the reference scans at offline/preprocess/s1_data_split.py:10 and
+    s2_term_trans.py:12 (``sep='::'``, ``encoding='ISO-8859-1'``).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("sep", sep)
+        .option("header", "false")
+        .option("encoding", encoding)
+        .csv(path)
+    )
+
+
+def read_delimited_fallback(
+    spark: SparkSession, path: str, schema: T.StructType, sep: str = "::"
+) -> DataFrame:
+    """read.text + split fallback for separators the CSV reader rejects."""
+    import re
+
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), re.escape(sep))
+    cols = [parts.getItem(i).cast(f.dataType).alias(f.name) for i, f in enumerate(schema.fields)]
+    return raw.select(*cols)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of a driver testdata table (predicate/column pushdown free).
+
+    The driver's parquet stores TIMESTAMP(NANOS), which Spark only reads as a
+    raw long (``spark.sql.legacy.parquet.nanosAsLong``); external engines
+    (DuckDB, Arrow) truncate it to microseconds. We do the same truncation and
+    expose a proper ``TimestampType`` column so downstream semantics (and the
+    oracle comparison) are identical: ``timestamp_micros(ns div 1000)``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ts_cols = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+    for c in ts_cols.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def read_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in schemas.TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for t in schemas.TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Default sink. Partition columns chosen by the caller for pruning at scale."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S4 compatibility shim (reference contract wrote CSV; prefer Parquet)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)

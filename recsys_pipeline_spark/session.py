@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test environment (single JVM,
+``local[N]``), but every knob here is the one you'd set on a real cluster:
+AQE for runtime re-planning (adaptive shuffle-partition coalescing, skew-join
+splitting, broadcast demotion/promotion), Arrow for the Python boundary, UTC
+session timezone so timestamp semantics match an external oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "recsys_pipeline_spark", shuffle_partitions: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we run
+    ``local[N]``. All configs below are safe on both.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_sf(spark: SparkSession, approx_input_rows: int) -> None:
+    """Adjust shuffle parallelism to the data scale.
+
+    At 100 TB the default heuristic is ~2-3 tasks per core with partitions
+    sized to fit in executor memory; AQE coalesces the small side at runtime,
+    so we only need an upper bound here.
+    """
+    target = max(8, min(2000, approx_input_rows // 1_000_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
