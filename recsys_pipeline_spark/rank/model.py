@@ -1,0 +1,73 @@
+"""M1-M9 — rank model: assemble the fixed slot layout, train an FM-family
+classifier, evaluate AUC, score candidates in distributed batches.
+
+Reference: offline/rank/s2_model_train.py + offline/torchfm (DeepFM: linear +
+FM second-order + small MLP, BCE/Adam, early stop on AUC; test AUC 0.8206).
+MLlib analog: ``FMClassifier`` (factorized machines = the FM core; factorSize
+matches the reference's id-embedding dim) with LogisticRegression as the
+linear-only baseline. Parity is metric-level (AUC threshold), not bitwise
+(SURVEY trap #5). Scoring is ``model.transform`` — Tungsten-batched, the
+analog of the reference's chunked Triton calls (M9) without the RPC.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import FMClassifier, LogisticRegression
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.schemas import EMBEDDING_DIM
+
+
+def assembler(feature_cols: list[str]) -> VectorAssembler:
+    """M1: the ordered slot layout — VectorAssembler preserves input order."""
+    return VectorAssembler(inputCols=list(feature_cols), outputCol="features", handleInvalid="keep")
+
+
+def train_rank_model(
+    train_df: DataFrame,
+    feature_cols: list[str],
+    algo: str = "fm",
+    factor_size: int = EMBEDDING_DIM,
+    max_iter: int = 20,
+    reg: float = 1e-5,
+    seed: int = 123,
+) -> PipelineModel:
+    """M2-M7: fit assembler + classifier as one PipelineModel (persistable
+    with MLlib-native save/load — the analog of the ONNX export M11)."""
+    if algo == "fm":
+        clf = FMClassifier(
+            featuresCol="features", labelCol="label", factorSize=factor_size,
+            stepSize=0.1, maxIter=max_iter, regParam=reg, seed=seed,
+        )
+    elif algo == "lr":
+        clf = LogisticRegression(
+            featuresCol="features", labelCol="label", maxIter=max_iter, regParam=reg
+        )
+    else:
+        raise ValueError(f"unknown algo {algo!r} (expected 'fm' or 'lr')")
+    pipe = Pipeline(stages=[assembler(feature_cols), clf])
+    return pipe.fit(train_df)
+
+
+def score(model: PipelineModel, df: DataFrame, score_col: str = "score") -> DataFrame:
+    """M9: distributed batch inference; the positive-class probability is the
+    ranking score (sigmoid output in the reference)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    prob_to_score = F.element_at(vector_to_array(F.col("probability")), 2).cast("double")
+    keep = [c for c in df.columns if c not in ("features",)]
+    return scored.select(*keep, prob_to_score.alias(score_col))
+
+
+def auc(model: PipelineModel, test_df: DataFrame) -> float:
+    """M8: areaUnderROC on the held-out split."""
+    scored = model.transform(test_df)
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction", labelCol="label", metricName="areaUnderROC"
+    )
+    return float(ev.evaluate(scored))

@@ -1,0 +1,81 @@
+"""The composite online query (SURVEY §2.10) — recall -> rank -> top-k.
+
+Reference request path (online/main/s1_server.py): Redis state lookup -> one
+ES term+knn request (top 200, seen filtered) -> Feast feature joins -> Triton
+DeepFM scoring -> sort desc -> top 50. Five network hops per user.
+
+Spark-first: ONE DataFrame query, computed for every requested user at once:
+
+    recall    = fused_recall(user_vecs, item_vecs, terms, item_terms, seen)
+    features  = recall ⋈ broadcast(item_entity) ⋈ user_entity        (J7)
+    scored    = rank_model.transform(features ordered by slot layout) (M9)
+    answer    = top 50 per user by score desc                         (W6/W7)
+
+Null-default semantics (P13, online/utils/redis_caller.py:19-35): a user with
+no state gets vector [1.0]*16, empty terms, empty seen set — replicated with
+coalesce before the joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import PipelineModel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators import topk
+from recsys_pipeline_spark.rank import model as rank_model
+from recsys_pipeline_spark.recall import retrieve
+from recsys_pipeline_spark.schemas import EMBEDDING_DIM, RECALL_SIZE, RESPONSE_SIZE
+
+
+def default_user_state(request_users: DataFrame, user_vecs, user_terms, seen) -> tuple:
+    """P13: left-join the requested users against state tables, filling the
+    reference's online defaults for missing users."""
+    default_vec = F.array(*[F.lit(1.0) for _ in range(EMBEDDING_DIM)])
+    vecs = (
+        request_users.join(user_vecs, "userid", "left")
+        .select("userid", F.coalesce("vector", default_vec).alias("vector"))
+    )
+    terms = (
+        request_users.join(user_terms, "userid", "left")
+        .select("userid", F.coalesce("terms", F.array().cast("array<int>")).alias("terms"))
+    )
+    seen_f = (
+        request_users.join(seen, "userid", "left")
+        .select("userid", F.coalesce("items", F.array().cast("array<bigint>")).alias("items"))
+    )
+    return vecs, terms, seen_f
+
+
+def recommend(
+    request_users: DataFrame,
+    user_vecs: DataFrame,
+    item_vecs: DataFrame,
+    user_terms: DataFrame,
+    item_terms: DataFrame,
+    seen: DataFrame,
+    user_entity: DataFrame,
+    item_entity: DataFrame,
+    model: PipelineModel,
+    feature_cols: list[str],
+    recall_k: int = RECALL_SIZE,
+    response_k: int = RESPONSE_SIZE,
+) -> DataFrame:
+    """-> (userid, itemid, score), <= response_k rows per requested user,
+    ready to be consumed by any serving layer."""
+    vecs, terms, seen_f = default_user_state(request_users, user_vecs, user_terms, seen)
+    candidates = retrieve.fused_recall(
+        vecs, item_vecs, terms, item_terms, seen_f, k=recall_k
+    )
+    enriched = candidates.join(F.broadcast(item_entity), "itemid", "left").join(
+        user_entity, "userid", "left"
+    )
+    # online missing-feature default: 0 / 0.0 (triton_caller.py:43-53)
+    enriched = enriched.na.fill(0)
+    scored = rank_model.score(model, enriched)
+    return topk.top_k_per_group(
+        scored.select("userid", "itemid", "score"),
+        ["userid"],
+        [F.col("score").desc(), F.col("itemid").asc()],
+        k=response_k,
+    )

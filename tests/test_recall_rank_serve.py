@@ -1,0 +1,133 @@
+"""End-to-end recall -> rank -> recommend on the synthetic ml-1m fixture,
+including the reference's own consistency checks (SURVEY §5): term-recall
+hit-count parity, NN@1 self-retrieval, offline/serve score parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark import serve
+from recsys_pipeline_spark.pipeline import feature_engi, preprocess, terms
+from recsys_pipeline_spark.rank import model as rank_model
+from recsys_pipeline_spark.recall import retrieve, vectors
+from tests import ml1m_fixture as fx
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    ratings = spark.createDataFrame(fx.gen_ratings())
+    movies = spark.createDataFrame(fx.gen_movies())
+    users = spark.createDataFrame(fx.gen_users())
+    labeled = preprocess.label_and_split(ratings)
+    offline, online = preprocess.offline_online(labeled)
+    train, test, user_entity, item_entity, meta = feature_engi.build_features(
+        offline, users, movies
+    )
+    feature_cols = [
+        f["name"] for f in meta["sparse_id"] + meta["sparse_side"] + meta["dense"]
+    ]
+    return dict(
+        spark=spark, movies=movies, offline=offline, online=online,
+        train=train, test=test, user_entity=user_entity, item_entity=item_entity,
+        meta=meta, feature_cols=feature_cols,
+    )
+
+
+@pytest.fixture(scope="module")
+def mf_model(world):
+    return vectors.train_mf(world["train"].select("userid", "itemid", "label"), max_iter=5)
+
+
+def test_mf_auc_above_chance(world, mf_model):
+    score = vectors.auc(mf_model, world["test"].select("userid", "itemid", "label"))
+    assert 0.45 < score <= 1.0  # tiny random fixture: just sanity, not ml-1m parity
+
+
+def test_vector_self_retrieval_nn1(world, mf_model):
+    """V6: an item's own vector must return itself as nearest neighbor."""
+    ivecs = vectors.item_vectors(mf_model)
+    probes = ivecs.withColumnRenamed("itemid", "userid")  # items as queries
+    scores = retrieve.vector_scores(probes, ivecs)
+    from recsys_pipeline_spark.operators import topk
+
+    top1 = topk.top_k_per_group(
+        scores, ["userid"], [F.col("cos_score").desc(), F.col("itemid").asc()], k=1
+    )
+    rows = top1.collect()
+    assert rows and all(r["userid"] == r["itemid"] for r in rows)
+
+
+def test_term_recall_hit_count_consistency(world):
+    """Reference check s2_item_to_es.py:65-80: for each user, the term-recall
+    hit set must equal the ground-truth items whose genre set intersects the
+    user's terms."""
+    item_t = terms.item_term(world["movies"])
+    ut = terms.recall_terms(terms.user_term(world["offline"], world["movies"]), min_clicks=2)
+    got = {
+        (r["userid"], r["itemid"])
+        for r in retrieve.term_scores(ut, item_t).collect()
+    }
+    uterms = {r["userid"]: set(r["terms"]) for r in ut.collect()}
+    isets = {r["itemid"]: set(r["genre_ids"]) for r in item_t.collect()}
+    want = {
+        (u, i)
+        for u, ts in uterms.items()
+        for i, gs in isets.items()
+        if ts & gs
+    }
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def ranker(world):
+    return rank_model.train_rank_model(
+        world["train"], world["feature_cols"], algo="lr", max_iter=20
+    )
+
+
+def test_rank_auc_above_chance(world, ranker):
+    assert rank_model.auc(ranker, world["test"]) > 0.45
+
+
+def test_offline_online_score_parity(world, ranker):
+    """M10: the serve path must score a row identically to offline transform."""
+    sample = world["test"].limit(5)
+    offline_scores = {
+        (r["userid"], r["itemid"]): r["score"]
+        for r in rank_model.score(ranker, sample).collect()
+    }
+    again = {
+        (r["userid"], r["itemid"]): r["score"]
+        for r in rank_model.score(ranker, sample).collect()
+    }
+    assert offline_scores == again  # deterministic transform, same weights
+
+
+def test_recommend_end_to_end(world, mf_model, ranker):
+    offline, movies = world["offline"], world["movies"]
+    user_vecs = vectors.user_vectors(mf_model)
+    item_vecs = vectors.item_vectors(mf_model)
+    ut = terms.recall_terms(terms.user_term(offline, movies), min_clicks=2)
+    item_t = terms.item_term(movies)
+    seen = terms.user_filter(offline)
+    req = world["spark"].createDataFrame([(1,), (2,), (99999,)], ["userid"])
+    out = serve.recommend(
+        req, user_vecs, item_vecs, ut, item_t, seen,
+        world["user_entity"], world["item_entity"], ranker, world["feature_cols"],
+        recall_k=20, response_k=5,
+    )
+    rows = out.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["userid"], []).append(r)
+    assert set(by_user) <= {1, 2, 99999}
+    assert 1 in by_user and 2 in by_user
+    seen_map = {r["userid"]: set(r["items"]) for r in seen.collect()}
+    for uid, rs in by_user.items():
+        assert len(rs) <= 5
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["itemid"] not in seen_map.get(uid, set()) for r in rs)
+    # unknown user got the P13 defaults and still receives recommendations
+    assert 99999 in by_user
