@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from recsys_pipeline_spark import queries as Q
+from recsys_pipeline_spark import queries_ext as QX
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -24,8 +25,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.QUERIES)
+    return {**Q.QUERIES, **QX.QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLES)
+    return {**Q.ORACLES, **QX.ORACLES_EXT}

@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of every choice here):
+  * exact dedup — hash-groupBy on a fingerprint: ONE shuffle keyed by the
+    md5, no driver state;
+  * MinHash+LSH — signature computation is per-row expression work (no
+    shuffle); banding turns the quadratic all-pairs problem into a groupBy on
+    (band, band_hash) whose buckets are tiny, so candidate generation is a
+    self-join INSIDE buckets only;
+  * verification — exact Jaccard on the candidate pairs only;
+  * embedding near-dup — same banding idea via random-hyperplane (SimHash)
+    sketches of the vectors, or LSH from similarity.py.
+
+Pure DataFrame expressions (xxhash64 is Spark's built-in 64-bit hash — cheap,
+seeded, stable across the cluster). No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators.text import char_shingles, fingerprint
+
+# Mersenne prime field for the universal-hash family: 31-bit so that
+# a * h stays under 2^62 (ANSI long arithmetic, no overflow)
+_P = 2147483647  # 2^31 - 1
+
+
+def _hash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts; keep the smallest id as canonical.
+
+    -> (fingerprint, keep_id, n_dups). One shuffle on the md5 key.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def exact_dedup_keep(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """The surviving rows (first occurrence per fingerprint)."""
+    keep = exact_dedup(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", k: int = 32, shingle_n: int = 3, seed: int = 7
+) -> DataFrame:
+    """+ ``sig`` array<bigint>[k]: per-row MinHash of the char-shingle set.
+
+    All k permutation-mins are computed from ONE xxhash64 pass over the
+    distinct shingles (h_i(s) = (a_i * h(s) + b_i) mod P) — per-row expression
+    work only, embarrassingly parallel.
+    """
+    shingles = F.array_distinct(char_shingles(text_col, shingle_n))
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)))
+        ).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(_hash_params(k, seed))
+    ]
+    return df.withColumn("sig", F.array(*mins))
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, bands: int = 8, rows: int = 4) -> DataFrame:
+    """Explode the signature into (band_id, band_hash) bucket keys."""
+    assert bands * rows <= 64, "bands*rows must not exceed signature length"
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.concat_ws(":", *[F.col("sig")[b * rows + r] for r in range(rows)])).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.band_id"), F.col("e.band_hash")
+    )
+
+
+def candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
+    """Self-join within LSH buckets -> distinct (id_a < id_b) candidates."""
+    a = band_df.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    b = band_df.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two array columns (on distinct elements)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: sign -> band -> bucket-join -> exact-verify.
+
+    -> (id_a, id_b, jaccard) pairs with jaccard >= threshold.
+    """
+    sig = minhash_signature(df, text_col, k=k, shingle_n=shingle_n)
+    cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str) -> DataFrame:
+    """Greedy keep-smallest: drop any row that has a duplicate with a smaller
+    id (single-hop; standard LSH-dedup semantics — full transitive closure
+    would be iterative label propagation over the pair graph)."""
+    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+
+    Expression-only: one xxhash64 pass per row, then 64 fold aggregates over
+    the in-row hash array (no shuffle, no UDF).
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    word = None
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(bit, i)
+        word = shifted if word is None else word.bitwiseOR(shifted)
+    return df.withColumn(out_col, word)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit SimHash words (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold.
+
+    Brute-force all-pairs here (correct at dimension-table scale); at corpus
+    scale pre-bucket with similarity.random_hyperplane_sketch and only compare
+    within buckets — same verify step.
+    """
+    from recsys_pipeline_spark.recall.retrieve import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns: exact brute-force top-k as the
+correctness baseline, plus two scale paths — bucketed-random-projection LSH
+(MLlib) and an IVF-style coarse quantizer (KMeans + probe).
+
+The brute-force path is a single broadcast-free crossJoin only when BOTH sides
+are large; for the usual "few queries × big corpus" shape the query side is
+broadcast, so the corpus never shuffles — each partition scores its items and
+emits its local top-k before the global merge (TakeOrdered semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.recall.retrieve import cosine
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact cosine top-k of one query vector against the corpus.
+
+    The query is a literal (no join at all); orderBy+limit executes as
+    per-partition TakeOrdered + driver merge — no global sort.
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    df = corpus
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(exclude_ids))
+    scored = df.select(
+        F.col(id_col), cosine(_as_double(F.col(vec_col)), q).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def topk_for_queries(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for a set of queries: broadcast the query side, window-rank
+    per query. Corpus stays partition-local until the final per-query top-k."""
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine(_as_double(F.col(vec_col)), _as_double(F.col(query_vec))).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# Scale path 1 — MLlib LSH
+# ---------------------------------------------------------------------------
+
+def fit_lsh(corpus: DataFrame, vec_col: str = "embedding", bucket_len: float = 2.0, tables: int = 3):
+    """BucketedRandomProjectionLSH over L2-normalized vectors (so euclidean
+    NN == cosine NN). Returns (model, prepared_corpus with 'norm_vec')."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = corpus.withColumn("_vec", array_to_vector(_as_double(F.col(vec_col))))
+    prepared = Normalizer(inputCol="_vec", outputCol="norm_vec", p=2.0).transform(prepared)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="norm_vec", outputCol="hashes", bucketLength=bucket_len, numHashTables=tables, seed=42
+    )
+    return lsh.fit(prepared), prepared
+
+
+def ann_lsh_topk(model, prepared_corpus: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """approxNearestNeighbors on the normalized corpus (returns euclidean
+    distCol; cos = 1 - dist^2/2 for unit vectors)."""
+    import numpy as np
+    from pyspark.ml.linalg import Vectors
+
+    q = np.array(query_vec, dtype="float64")
+    n = np.linalg.norm(q)
+    q = q / n if n > 0 else q
+    res = model.approxNearestNeighbors(prepared_corpus, Vectors.dense(q), k)
+    return res.withColumn("cos", 1 - (F.col("distCol") * F.col("distCol")) / 2)
+
+
+# ---------------------------------------------------------------------------
+# Scale path 2 — IVF (coarse quantizer + probe)
+# ---------------------------------------------------------------------------
+
+def fit_ivf(corpus: DataFrame, n_cells: int = 16, vec_col: str = "embedding", seed: int = 42):
+    """KMeans coarse quantizer; corpus gets a 'cell' column. At 100 TB the
+    cell becomes the partition key (write partitioned by cell -> queries prune
+    to probed cells only)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = corpus.withColumn("_vec", array_to_vector(_as_double(F.col(vec_col))))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell")
+    model = km.fit(prepared)
+    return model, model.transform(prepared)
+
+
+def ann_ivf_topk(
+    km_model,
+    cells_corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells, exact-rank inside them. The cell
+    filter is a partition-prunable predicate at scale."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype="float64")
+    centers = km_model.clusterCenters()
+    order = sorted(
+        range(len(centers)),
+        key=lambda i: -float(np.dot(q, centers[i]) / ((np.linalg.norm(q) * np.linalg.norm(centers[i])) or 1.0)),
+    )
+    probe = order[:n_probe]
+    subset = cells_corpus.filter(F.col("cell").isin([int(c) for c in probe]))
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    scored = subset.select(F.col(id_col), cosine(_as_double(F.col(vec_col)), qcol).alias("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def random_hyperplane_sketch(
+    emb: DataFrame, vec_col: str = "embedding", bits: int = 16, seed: int = 11, out_col: str = "sketch"
+) -> DataFrame:
+    """SimHash-for-vectors: sign pattern against `bits` random hyperplanes,
+    packed into a long — the bucketing key for embedding near-dup at scale."""
+    import random
+
+    rng = random.Random(seed)
+    dim_probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_probe["d"])
+    word = None
+    v = _as_double(F.col(vec_col))
+    for b in range(bits):
+        plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        pl = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(bit, b)
+        word = shifted if word is None else word.bitwiseOR(shifted)
+    return emb.withColumn(out_col, word)

@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines: token
+stats, quality scoring, language-ID heuristic, document fingerprinting,
+character shingles.
+
+Everything is built-in `pyspark.sql.functions` expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs anywhere in the hot path. All arithmetic
+is int-or-deterministic-double so results are engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pas", "que", "en", "du"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "人", "这", "中"],
+}
+LANG_PREFERENCE = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break order
+
+PUNCT_CLASS = r"[^.,!?;:]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_count(col: Column) -> Column:
+    """Number of sentence-punctuation characters."""
+    return F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+
+
+def char_shingles(col_name: str, n: int = 3) -> Column:
+    """Character n-grams of a named column (the MinHash/Jaccard input units)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col_name}) - {n - 1}, 0)), i -> substr({col_name}, i, {n}))"
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """How many tokens are stopwords of `lang`."""
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(vocab, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language guess with a fixed preference order on ties —
+    a deterministic heuristic (reproducible in ANSI SQL for the oracle)."""
+    scores = {lang: stopword_hits(col, lang) for lang in LANG_PREFERENCE}
+    expr = F.lit(LANG_PREFERENCE[-1])
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(LANG_PREFERENCE[:-1]):
+        later = [scores[l2] for l2 in LANG_PREFERENCE[LANG_PREFERENCE.index(lang) + 1 :]]
+        cond = None
+        for s in later:
+            c = scores[lang] >= s
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, mean token length, punct
+    ratio, stopword ratio, alpha ratio — the usual pretraining-filter stack."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    total_tok_len = F.aggregate(toks, F.lit(0), lambda s, t: s + F.length(t))
+    return df.withColumns(
+        {
+            "n_chars2": n_char,
+            "token_cnt": n_tok,
+            "mean_token_len": F.when(n_tok > 0, total_tok_len.cast("double") / n_tok).otherwise(F.lit(0.0)),
+            "punct_ratio": F.when(n_char > 0, punct_count(c).cast("double") / n_char).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.when(
+                n_tok > 0, stopword_hits(c, "en").cast("double") / n_tok
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint: md5 of the whitespace-normalized lowercase
+    text (the exact-dedup key)."""
+    normalized = F.concat_ws(" ", tokens(col))
+    return F.md5(normalized)

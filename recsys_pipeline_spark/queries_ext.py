@@ -1,0 +1,330 @@
+"""Extension queries: text analysis, deduplication, similarity search and
+multimodal plumbing over the driver's ``documents`` / ``embeddings`` tables.
+
+Oracle discipline matches queries.py: integer/string outputs wherever possible;
+double outputs only from bit-deterministic expression trees (per-row folds with
+explicit double casts — verified bit-identical between Spark and DuckDB);
+engine-specific hashes (xxhash64) and ML models (KMeans) are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.operators import dedup, multimodal, similarity, text
+
+# DuckDB fragments mirroring operators/text.py exactly
+_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_PUNCT = "length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
+_SHINGLES = "list_transform(range(1, greatest(length(text) - 2, 0) + 1), i -> substr(text, i, 3))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        text.token_count(c).alias("token_cnt"),
+        text.punct_count(c).alias("punct_cnt"),
+        F.size(F.array_distinct(text.tokens(c))).alias("vocab_cnt"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id, n_chars,
+       CAST(len({_TOKENS}) AS INT) AS token_cnt,
+       CAST({_PUNCT} AS INT) AS punct_cnt,
+       CAST(len(list_distinct({_TOKENS})) AS INT) AS vocab_cnt
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = text.quality_features(_docs(spark, sf_dir))
+    return d.select("doc_id", "token_cnt", "mean_token_len", "punct_ratio", "stopword_ratio")
+
+
+_EN_LIST = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS["en"]) + "]"
+
+SQL_DOC_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS} AS toks, length(text) AS n_char FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS token_cnt,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN n_char > 0 THEN CAST({_PUNCT} AS DOUBLE) / n_char ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS stopword_ratio
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: f"len(list_filter({_TOKENS}, x -> list_contains([{', '.join(repr(w) for w in ws)}], x)))"
+        for lang, ws in text.STOPWORDS.items()
+    }
+    order = text.LANG_PREFERENCE
+    whens = []
+    for i, lang in enumerate(order[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{l2}" for l2 in order[i + 1 :])
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{order[-1]}' END"
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in hits.items())
+    return f"""
+WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents)
+SELECT doc_id, lang, {case} AS lang_guess FROM s
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS fp FROM documents
+"""
+
+
+def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = text.char_shingles("text", 3)
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )
+
+
+SQL_NGRAM_PROFILE = f"""
+SELECT doc_id,
+       CAST(len({_SHINGLES}) AS INT) AS n_shingles,
+       CAST(len(list_distinct({_SHINGLES})) AS INT) AS n_distinct_shingles
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id")
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT md5(array_to_string({_TOKENS}, ' ')) AS fp,
+       MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check)."""
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: engine-specific hash)."""
+    return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+_COS_PAIR = (
+    "list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))"
+    " / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))"
+    " * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))"
+)
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_PAIR} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_PAIR} >= 0.3
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec_df(spark: SparkSession, sf_dir: str, qid: int = 0):
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == qid)
+        .select(F.col("embedding").cast("array<double>").alias("qvec"))
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the vec_id=0 query vector."""
+    from recsys_pipeline_spark.recall.retrieve import cosine
+
+    corpus = _emb(spark, sf_dir)
+    q = _query_vec_df(spark, sf_dir)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine(F.col("embedding").cast("array<double>"), F.col("qvec")).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(10)
+
+
+_COS_Q = (
+    "list_sum(list_transform(list_zip(embedding::DOUBLE[], q.qvec), x -> x[1]*x[2]))"
+    " / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))"
+    " * sqrt(list_sum(list_transform(q.qvec, x -> x*x))))"
+)
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_COS_Q} AS cos
+FROM embeddings, q
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_exclude_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with a seen-list anti-filter (the recall J6 semantics on vectors)."""
+    from recsys_pipeline_spark.recall.retrieve import cosine
+
+    seen = [0, 1, 2, 3, 4]
+    corpus = _emb(spark, sf_dir).filter(~F.col("vec_id").isin(seen))
+    q = _query_vec_df(spark, sf_dir)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine(F.col("embedding").cast("array<double>"), F.col("qvec")).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(10)
+
+
+SQL_ANN_EXCLUDE_SEEN = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_COS_Q} AS cos
+FROM embeddings, q
+WHERE vec_id NOT IN (0, 1, 2, 3, 4)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_avg_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean L2 norm (norm is a bit-deterministic per-row fold;
+    the cross-row mean goes through exact decimal summation)."""
+    e = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"), F.lit(0.0), lambda s, x: s + x * x
+        )
+    )
+    per_row = e.select("label", norm.alias("norm"))
+    return per_row.groupBy("label").agg(
+        (F.sum(F.col("norm").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_EMBEDDING_AVG_NORM = """
+WITH n AS (
+  SELECT label, sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS norm
+  FROM embeddings
+)
+SELECT label,
+       CAST(SUM(CAST(norm AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM n GROUP BY label
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer, probe 4/8 cells) — rows-only check."""
+    e = _emb(spark, sf_dir)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    model, cells = similarity.fit_ivf(e, n_cells=8)
+    return similarity.ann_ivf_topk(model, cells, q, k=10, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; rows-only)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> synthetic media rows (payload = utf8 bytes) -> Arrow-batched
+    feature extraction -> per-kind aggregate. Exercises the real mapInPandas
+    plumbing; the decode itself is the documented stub."""
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None)
+        .cast(multimodal.MEDIA_SCHEMA["meta"].dataType)
+        .alias("meta"),
+    )
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_profile": q_ngram_profile,
+    "exact_dedup": q_exact_dedup,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "embedding_near_dup": q_embedding_near_dup,
+    "cosine_topk": q_cosine_topk,
+    "ann_exclude_seen": q_ann_exclude_seen,
+    "embedding_avg_norm": q_embedding_avg_norm,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES_EXT: dict[str, str] = {
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ngram_profile": SQL_NGRAM_PROFILE,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "ann_exclude_seen": SQL_ANN_EXCLUDE_SEEN,
+    "embedding_avg_norm": SQL_EMBEDDING_AVG_NORM,
+    # minhash_dup_pairs / simhash_fingerprint / ann_ivf_topk /
+    # multimodal_features: engine-specific hashes or ML state -> rows-only.
+}

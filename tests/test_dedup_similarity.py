@@ -1,0 +1,134 @@
+"""Semantics tests for dedup / similarity / multimodal operators with planted
+ground truth (exact dups, near dups, self-similarity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the morning light"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("morning", "evening")),  # near duplicate
+        (4, "completely different content about spark window functions and joins"),
+        (5, "yet another unrelated document mentioning parquet and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_and_survivors(docs):
+    groups = {r["keep_id"]: r["n_docs"] for r in dedup.exact_dedup(docs, "doc_id").collect()}
+    assert groups[1] == 2  # docs 1 and 2 collapse
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup_keep(docs, "doc_id").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any({a, b} & {4, 5} and {a, b} & {1, 2, 3} for a, b in pairs)
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_survivors(
+            docs, dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.5), "doc_id"
+        ).collect()
+    )
+    assert survivors == [1, 4, 5]
+
+
+def test_simhash_distance_ordering(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    d = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
+    assert d(1, 2) == 0  # identical text -> identical hash
+    assert d(1, 3) < d(1, 4)  # near-dup closer than unrelated
+    assert d(1, 3) <= 16
+
+
+def test_ngram_jaccard_exact_values(docs, spark):
+    from recsys_pipeline_spark.operators.text import char_shingles
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(char_shingles("text", 3)).alias("sh")
+    )
+    a = sh.filter(F.col("doc_id") == 1).select(F.col("sh").alias("sh_a"))
+    b = sh.filter(F.col("doc_id") == 2).select(F.col("sh").alias("sh_b"))
+    j = a.crossJoin(b).select(dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")).first()["j"]
+    assert j == 1.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from recsys_pipeline_spark.io import read_table
+
+    return read_table(spark, SF, "embeddings").cache()
+
+
+def test_lsh_ann_recall_vs_bruteforce(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    model, prepared = similarity.fit_lsh(emb, bucket_len=1.0, tables=5)
+    approx = [r["vec_id"] for r in similarity.ann_lsh_topk(model, prepared, q, k=10).collect()]
+    assert exact[0] == 7  # self-retrieval NN@1
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, (exact, approx)
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    model, cells = similarity.fit_ivf(emb, n_cells=8)
+    approx = [r["vec_id"] for r in similarity.ann_ivf_topk(model, cells, q, k=10, n_probe=4).collect()]
+    assert approx[0] == 7
+    assert len(set(exact) & set(approx)) >= 5, (exact, approx)
+
+
+def test_embedding_near_dup_symmetric_threshold(emb):
+    pairs = dedup.embedding_near_dup_pairs(emb.limit(100), threshold=0.2).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos"] >= 0.2
+
+
+def test_hyperplane_sketch_buckets_similar_vectors(emb):
+    sk = similarity.random_hyperplane_sketch(emb, bits=16)
+    row = sk.filter(F.col("vec_id") == 3).first()
+    assert 0 <= row["sketch"] < 2**16
+
+
+def test_multimodal_extract_and_framesample(spark):
+    rows = [
+        (1, "image", b"img-bytes-aaaa", (32, 32, None, None, "image/png")),
+        (2, "audio", b"wav-bytes-bbbb", (None, None, 16000, None, "audio/wav")),
+        (3, "video", b"mp4-bytes-cccc", (64, 48, None, 25, "video/mp4")),
+        (4, "image", None, (8, 8, None, None, "image/png")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert len(feats) == 4
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats.values())
+    assert feats[1]["n_bytes"] == 14 and feats[4]["n_bytes"] == 0
+    # determinism: same payload -> same features
+    again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["features"] == again[1]["features"]
+    frames = multimodal.frame_sample(media, every_n=10).collect()
+    assert sorted(r["frame_idx"] for r in frames) == [0, 10, 20]
+    resized = multimodal.resize_stub(media, 16, 16).select("meta.width").distinct().collect()
+    assert [r["width"] for r in resized] == [16]
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decode="real")
