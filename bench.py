@@ -12,7 +12,7 @@ import os
 import re
 import time
 
-from recsys_pipeline_spark import queries as Q
+import __spark_entry__ as entrymod
 from recsys_pipeline_spark.session import get_spark
 
 
@@ -28,7 +28,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in Q.QUERIES.items():
+    for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         materialize(df)

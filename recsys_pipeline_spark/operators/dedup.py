@@ -61,23 +61,32 @@ def exact_dedup_keep(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 # ---------------------------------------------------------------------------
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", k: int = 32, shingle_n: int = 3, seed: int = 7
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 32,
+    shingle_n: int = 3,
+    seed: int = 7,
 ) -> DataFrame:
-    """+ ``sig`` array<bigint>[k]: per-row MinHash of the char-shingle set.
+    """-> (id_col, ``sig`` array<bigint>[k]): MinHash of each row's distinct
+    char-shingle set under k universal hashes h_i(s) = (a_i*h(s) + b_i) mod P.
 
-    All k permutation-mins are computed from ONE xxhash64 pass over the
-    distinct shingles (h_i(s) = (a_i * h(s) + b_i) mod P) — per-row expression
-    work only, embarrassingly parallel.
+    Shape matters for speed: explode the shingles and compute the k mins as
+    grouped AGGREGATES — plain min() aggs run inside whole-stage codegen with
+    map-side partial combine, while the equivalent array_min(transform(...))
+    higher-order functions are CodegenFallback (interpreted row-at-a-time;
+    measured ~50x slower on a 5k-doc corpus). One shuffle on the id.
     """
     shingles = F.array_distinct(char_shingles(text_col, shingle_n))
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    mins = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)))
-        ).alias(f"_mh{i}")
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles).alias("_sh")
+    ).withColumn("_h", F.pmod(F.xxhash64(F.col("_sh")), F.lit(_P)))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P))).alias(f"_mh{i}")
         for i, (a, b) in enumerate(_hash_params(k, seed))
     ]
-    return df.withColumn("sig", F.array(*mins))
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[F.col(f"_mh{i}") for i in range(k)]).alias("sig"))
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str, bands: int = 8, rows: int = 4) -> DataFrame:
@@ -132,7 +141,7 @@ def minhash_dedup_pairs(
 
     -> (id_a, id_b, jaccard) pairs with jaccard >= threshold.
     """
-    sig = minhash_signature(df, text_col, k=k, shingle_n=shingle_n)
+    sig = minhash_signature(df, id_col, text_col, k=k, shingle_n=shingle_n)
     cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col)
     sh = df.select(
         F.col(id_col), F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh")
@@ -194,19 +203,45 @@ def hamming64(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold.
 
     Brute-force all-pairs here (correct at dimension-table scale); at corpus
     scale pre-bucket with similarity.random_hyperplane_sketch and only compare
     within buckets — same verify step.
-    """
-    from recsys_pipeline_spark.recall.retrieve import cosine
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    Pre-cast the vectors and precompute each row's norm BEFORE the pair join
+    (otherwise both are re-evaluated inside the O(n^2) loop); with a known
+    ``dim`` the per-pair dot product is an unrolled codegen expression instead
+    of an interpreted fold (same bits, ~10x faster).
+    """
+    from recsys_pipeline_spark.operators.similarity import unrolled_dot
+
+    if dim is None:
+        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    prepared = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(unrolled_dot(F.col("v"), F.col("v"), dim)))
+    # The corpus often arrives as ONE small file = one partition, but the
+    # pair join does O(n^2) work — spread the streamed side across the
+    # cluster before the nested-loop join or a single task computes it all.
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    a = prepared.repartition(n_part).select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = prepared.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
-    ).filter(F.col("cos") >= threshold)
+    dot = unrolled_dot(F.col("va"), F.col("vb"), dim)
+    scored = pairs.select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+    # Barrier before the threshold filter: otherwise Catalyst pushes the
+    # predicate into the nested-loop join condition, where the whole dot
+    # product is re-evaluated per candidate pair in interpreted mode
+    # (measured 2-4x slower). The checkpoint materializes each pair's score
+    # exactly once, computed by the codegen'd projection.
+    return scored.localCheckpoint(eager=False).filter(F.col("cos") >= threshold)

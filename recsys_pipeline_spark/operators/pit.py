@@ -54,19 +54,23 @@ def pit_counts_scalar_key(
 
     Emits ``{key}_imp`` (count of rows with that key in the frame) and, when
     ``label_col`` given, ``{key}_clk`` (sum of the label over those rows).
-    One window spec → one shuffle; all key columns are computed in a single
-    WindowExec pass.
+
+    All 2x|keys| sliding sums are emitted from ONE ``select`` — sequential
+    ``withColumn`` calls would interleave Projects between the Window nodes
+    and defeat Spark's CollapseWindow rule, leaving |keys| stacked WindowExec
+    operators; a single projection collapses them into one WindowExec pass
+    over one hash exchange (verified via .explain).
     """
     upper = 0 if include_current else -1
     w = _user_window(user_col, ts_col, tiebreak_col).rowsBetween(-window, upper)
-    out = df
+    cols = [df["*"]]
     for v in key_values:
         is_v = F.when(F.col(key_col) == v, 1).otherwise(0)
-        out = out.withColumn(f"{v}_imp", F.coalesce(F.sum(is_v).over(w), F.lit(0)))
+        cols.append(F.coalesce(F.sum(is_v).over(w), F.lit(0)).alias(f"{v}_imp"))
         if label_col is not None:
             clk = F.when(F.col(key_col) == v, F.col(label_col)).otherwise(0)
-            out = out.withColumn(f"{v}_clk", F.coalesce(F.sum(clk).over(w), F.lit(0)))
-    return out
+            cols.append(F.coalesce(F.sum(clk).over(w), F.lit(0)).alias(f"{v}_clk"))
+    return df.select(*cols)
 
 
 def pit_counts_multi_key(

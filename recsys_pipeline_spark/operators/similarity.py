@@ -20,6 +20,26 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as an unrolled left-associated sum of element_at products.
+
+    Bitwise-identical to the sequential fold (IEEE: 0.0 + x == x, additions in
+    the same order) but, unlike aggregate()/zip_with() higher-order functions
+    (CodegenFallback, interpreted), element_at and + are whole-stage-codegen
+    expressions — the right form for a per-pair hot loop when the dimension is
+    statically known.
+    """
+    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def unrolled_sq_norm(a: Column, dim: int) -> Column:
+    return unrolled_dot(a, a, dim)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     query_vec: list[float],

@@ -149,8 +149,16 @@ FROM documents GROUP BY 1
 
 
 def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check)."""
-    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
+    """MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check).
+
+    5-gram shingles + threshold 0.8 + banding (b=4, r=8 -> s-curve knee at
+    j~0.84): the synthetic corpus draws from a tiny vocabulary, so 3-gram
+    Jaccard>=0.5 would mark ~40% of ALL pairs (a million rows at sf0.1) as
+    "near-duplicates" — parameterize for selectivity, not just recall.
+    """
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", threshold=0.8, shingle_n=5, bands=4, rows=8
+    )
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
