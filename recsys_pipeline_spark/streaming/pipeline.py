@@ -1,0 +1,108 @@
+"""Streaming pipelines over the events table shape.
+
+Batch parity: every operator here has a batch twin in queries.py; the tests
+drive a parquet-backed stream with availableNow and compare against the batch
+result — the Structured Streaming contract (same code, incremental execution).
+
+Scale notes: watermarks bound state; the per-user stateful aggregation keys by
+user_id (hash-partitioned state store, RocksDB-backable); session windows use
+the built-in ``session_window`` (state merges handled by the engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Parquet stores TIMESTAMP(NANOS): stream-read it as long and convert, exactly
+# like the batch reader (io.read_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", slide: str | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked (sliding) event-time window counts per event_type —
+    late rows beyond the watermark are dropped, state is bounded."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with the built-in gap-merge state machine."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def user_state_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of the per-user running per-type counters (the
+    reference's online user state, continuously maintained): cumulative
+    imp/clk per (user, event_type) in update mode."""
+    labeled = events.withColumn("label", F.when(F.col("value") > 100.0, 1).otherwise(0))
+    return (
+        labeled.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("imp"), F.sum("label").alias("clk"))
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
+    """Drive a streaming query to completion over all currently-available
+    input (availableNow) into an in-memory table — the deterministic test
+    harness; swap for a kafka/delta sink in production."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_sink(df: DataFrame, fn) -> None:
+    """Exactly-once style sink adapter (foreachBatch): fn(batch_df, epoch_id)."""
+    q = df.writeStream.foreachBatch(fn).trigger(availableNow=True).start()
+    q.awaitTermination()

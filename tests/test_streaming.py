@@ -1,0 +1,62 @@
+"""Streaming/batch parity: the same event pipeline driven incrementally
+(availableNow) must agree with its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.streaming import pipeline as sp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return read_table(spark, SF, "events").cache()
+
+
+def test_windowed_counts_match_batch(spark, batch_events):
+    stream = sp.stream_events(spark, SF)
+    # complete mode: availableNow never advances past the last window, so
+    # append would hold the final windows in state forever
+    sp.run_to_memory(sp.windowed_counts(stream, window="1 hour"), "win_counts", "complete")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want_df = (
+        batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.col("window.start").alias("s"), "event_type", "n", "v")
+    )
+    want = {(r["s"], r["event_type"]): (r["n"], r["v"]) for r in want_df.collect()}
+    assert set(got) == set(want)
+    for k, (n, v) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - v) < 1e-6
+
+
+def test_sessionized_runs_and_covers_all_events(spark, batch_events):
+    stream = sp.stream_events(spark, SF)
+    sp.run_to_memory(sp.sessionized(stream, gap="30 minutes"), "sessions", "complete")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert sum(r["n_events"] for r in rows) == batch_events.count()
+    assert all(r["sess_end"] > r["sess_start"] for r in rows)
+
+
+def test_user_state_counts_match_batch(spark, batch_events):
+    stream = sp.stream_events(spark, SF)
+    sp.run_to_memory(sp.user_state_counts(stream), "user_state", "complete")
+    got = {
+        (r["user_id"], r["event_type"]): (r["imp"], r["clk"])
+        for r in spark.sql("SELECT * FROM user_state").collect()
+    }
+    want_df = (
+        batch_events.withColumn("label", F.when(F.col("value") > 100.0, 1).otherwise(0))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("imp"), F.sum("label").alias("clk"))
+    )
+    want = {(r["user_id"], r["event_type"]): (r["imp"], r["clk"]) for r in want_df.collect()}
+    assert got == want
