@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from recsys_pipeline_spark import queries as Q
 from recsys_pipeline_spark import queries_ext as QX
+from recsys_pipeline_spark import queries_ml as QM
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -25,8 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**Q.QUERIES, **QX.QUERIES_EXT}
+    return {**Q.QUERIES, **QX.QUERIES_EXT, **QM.QUERIES_ML}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**Q.ORACLES, **QX.ORACLES_EXT}
+    return {**Q.ORACLES, **QX.ORACLES_EXT, **QM.ORACLES_ML}

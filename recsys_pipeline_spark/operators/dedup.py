@@ -168,29 +168,40 @@ def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str) -> DataFra
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """-> (id_col, out_col): 64-bit SimHash, per-bit majority vote of token
+    xxhash64 values (every token occurrence votes, standard SimHash).
 
-    Expression-only: one xxhash64 pass per row, then 64 fold aggregates over
-    the in-row hash array (no shuffle, no UDF).
+    Same shape lesson as minhash_signature: 64 F.aggregate() folds over an
+    in-row array are CodegenFallback (interpreted, ~row*64 lambda dispatches);
+    exploding tokens and taking the 64 bit-votes as plain grouped SUMs runs in
+    whole-stage codegen with map-side partial aggregation — one shuffle on the
+    id. Token-less rows get word 0 via the left join back onto the id set.
     """
     from recsys_pipeline_spark.operators.text import tokens
 
-    hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64(F.col("_t")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
         for i in range(64)
     ]
+    agg = exploded.groupBy(id_col).agg(*votes)
     word = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(64):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         shifted = F.shiftleft(bit, i)
         word = shifted if word is None else word.bitwiseOR(shifted)
-    return df.withColumn(out_col, word)
+    sig = agg.select(F.col(id_col), word.alias(out_col))
+    ids = df.select(id_col)
+    return ids.join(sig, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out_col), F.lit(0).cast("long")).alias(out_col)
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -207,41 +218,62 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dim: int | None = None,
 ) -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold.
+    """All (a < b) pairs with cosine >= threshold -> (id_a, id_b, cos).
 
-    Brute-force all-pairs here (correct at dimension-table scale); at corpus
-    scale pre-bucket with similarity.random_hyperplane_sketch and only compare
-    within buckets — same verify step.
+    Blocked all-pairs: the comparison matrix is broadcast once; each task
+    scores its block of rows against it with numpy kernels that are vectorized
+    ACROSS pairs but sequential ALONG the dimension axis — the identical
+    left-associated fold a scalar SQL engine computes (float32->float64
+    products are exact; only the summation order affects bits), so the scores
+    are bit-for-bit reproducible against the DuckDB oracle while running two
+    orders of magnitude faster than a row-at-a-time nested-loop-join plan.
 
-    Pre-cast the vectors and precompute each row's norm BEFORE the pair join
-    (otherwise both are re-evaluated inside the O(n^2) loop); with a known
-    ``dim`` the per-pair dot product is an unrolled codegen expression instead
-    of an interpreted fold (same bits, ~10x faster).
+    The broadcast side must fit in executor memory, like any broadcast join
+    (n_vec * dim * 8 bytes). At corpus scale, pre-bucket with
+    similarity.random_hyperplane_sketch (or ivf_assign) and run this blocked
+    scorer within buckets — the per-task kernel is unchanged.
     """
-    from recsys_pipeline_spark.operators.similarity import unrolled_dot
+    import numpy as np
+    import pandas as pd
 
-    if dim is None:
-        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"])
+    spark = emb.sparkSession
     prepared = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(unrolled_dot(F.col("v"), F.col("v"), dim)))
-    # The corpus often arrives as ONE small file = one partition, but the
-    # pair join does O(n^2) work — spread the streamed side across the
-    # cluster before the nested-loop join or a single task computes it all.
-    n_part = emb.sparkSession.sparkContext.defaultParallelism
-    a = prepared.repartition(n_part).select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    b = prepared.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    dot = unrolled_dot(F.col("va"), F.col("vb"), dim)
-    scored = pairs.select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
-    # Barrier before the threshold filter: otherwise Catalyst pushes the
-    # predicate into the nested-loop join condition, where the whole dot
-    # product is re-evaluated per candidate pair in interpreted mode
-    # (measured 2-4x slower). The checkpoint materializes each pair's score
-    # exactly once, computed by the codegen'd projection.
-    return scored.localCheckpoint(eager=False).filter(F.col("cos") >= threshold)
+
+    pdf_b = prepared.toPandas()
+    ids_all = pdf_b["_id"].to_numpy()
+    B = np.array(pdf_b["_v"].tolist(), dtype=np.float64)
+
+    def _seq_norm(X: "np.ndarray") -> "np.ndarray":
+        acc = X[:, 0] * X[:, 0]
+        for i in range(1, X.shape[1]):
+            acc = acc + X[:, i] * X[:, i]
+        return np.sqrt(acc)
+
+    bc = spark.sparkContext.broadcast((ids_all, B, _seq_norm(B)))
+
+    def score_block(batches):
+        ids_b, Bm, nrm_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["_id"].to_numpy()
+            A = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            dot = A[:, 0, None] * Bm[None, :, 0]
+            for i in range(1, A.shape[1]):
+                dot = dot + A[:, i, None] * Bm[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (_seq_norm(A)[:, None] * nrm_b[None, :])
+                mask = (cos >= threshold) & (ia[:, None] < ids_b[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": ia[r], "id_b": ids_b[c], "cos": cos[r, c]})
+
+    # The corpus often arrives as one small file = one partition; spread the
+    # row blocks so every core gets a slice of the O(n^2) work.
+    n_part = spark.sparkContext.defaultParallelism
+    return prepared.repartition(n_part).mapInPandas(
+        score_block, schema="id_a long, id_b long, cos double"
+    )

@@ -1,0 +1,200 @@
+"""ML-pipeline queries over the driver's testdata: the reference's recall ->
+rank -> serve stages (SURVEY §2.7/§2.8/§2.10) driven by the ``events`` table.
+
+``events`` plays the ratings log: ``user_id`` is the user, ``props.$.k`` the
+item id, ``value > LABEL_THRESHOLD`` the implicit-feedback label and ``ts``
+the interaction order — the same roles ml-1m's (userid, itemid, rating, ts)
+play in the reference (offline/preprocess/s1_data_split.py:10,26).
+
+These are genuinely non-SQL-expressible (iterative ALS / gradient-descent FM
+training), so they are registered WITHOUT DuckDB oracles — the driver records
+the weaker rows+schema check; exact-semantics coverage for the relational
+parts lives in queries.py, and reference-shaped golden tests in
+tests/test_recall_rank_serve.py cover the ml-1m semantics (AUC thresholds,
+recall consistency, serve parity).
+
+Scale notes: ALS is MLlib's blocked factorization (no driver-side matrices);
+candidate scoring is the fused-recall DataFrame query (broadcast item side);
+rank scoring is ``PipelineModel.transform`` — Tungsten-batched, no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.operators import pit, split, topk
+from recsys_pipeline_spark.queries import EVENT_TYPES, LABEL_THRESHOLD
+from recsys_pipeline_spark.rank import model as rank_model
+from recsys_pipeline_spark.recall import retrieve, vectors
+
+TYPE_ID = {t: i + 1 for i, t in enumerate(EVENT_TYPES)}  # term ids, 0 = empty
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ev = split.binarize_label(ev, "value", LABEL_THRESHOLD)
+    return ev.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("user_id").cast("int").alias("userid"),
+        F.get_json_object("props", "$.k").cast("int").alias("itemid"),
+        F.col("event_type"),
+        F.col("label"),
+    )
+
+
+def _train_test(inter: DataFrame) -> tuple[DataFrame, DataFrame]:
+    flagged = split.temporal_split(
+        inter, user_col="userid", ts_col="ts", tiebreak_col="event_id"
+    )
+    return flagged.filter(F.col("istest") == 0), flagged.filter(F.col("istest") == 1)
+
+
+# ---------------------------------------------------------------------------
+# V1/V2/V4 — MF embedding training + vector extraction + brute-force top-k
+# ---------------------------------------------------------------------------
+
+def q_mf_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train implicit-ALS embeddings on the train split, then the exact
+    cosine top-10 items per user from the factor tables (rows-only: scores
+    are iterative-solver output, not SQL-expressible)."""
+    train, _ = _train_test(_interactions(spark, sf_dir))
+    # rank 4: the sf slices go down to ~15 users / ~100 items, where a wider
+    # implicit-ALS normal-equation block goes numerically singular
+    model = vectors.train_mf(train, rank=4, max_iter=5, reg=0.1)
+    scored = retrieve.vector_scores(vectors.user_vectors(model), vectors.item_vectors(model))
+    return topk.top_k_per_group(
+        scored, ["userid"], [F.col("cos_score").desc(), F.col("itemid").asc()], k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1-M9 — rank-model training + distributed batch scoring + AUC
+# ---------------------------------------------------------------------------
+
+def _rank_features(inter: DataFrame) -> tuple[DataFrame, list[str]]:
+    feats = pit.pit_counts_scalar_key(
+        inter, user_col="userid", ts_col="ts", key_col="event_type",
+        key_values=EVENT_TYPES, label_col="label", tiebreak_col="event_id", window=10,
+    )
+    cols = [f"{t}_{s}" for t in EVENT_TYPES for s in ("imp", "clk")]
+    return feats, cols
+
+
+def q_rank_score_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM ranker on leak-free PIT features: fit on the train split, score the
+    test split (the reference's s2_model_train.py + Triton batch inference,
+    M6/M9, as fit + transform on one DataFrame DAG)."""
+    feats, cols = _rank_features(_interactions(spark, sf_dir))
+    feats = split.temporal_split(
+        feats, user_col="userid", ts_col="ts", tiebreak_col="event_id"
+    )
+    train = feats.filter(F.col("istest") == 0)
+    test = feats.filter(F.col("istest") == 1)
+    model = rank_model.train_rank_model(train, cols, algo="fm", factor_size=4, max_iter=10)
+    return rank_model.score(model, test).select("event_id", "userid", "itemid", "score")
+
+
+def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 as a one-row metric query: held-out AUC of the FM ranker (the
+    reference's quality gate, readme.md:64).
+
+    On THIS synthetic data AUC ~= 0.5 by construction (labels are uniform
+    random, independent of history — nothing to learn); the ml-1m-shaped
+    golden test (tests/test_recall_rank_serve.py) asserts the real
+    signal-recovery threshold."""
+    feats, cols = _rank_features(_interactions(spark, sf_dir))
+    feats = split.temporal_split(
+        feats, user_col="userid", ts_col="ts", tiebreak_col="event_id"
+    )
+    train = feats.filter(F.col("istest") == 0)
+    test = feats.filter(F.col("istest") == 1)
+    model = rank_model.train_rank_model(train, cols, algo="fm", factor_size=4, max_iter=10)
+    auc = rank_model.auc(model, test)
+    return spark.createDataFrame([("rank_test_auc", float(auc))], "metric string, value double")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — the composite online query: recall -> rank -> top-k for every user
+# ---------------------------------------------------------------------------
+
+def q_recommend_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full request path (online/main/s1_server.py:24-57) as ONE DataFrame
+    query for every user at once: ALS vectors + term channel fused (0.9/0.1),
+    seen-item anti-join, entity-feature joins, model scoring, top-50."""
+    from recsys_pipeline_spark.serve import recommend
+
+    inter = _interactions(spark, sf_dir)
+    train, _ = _train_test(inter)
+    # rank must equal EMBEDDING_DIM: missing users get the reference's
+    # default [1.0]*16 vector (P13) and cosine needs matching lengths
+    # rank 4 + reg 0.1 keep the normal equations positive-definite on
+    # arbitrarily small sf slices; emb_dim below tells recommend() to size
+    # the P13 default vector to match
+    mf = vectors.train_mf(train, rank=4, max_iter=5, reg=0.1)
+
+    term_id = F.element_at(
+        F.create_map(*[x for t, i in TYPE_ID.items() for x in (F.lit(t), F.lit(i))]),
+        F.col("event_type"),
+    )
+    with_tid = train.withColumn("tid", term_id)
+    # user terms: event types with >=2 clicks over the user's train history
+    # (the reference's click-threshold recall terms, s1_user_to_redis.py:27-29)
+    user_terms = (
+        with_tid.groupBy("userid", "tid").agg(F.sum("label").alias("clk"))
+        .filter(F.col("clk") >= 2)
+        .groupBy("userid").agg(F.collect_list("tid").cast("array<int>").alias("terms"))
+    )
+    item_terms = with_tid.groupBy("itemid").agg(
+        F.collect_set("tid").cast("array<int>").alias("genre_ids")
+    )
+    seen = train.groupBy("userid").agg(F.collect_list("itemid").alias("items"))
+
+    user_entity = train.groupBy("userid").agg(
+        F.count(F.lit(1)).cast("double").alias("u_n"),
+        F.avg("label").alias("u_rate"),
+    )
+    item_entity = train.groupBy("itemid").agg(
+        F.count(F.lit(1)).cast("double").alias("i_n"),
+        F.avg("label").alias("i_rate"),
+    )
+    feat_cols = ["u_n", "u_rate", "i_n", "i_rate"]
+    train_feats = (
+        train.join(F.broadcast(item_entity), "itemid", "left")
+        .join(user_entity, "userid", "left")
+        .na.fill(0)
+    )
+    ranker = rank_model.train_rank_model(train_feats, feat_cols, algo="lr", max_iter=10)
+
+    request_users = inter.select("userid").distinct()
+    return recommend(
+        request_users,
+        vectors.user_vectors(mf),
+        vectors.item_vectors(mf),
+        user_terms,
+        item_terms,
+        seen,
+        user_entity,
+        item_entity,
+        ranker,
+        feat_cols,
+        emb_dim=4,
+    )
+
+
+QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mf_recall_topk": q_mf_recall_topk,
+    "rank_score_test": q_rank_score_test,
+    "rank_auc": q_rank_auc,
+    "recommend_top50": q_recommend_top50,
+}
+
+# Iterative model training has no ANSI-SQL equivalent -> no oracle entries
+# (driver records the rows+schema check; quality gates live in
+# tests/test_recall_rank_serve.py as AUC-threshold golden tests).
+ORACLES_ML: dict[str, str] = {}

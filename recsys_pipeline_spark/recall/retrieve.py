@@ -33,7 +33,10 @@ def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector (possible for an all-negative-feedback
+    # ALS factor) yields NULL instead of an ANSI-mode DIVIDE_BY_ZERO error;
+    # bits are unchanged for every non-degenerate pair.
+    return F.try_divide(dot, na * nb)
 
 
 def term_scores(user_terms: DataFrame, item_terms: DataFrame) -> DataFrame:

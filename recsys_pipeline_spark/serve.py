@@ -28,10 +28,12 @@ from recsys_pipeline_spark.recall import retrieve
 from recsys_pipeline_spark.schemas import EMBEDDING_DIM, RECALL_SIZE, RESPONSE_SIZE
 
 
-def default_user_state(request_users: DataFrame, user_vecs, user_terms, seen) -> tuple:
+def default_user_state(
+    request_users: DataFrame, user_vecs, user_terms, seen, emb_dim: int = EMBEDDING_DIM
+) -> tuple:
     """P13: left-join the requested users against state tables, filling the
-    reference's online defaults for missing users."""
-    default_vec = F.array(*[F.lit(1.0) for _ in range(EMBEDDING_DIM)])
+    reference's online defaults for missing users (vector [1.0]*dim)."""
+    default_vec = F.array(*[F.lit(1.0) for _ in range(emb_dim)])
     vecs = (
         request_users.join(user_vecs, "userid", "left")
         .select("userid", F.coalesce("vector", default_vec).alias("vector"))
@@ -60,10 +62,13 @@ def recommend(
     feature_cols: list[str],
     recall_k: int = RECALL_SIZE,
     response_k: int = RESPONSE_SIZE,
+    emb_dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """-> (userid, itemid, score), <= response_k rows per requested user,
     ready to be consumed by any serving layer."""
-    vecs, terms, seen_f = default_user_state(request_users, user_vecs, user_terms, seen)
+    vecs, terms, seen_f = default_user_state(
+        request_users, user_vecs, user_terms, seen, emb_dim=emb_dim
+    )
     candidates = retrieve.fused_recall(
         vecs, item_vecs, terms, item_terms, seen_f, k=recall_k
     )
