@@ -71,16 +71,25 @@ def minhash_signature(
     """-> (id_col, ``sig`` array<bigint>[k]): MinHash of each row's distinct
     char-shingle set under k universal hashes h_i(s) = (a_i*h(s) + b_i) mod P.
 
-    Shape matters for speed: explode the shingles and compute the k mins as
-    grouped AGGREGATES — plain min() aggs run inside whole-stage codegen with
-    map-side partial combine, while the equivalent array_min(transform(...))
-    higher-order functions are CodegenFallback (interpreted row-at-a-time;
-    measured ~50x slower on a 5k-doc corpus). One shuffle on the id.
+    Shape matters for speed: explode shingle POSITIONS (substring is pure
+    codegen; building the shingle array via transform() is an interpreted
+    higher-order function) and compute the k mins as grouped AGGREGATES —
+    plain min() aggs run inside whole-stage codegen with map-side partial
+    combine (the array_min(transform(...)) form measured ~50x slower on a
+    5k-doc corpus). No array_distinct needed: min() is duplicate-invariant.
+    One shuffle on the id. (Profiled alternatives at sf0.1: multiply-shift
+    hashes and one-permutation hashing both LOSE here — the cost is the k
+    agg-buffer updates / the extra shuffle, not the modular arithmetic.)
     """
-    shingles = F.array_distinct(char_shingles(text_col, shingle_n))
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles).alias("_sh")
-    ).withColumn("_h", F.pmod(F.xxhash64(F.col("_sh")), F.lit(_P)))
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (shingle_n - 1), F.lit(1)))
+    )
+    exploded = df.select(F.col(id_col), F.col(text_col), pos.alias("_p")).select(
+        F.col(id_col),
+        F.pmod(
+            F.xxhash64(F.expr(f"substring({text_col}, _p, {shingle_n})")), F.lit(_P)
+        ).alias("_h"),
+    )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P))).alias(f"_mh{i}")
         for i, (a, b) in enumerate(_hash_params(k, seed))

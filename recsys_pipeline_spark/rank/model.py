@@ -53,6 +53,46 @@ def train_rank_model(
     return pipe.fit(train_df)
 
 
+def train_with_early_stop(
+    train_df: DataFrame,
+    valid_df: DataFrame,
+    feature_cols: list[str],
+    algo: str = "fm",
+    factor_size: int = EMBEDDING_DIM,
+    iter_step: int = 5,
+    max_rounds: int = 20,
+    patience: int = 5,
+    reg: float = 1e-5,
+    seed: int = 123,
+) -> tuple[PipelineModel, float, int]:
+    """M7 — the reference's early stopping (offline/torchfm/train.py:6-24):
+    grow training effort, evaluate validation AUC each round, keep the best
+    model, stop after ``patience`` non-improving rounds.
+
+    MLlib estimators cannot warm-start between fits, so each round refits with
+    a larger iteration budget (maxIter = round * iter_step) — the *selection
+    semantics* (best-AUC checkpoint + patience) match the reference exactly;
+    the retrain-per-round cost is the MLlib trade-off and parallelizes the
+    same way any fit does. -> (best_model, best_auc, best_max_iter).
+    """
+    best_model, best_auc, best_iter = None, float("-inf"), 0
+    bad = 0
+    for r in range(1, max_rounds + 1):
+        m = train_rank_model(
+            train_df, feature_cols, algo=algo, factor_size=factor_size,
+            max_iter=r * iter_step, reg=reg, seed=seed,
+        )
+        a = auc(m, valid_df)
+        if a > best_auc:
+            best_model, best_auc, best_iter = m, a, r * iter_step
+            bad = 0
+        else:
+            bad += 1
+            if bad >= patience:
+                break
+    return best_model, best_auc, best_iter
+
+
 def score(model: PipelineModel, df: DataFrame, score_col: str = "score") -> DataFrame:
     """M9: distributed batch inference; the positive-class probability is the
     ranking score (sigmoid output in the reference)."""

@@ -88,6 +88,70 @@ def user_state_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+PIT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+PIT_LABEL_THRESHOLD = 100.0
+
+
+def pit_features_stateful(events: DataFrame, window: int = 10) -> DataFrame:
+    """The reference's per-user sliding dequeue scan (offline/preprocess/
+    s2_term_trans.py:37-61) as a CUSTOM STATEFUL STREAMING OPERATOR: for each
+    arriving event, emit per-type imp/clk counts over that user's previous
+    <= ``window`` events, then push the event into the user's deque state.
+
+    Offline, window functions reproduce this exactly (operators/pit.py); this
+    is the online form — state is the per-user deque (two parallel arrays),
+    keyed and hash-partitioned by user_id in the state store, so it scales
+    with users, not history. Within a micro-batch rows are processed in
+    (ts, event_id) order; across batches source order must be per-key
+    monotonic (true for availableNow over an ordered log; use event-time
+    reordering upstream otherwise).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    types, thr, win = list(PIT_EVENT_TYPES), PIT_LABEL_THRESHOLD, window
+    out_fields = [T.StructField("user_id", T.LongType()), T.StructField("event_id", T.LongType())]
+    for t in types:
+        out_fields += [
+            T.StructField(f"{t}_imp", T.LongType()),
+            T.StructField(f"{t}_clk", T.LongType()),
+        ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [
+            T.StructField("types", T.ArrayType(T.StringType())),
+            T.StructField("labels", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def step(key, pdf_iter, state):
+        import pandas as _pd
+
+        dq_types, dq_labels = state.get if state.exists else ([], [])
+        dq_types, dq_labels = list(dq_types), list(dq_labels)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, et, val in zip(pdf["event_id"], pdf["event_type"], pdf["value"]):
+                row = {"user_id": key[0], "event_id": int(eid)}
+                for t in types:
+                    row[f"{t}_imp"] = sum(1 for x in dq_types if x == t)
+                    row[f"{t}_clk"] = sum(
+                        l for x, l in zip(dq_types, dq_labels) if x == t
+                    )
+                out.append(row)
+                dq_types.append(et)
+                dq_labels.append(1 if val > thr else 0)
+                if len(dq_types) > win:
+                    dq_types.pop(0)
+                    dq_labels.pop(0)
+        state.update((dq_types, dq_labels))
+        yield _pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        step, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a streaming query to completion over all currently-available
     input (availableNow) into an in-memory table — the deterministic test

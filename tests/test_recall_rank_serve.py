@@ -90,6 +90,17 @@ def test_rank_auc_above_chance(world, ranker):
     assert rank_model.auc(ranker, world["test"]) > 0.45
 
 
+def test_early_stop_returns_best_checkpoint(world):
+    """M7: the returned model must be the best-validation-AUC round, and the
+    loop must terminate within the patience budget."""
+    m, best_auc, best_iter = rank_model.train_with_early_stop(
+        world["train"], world["test"], world["feature_cols"],
+        algo="lr", iter_step=2, max_rounds=4, patience=2,
+    )
+    assert m is not None and best_iter >= 2
+    assert abs(rank_model.auc(m, world["test"]) - best_auc) < 1e-12
+
+
 def test_offline_online_score_parity(world, ranker):
     """M10: the serve path must score a row identically to offline transform."""
     sample = world["test"].limit(5)

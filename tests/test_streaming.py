@@ -60,3 +60,23 @@ def test_user_state_counts_match_batch(spark, batch_events):
     )
     want = {(r["user_id"], r["event_type"]): (r["imp"], r["clk"]) for r in want_df.collect()}
     assert got == want
+
+
+def test_stateful_pit_matches_batch_window_functions(spark, batch_events):
+    """The custom stateful operator must reproduce the batch PIT query
+    (window frame [i-10, i-1]) row for row — the same semantics computed by
+    two different execution strategies (state store vs WindowExec)."""
+    from recsys_pipeline_spark.queries import q_pit_sliding_features
+
+    stream = sp.stream_events(spark, SF)
+    sp.run_to_memory(sp.pit_features_stateful(stream), "pit_stream", "append")
+    cols = [f"{t}_{s}" for t in sp.PIT_EVENT_TYPES for s in ("imp", "clk")]
+    got = {
+        r["event_id"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM pit_stream").collect()
+    }
+    want = {
+        r["event_id"]: tuple(r[c] for c in cols)
+        for r in q_pit_sliding_features(spark, SF).collect()
+    }
+    assert got == want
