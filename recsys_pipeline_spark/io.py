@@ -93,6 +93,25 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed-table sink: pre-shuffles ONCE at write time so every later
+    join/aggregation on the bucket key reads co-located data — a SortMergeJoin
+    between two tables bucketed on the join key runs with NO Exchange on
+    either side. At 100 TB this is the difference between re-shuffling the
+    fact table per query and never shuffling it again; the write-side cost is
+    the one shuffle you were going to pay anyway."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """S4 compatibility shim (reference contract wrote CSV; prefer Parquet)."""
     df.write.mode("overwrite").option("header", "true").csv(path)
