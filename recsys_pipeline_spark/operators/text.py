@@ -34,6 +34,19 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT2-style pre-tokenizer shape, kept RE2-safe (no lookahead; alternatives
+# disjoint by leading char) so the SAME pattern runs identically in Spark
+# (Java regex) and DuckDB/RE2 oracles.
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-style token count: letters / digits / punctuation runs with
+    optional leading space — the BPE pre-tokenization granularity (a proxy
+    for LLM token budgets; whitespace token_count undercounts code/punct)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), 0))
+
+
 def punct_count(col: Column) -> Column:
     """Number of sentence-punctuation characters."""
     return F.length(F.regexp_replace(col, PUNCT_CLASS, ""))

@@ -42,6 +42,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         text.token_count(c).alias("token_cnt"),
+        text.bpe_token_count(c).alias("bpe_token_cnt"),
         text.punct_count(c).alias("punct_cnt"),
         F.size(F.array_distinct(text.tokens(c))).alias("vocab_cnt"),
     )
@@ -50,6 +51,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_TOKEN_STATS = f"""
 SELECT doc_id, n_chars,
        CAST(len({_TOKENS}) AS INT) AS token_cnt,
+       CAST(len(regexp_extract_all(text, '{text.BPE_PRETOKEN_PATTERN}')) AS INT) AS bpe_token_cnt,
        CAST({_PUNCT} AS INT) AS punct_cnt,
        CAST(len(list_distinct({_TOKENS})) AS INT) AS vocab_cnt
 FROM documents

@@ -106,19 +106,13 @@ def load_online_state(spark: SparkSession, out_dir: str) -> dict:
     return out
 
 
-def recommend_from_state(
-    spark: SparkSession,
-    out_dir: str,
-    request_users: DataFrame,
-    feature_cols: list[str],
-    **kwargs,
+def recommend_with_state(
+    st: dict, request_users: DataFrame, feature_cols: list[str], **kwargs
 ) -> DataFrame:
-    """The reference's whole online request path (§2.10) served purely from
-    the persisted state — no training-session objects. Splitting the state
+    """§2.10 served from an already-loaded state dict. Splitting the state
     tables back into per-channel views is projection, not recomputation."""
     from recsys_pipeline_spark.serve import recommend
 
-    st = load_online_state(spark, out_dir)
     us, its = st["user_state"], st["item_state"]
     return recommend(
         request_users,
@@ -133,3 +127,44 @@ def recommend_from_state(
         feature_cols,
         **kwargs,
     )
+
+
+def recommend_from_state(
+    spark: SparkSession,
+    out_dir: str,
+    request_users: DataFrame,
+    feature_cols: list[str],
+    **kwargs,
+) -> DataFrame:
+    """The reference's whole online request path (§2.10) served purely from
+    the persisted state — no training-session objects."""
+    return recommend_with_state(
+        load_online_state(spark, out_dir), request_users, feature_cols, **kwargs
+    )
+
+
+def recommend_stream(
+    spark: SparkSession,
+    out_dir: str,
+    requests: DataFrame,
+    feature_cols: list[str],
+    sink,
+    user_col: str = "userid",
+    **kwargs,
+) -> None:
+    """The online serving loop as Structured Streaming: each micro-batch of
+    request rows gets recommendations computed from the persisted state and
+    handed to ``sink(recs_df, epoch_id)`` (foreachBatch = the exactly-once
+    boundary where a real deployment writes to its serving store).
+
+    State is loaded ONCE, outside the batch handler — the reference's
+    server-startup prefetch (online/utils/triton_caller.py:21); per-request
+    work is only the per-batch recall->rank DataFrame."""
+    st = load_online_state(spark, out_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        users = batch_df.select(F.col(user_col).alias("userid")).distinct()
+        sink(recommend_with_state(st, users, feature_cols, **kwargs), epoch_id)
+
+    q = requests.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()

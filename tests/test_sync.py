@@ -101,3 +101,24 @@ def test_serve_from_reloaded_state_matches_inmemory(world, saved):
     a = sorted((r["userid"], r["itemid"], round(r["score"], 9)) for r in direct.collect())
     b = sorted((r["userid"], r["itemid"], round(r["score"], 9)) for r in from_state.collect())
     assert a == b
+
+
+def test_streaming_recommend_matches_batch_serve(world, saved, tmp_path):
+    """The foreachBatch serving loop must produce exactly what the batch
+    serve-from-state query produces for the same request users."""
+    spark = world["spark"]
+    req_dir = str(tmp_path / "requests")
+    spark.createDataFrame([(1,), (2,)], ["userid"]).write.parquet(req_dir)
+    got: list = []
+    stream = spark.readStream.schema("userid long").parquet(req_dir)
+    sync.recommend_stream(
+        spark, saved, stream, world["feature_cols"],
+        sink=lambda recs, eid: got.extend(recs.collect()),
+        recall_k=20, response_k=5,
+    )
+    want = sync.recommend_from_state(
+        spark, saved, spark.createDataFrame([(1,), (2,)], ["userid"]),
+        world["feature_cols"], recall_k=20, response_k=5,
+    ).collect()
+    key = lambda r: (r["userid"], r["itemid"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
