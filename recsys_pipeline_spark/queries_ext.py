@@ -307,7 +307,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew-proof aggregation (salted two-stage) — value-identical to plain GROUP BY
+# ---------------------------------------------------------------------------
+
+def q_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof groupBy: salt in [0,16) -> partial agg on (key, salt) ->
+    merge per key. sum/count are associative, so the oracle is the PLAIN
+    GROUP BY — the salting must be invisible in the result (l_quantity is
+    integer-valued, so the sums are exact in both engines)."""
+    from recsys_pipeline_spark.operators import skew
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "l_qty_int", F.col("l_quantity").cast("long")
+    )
+    return skew.salted_sum_count(
+        li, ["l_returnflag"], ["l_qty_int"], n_salts=16, unique_col="l_orderkey"
+    )
+
+
+SQL_SALTED_GROUP_SUM = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_l_qty_int
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "salted_group_sum": q_salted_group_sum,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
@@ -325,6 +352,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXT: dict[str, str] = {
+    "salted_group_sum": SQL_SALTED_GROUP_SUM,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "lang_id": SQL_LANG_ID,
