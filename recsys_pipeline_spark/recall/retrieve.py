@@ -60,14 +60,67 @@ def vector_scores(
 ) -> DataFrame:
     """V4: (userid, itemid, cos_score) for every user×item pair — exact
     brute-force. The item side is a broadcast dimension (3,952 items in the
-    reference); at catalog scale switch to similarity.ann_lsh_topk."""
+    reference); at catalog scale switch to similarity.ann_lsh_topk / ann_ivf.
+
+    Executed as numpy blocks against the broadcast item matrix (the same
+    kernel as dedup.embedding_near_dup_pairs): vectorized across pairs,
+    sequential along the dimension axis, so every score is bit-identical to
+    the scalar ``cosine()`` expression fold it replaces — but the user×item
+    loop runs at BLAS-adjacent speed instead of interpreted per-pair folds.
+    Degenerate zero-norm vectors score NULL (matches ``try_divide``).
+    """
+    import numpy as np
+    import pandas as pd
+
     u = user_vecs.select("userid", F.col("vector").alias("uvec"))
     if users_filter is not None:
         u = u.join(users_filter.select("userid").distinct(), "userid", "left_semi")
-    i = item_vecs.select("itemid", F.col("vector").alias("ivec"))
-    pairs = u.crossJoin(F.broadcast(i))
-    return pairs.select(
-        "userid", "itemid", cosine(F.col("uvec"), F.col("ivec")).alias("cos_score")
+    i = item_vecs.select("itemid", F.col("vector").cast("array<double>").alias("ivec"))
+
+    spark = user_vecs.sparkSession
+    pdf_i = i.toPandas()
+    item_ids = pdf_i["itemid"].to_numpy()
+    B = np.array(pdf_i["ivec"].tolist(), dtype=np.float64)
+
+    def _seq_norm(X):
+        acc = X[:, 0] * X[:, 0]
+        for k in range(1, X.shape[1]):
+            acc = acc + X[:, k] * X[:, k]
+        return np.sqrt(acc)
+
+    bc = spark.sparkContext.broadcast(
+        (item_ids, B, _seq_norm(B) if B.size else B.reshape(0))
+    )
+
+    def score_block(batches):
+        ids_i, Bm, nrm_i = bc.value
+        for pdf in batches:
+            if not len(pdf) or not Bm.size:
+                continue
+            A = np.array(pdf["uvec"].tolist(), dtype=np.float64)
+            dot = A[:, 0, None] * Bm[None, :, 0]
+            for k in range(1, A.shape[1]):
+                dot = dot + A[:, k, None] * Bm[None, :, k]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (_seq_norm(A)[:, None] * nrm_i[None, :])
+            n_u, n_i = cos.shape
+            yield pd.DataFrame(
+                {
+                    "userid": np.repeat(pdf["userid"].to_numpy(), n_i),
+                    "itemid": np.tile(ids_i, n_u),
+                    "cos_score": np.where(np.isfinite(cos), cos, np.nan).ravel(),
+                }
+            )
+
+    prepared = u.select("userid", F.col("uvec").cast("array<double>"))
+    n_part = spark.sparkContext.defaultParallelism
+    out = prepared.repartition(n_part).mapInPandas(
+        score_block, schema="userid long, itemid long, cos_score double"
+    )
+    # NaN -> NULL so downstream ordering treats degenerate scores like the
+    # expression form's try_divide NULLs
+    return out.withColumn(
+        "cos_score", F.when(F.isnan("cos_score"), F.lit(None)).otherwise(F.col("cos_score"))
     )
 
 
