@@ -19,7 +19,10 @@ from recsys_pipeline_spark.session import get_spark
 # not latency benchmarks — their cost is solver iterations, not query
 # execution. The bench times the query surface; training quality/runtime is
 # covered by tests/test_recall_rank_serve.py.
-SKIP_TRAINING = {"mf_recall_topk", "rank_score_test", "rank_auc", "recommend_top50"}
+SKIP_TRAINING = {
+    "mf_recall_topk", "rank_score_test", "rank_auc", "recommend_top50",
+    "embedding_classifier_acc",
+}
 
 
 def materialize(df) -> None:

@@ -187,11 +187,42 @@ def q_recommend_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_classifier_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass probe over the embeddings table: multinomial logistic
+    regression on the raw vector (array -> MLlib vector, no Python in the fit
+    path), hash-split 80/20, one-row held-out accuracy.
+
+    On THIS synthetic data accuracy ~= 0.10 chance — held-out centroid-NN
+    confirms the labels are independent of the vectors (in-sample centroid
+    accuracy of 0.41 is pure 64-dim overfitting). The query's value is the
+    mechanism: vector-typed features through an MLlib fit/transform with a
+    deterministic hash split; signal-recovery gates live in the ml-1m golden
+    tests."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    is_test = F.pmod(F.xxhash64("vec_id"), F.lit(5)) == 0
+    model = LogisticRegression(maxIter=30, regParam=0.01).fit(emb.filter(~is_test))
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(
+        model.transform(emb.filter(is_test))
+    )
+    return spark.createDataFrame(
+        [("embedding_cls_accuracy", float(acc))], "metric string, value double"
+    )
+
+
 QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mf_recall_topk": q_mf_recall_topk,
     "rank_score_test": q_rank_score_test,
     "rank_auc": q_rank_auc,
     "recommend_top50": q_recommend_top50,
+    "embedding_classifier_acc": q_embedding_classifier_acc,
 }
 
 # Iterative model training has no ANSI-SQL equivalent -> no oracle entries

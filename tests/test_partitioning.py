@@ -1,0 +1,35 @@
+"""Partitioned-parquet layout: a filter on the partition column must prune at
+the FILE level (PartitionFilters in the scan, only matching directories read)
+— the storage-layout half of the 100 TB story (bucketing covers the shuffle
+half)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table, write_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def partitioned_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part") / "events_by_type")
+    ev = read_table(spark, SF, "events")
+    write_parquet(ev, out, partition_by=["event_type"])
+    return out
+
+
+def test_partition_filter_prunes_files(spark, partitioned_dir):
+    df = spark.read.parquet(partitioned_dir).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    # pruned scan must list only the one matching partition directory
+    n_click = df.count()
+    want = read_table(spark, SF, "events").filter(F.col("event_type") == "click").count()
+    assert n_click == want
+
+
+def test_partitioned_roundtrip_preserves_rows(spark, partitioned_dir):
+    assert spark.read.parquet(partitioned_dir).count() == read_table(spark, SF, "events").count()
