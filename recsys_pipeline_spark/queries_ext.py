@@ -163,6 +163,35 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join, df<=100
+    stop-gram pruning — a no-op on this corpus where max df is 7, but the
+    safeguard that keeps candidate generation sub-quadratic at 100 TB)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", n=3, threshold=0.5, max_df=100
+    )
+
+
+_GRAMS3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+SQL_NGRAM_JACCARD_DUP = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_GRAMS3}) AS gram FROM t),
+sz AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY 1),
+keep AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1) WHERE df <= 100),
+e AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (ga.n_g + gb.n_g - inter) AS jaccard
+FROM i JOIN sz ga ON id_a = ga.doc_id JOIN sz gb ON id_b = gb.doc_id
+WHERE CAST(inter AS DOUBLE) / (ga.n_g + gb.n_g - inter) >= 0.5
+"""
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: engine-specific hash)."""
     return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
@@ -280,6 +309,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(model, cells, q, k=10, n_probe=4)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: BucketedRandomProjectionLSH over L2-normalized
+    vectors (euclidean order == cosine order on unit vectors), k=10 —
+    rows-only check (bucket boundaries are model state, not ANSI SQL)."""
+    e = _emb(spark, sf_dir)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    model, prepared = similarity.fit_lsh(e)
+    return similarity.ann_lsh_topk(model, prepared, q, k=10).select("vec_id", "cos")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed; rows-only)
 # ---------------------------------------------------------------------------
@@ -342,12 +381,14 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_profile": q_ngram_profile,
     "exact_dedup": q_exact_dedup,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk": q_cosine_topk,
     "ann_exclude_seen": q_ann_exclude_seen,
     "embedding_avg_norm": q_embedding_avg_norm,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -359,10 +400,11 @@ ORACLES_EXT: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ngram_profile": SQL_NGRAM_PROFILE,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard_dup": SQL_NGRAM_JACCARD_DUP,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_exclude_seen": SQL_ANN_EXCLUDE_SEEN,
     "embedding_avg_norm": SQL_EMBEDDING_AVG_NORM,
-    # minhash_dup_pairs / simhash_fingerprint / ann_ivf_topk /
+    # minhash_dup_pairs / simhash_fingerprint / ann_ivf_topk / ann_lsh_topk /
     # multimodal_features: engine-specific hashes or ML state -> rows-only.
 }

@@ -72,6 +72,24 @@ def test_ngram_jaccard_exact_values(docs, spark):
     assert j == 1.0
 
 
+def test_word_ngram_jaccard_pairs(docs):
+    """BASE has 25 tokens -> 23 word-3-grams (all distinct); the one-word edit
+    at token 24 changes the 2 grams covering it -> inter=21, union=25, j=0.84."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == pytest.approx(21 / 25, abs=1e-12)
+    assert pairs[(2, 3)] == pairs[(1, 3)]
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_word_ngram_stop_gram_cap_drops_common_only_pairs(docs, spark):
+    # with max_df=1 every shared gram is over the cap -> no candidates survive
+    assert dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.0, max_df=1).count() == 0
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     from recsys_pipeline_spark.io import read_table
