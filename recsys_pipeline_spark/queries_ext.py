@@ -346,6 +346,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The decode is stubbed but the OUTPUT is exact relational algebra over the
+# payload bytes — so the Arrow/mapInPandas plumbing is verifiable by value.
+SQL_MULTIMODAL_FEATURES = """
+SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Skew-proof aggregation (salted two-stage) — value-identical to plain GROUP BY
 # ---------------------------------------------------------------------------
@@ -405,6 +415,7 @@ ORACLES_EXT: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_exclude_seen": SQL_ANN_EXCLUDE_SEEN,
     "embedding_avg_norm": SQL_EMBEDDING_AVG_NORM,
-    # minhash_dup_pairs / simhash_fingerprint / ann_ivf_topk / ann_lsh_topk /
-    # multimodal_features: engine-specific hashes or ML state -> rows-only.
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # minhash_dup_pairs / simhash_fingerprint / ann_ivf_topk / ann_lsh_topk:
+    # engine-specific hashes or ML model state -> rows-only.
 }
