@@ -490,6 +490,90 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FRO
 
 
 # ---------------------------------------------------------------------------
+# Range (interval) join — click -> purchase attribution within 1 hour.
+# Beyond-reference relational extension (the reference's only temporal join is
+# the as-of/PIT J4); classic event-attribution semantics.
+# ---------------------------------------------------------------------------
+
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per click: purchases by the same user in (click_ts, click_ts+1h].
+
+    Scale shape: the range predicate rides on a USER equi-join, so this is a
+    plain shuffle hash/SMJ on user_id with the interval filter applied inside
+    matched groups — never a BroadcastNestedLoopJoin. (For a pure range join
+    with no equi key, the 100 TB pattern is time-bucketing: explode each probe
+    into its overlapping hour bins and equi-join on the bin.) The money sum
+    uses the decimal(28,6) discipline for bit-exact cross-engine totals."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    j = clicks.join(purch, cond, "left")
+    return j.groupBy("click_id", "user_id").agg(
+        F.count("p_ts").alias("n_purchases"),
+        F.min("p_ts").alias("first_purchase_ts"),
+        F.coalesce(
+            F.sum(F.col("p_value").cast("decimal(28,6)")), F.lit(0).cast("decimal(28,6)")
+        ).cast("double").alias("attributed_value"),
+    )
+
+
+SQL_RANGE_JOIN_ATTRIBUTION = """
+SELECT a.event_id AS click_id, a.user_id,
+       CAST(COUNT(b.p_ts) AS BIGINT) AS n_purchases,
+       MIN(b.p_ts) AS first_purchase_ts,
+       CAST(COALESCE(SUM(CAST(b.p_value AS DECIMAL(28,6))), 0) AS DOUBLE) AS attributed_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.p_ts > a.ts AND b.p_ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Rollup — hierarchical aggregate (GROUP BY ROLLUP), subtotals + grand total.
+# Beyond-reference (SURVEY §2.4 notes grouping sets as absent); free in Spark.
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem rollup over (returnflag, linestatus): per-pair, per-flag and
+    grand-total rows in ONE pass (Expand + single shuffle — not a UNION of 3
+    aggregations, which would scan 3x). grouping_id disambiguates rollup
+    NULLs from data NULLs."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        (
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(28,6)")
+                * (F.lit(1).cast("decimal(28,6)") - F.col("l_discount").cast("decimal(28,6)"))
+            )
+            * 1_000_000
+        ).cast("long").alias("revenue_e6"),
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) * 1000000 AS BIGINT) AS revenue_e6
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -512,6 +596,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cardinalities": q_cardinalities,
     "sessionize": q_sessionize,
     "json_extract": q_json_extract,
+    "range_join_attribution": q_range_join_attribution,
+    "rollup_revenue": q_rollup_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -533,4 +619,6 @@ ORACLES: dict[str, str] = {
     "cardinalities": SQL_CARDINALITIES,
     "sessionize": SQL_SESSIONIZE,
     "json_extract": SQL_JSON_EXTRACT,
+    "range_join_attribution": SQL_RANGE_JOIN_ATTRIBUTION,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
 }
