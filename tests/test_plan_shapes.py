@@ -1,0 +1,56 @@
+"""Physical-plan regression guards: the properties that make the headline
+queries viable at 100 TB (audited in PLANS.md) are asserted here so a future
+refactor can't silently reintroduce a nested-loop join, a multi-pass rollup,
+or a fan-out of redundant scans."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from recsys_pipeline_spark.queries import (
+    q_pit_sliding_features,
+    q_range_join_attribution,
+    q_rollup_revenue,
+    q_star_join_revenue,
+)
+from recsys_pipeline_spark.queries_ext import q_ngram_jaccard_dup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _final_plan(df) -> str:
+    df.count()  # materialize so AQE settles on the final plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_rides_equi_key_not_nested_loop(spark):
+    plan = _final_plan(q_range_join_attribution(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_is_single_pass_expand(spark):
+    plan = _final_plan(q_rollup_revenue(spark, SF))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1  # not a union of per-level scans
+
+
+def test_ngram_jaccard_bounded_scans(spark):
+    plan = _final_plan(q_ngram_jaccard_dup(spark, SF))
+    # linear pipeline: documents read at most twice (self-join sides),
+    # never the 6-scan fan-out of the branched formulation (PLANS.md note 5)
+    assert plan.count("FileScan") <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_windows_collapse_to_one_windowexec(spark):
+    plan = _final_plan(q_pit_sliding_features(spark, SF))
+    assert len(re.findall(r"\bWindow\b", plan)) == 1  # PLANS.md iteration 1
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _final_plan(q_star_join_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
+    assert "CartesianProduct" not in plan
