@@ -20,8 +20,8 @@ from recsys_pipeline_spark.session import get_spark
 # execution. The bench times the query surface; training quality/runtime is
 # covered by tests/test_recall_rank_serve.py.
 SKIP_TRAINING = {
-    "mf_recall_topk", "rank_score_test", "rank_auc", "recommend_top50",
-    "embedding_classifier_acc",
+    "mf_recall_topk", "rank_score_test", "rank_auc", "rank_deepfm_auc",
+    "recommend_top50", "embedding_classifier_acc",
 }
 
 

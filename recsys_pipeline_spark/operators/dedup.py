@@ -35,6 +35,23 @@ def _hash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
 
 
+def portable_hash64(col: Column) -> Column:
+    """60-bit engine-portable string hash: the first 15 hex chars of md5,
+    parsed as an integer. Bit-identical between Spark
+    (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+    (``('0x' || substr(md5(x),1,15))::BIGINT``), so sketches built on it are
+    value-checkable against an ANSI-SQL oracle. 15 hex chars keep the value
+    under 2^60 — no signed-overflow edge in either engine. Slower than
+    ``xxhash64`` (md5 + string slice vs one 64-bit mix), so it is the
+    *oracle-mode* hash; callers keep xxhash64 as the production default.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col: Column, portable: bool) -> Column:
+    return portable_hash64(col) if portable else F.xxhash64(col)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -67,6 +84,7 @@ def minhash_signature(
     k: int = 32,
     shingle_n: int = 3,
     seed: int = 7,
+    portable: bool = False,
 ) -> DataFrame:
     """-> (id_col, ``sig`` array<bigint>[k]): MinHash of each row's distinct
     char-shingle set under k universal hashes h_i(s) = (a_i*h(s) + b_i) mod P.
@@ -87,7 +105,7 @@ def minhash_signature(
     exploded = df.select(F.col(id_col), F.col(text_col), pos.alias("_p")).select(
         F.col(id_col),
         F.pmod(
-            F.xxhash64(F.expr(f"substring({text_col}, _p, {shingle_n})")), F.lit(_P)
+            _hash64(F.expr(f"substring({text_col}, _p, {shingle_n})"), portable), F.lit(_P)
         ).alias("_h"),
     )
     aggs = [
@@ -98,16 +116,36 @@ def minhash_signature(
     return sig.select(F.col(id_col), F.array(*[F.col(f"_mh{i}") for i in range(k)]).alias("sig"))
 
 
-def lsh_bands(sig_df: DataFrame, id_col: str, bands: int = 8, rows: int = 4) -> DataFrame:
-    """Explode the signature into (band_id, band_hash) bucket keys."""
-    assert bands * rows <= 64, "bands*rows must not exceed signature length"
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows: int = 4,
+    k: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Explode the signature into (band_id, band_hash) bucket keys.
+
+    ``k`` is the actual signature length; bands*rows beyond it would index
+    NULL elements that concat_ws silently drops (every band hashing a
+    mostly-empty string => all docs collide => candidate-pair explosion), so
+    mismatches fail loudly here instead.
+    """
+    if k is None:
+        row = sig_df.select(F.size("sig").alias("k")).first()
+        k = int(row["k"]) if row is not None else bands * rows
+    if bands * rows > k:
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds signature length k = {k}"
+        )
     entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(F.concat_ws(":", *[F.col("sig")[b * rows + r] for r in range(rows)])).alias(
-                    "band_hash"
-                ),
+                _hash64(
+                    F.concat_ws(":", *[F.col("sig")[b * rows + r] for r in range(rows)]),
+                    portable,
+                ).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -145,13 +183,17 @@ def minhash_dedup_pairs(
     rows: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: sign -> band -> bucket-join -> exact-verify.
 
-    -> (id_a, id_b, jaccard) pairs with jaccard >= threshold.
+    -> (id_a, id_b, jaccard) pairs with jaccard >= threshold. With
+    ``portable=True`` every hash is the md5-fold (``portable_hash64``), so the
+    whole pipeline — signatures, banding, candidates, verified jaccard — is
+    reproducible in the DuckDB oracle.
     """
-    sig = minhash_signature(df, id_col, text_col, k=k, shingle_n=shingle_n)
-    cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col)
+    sig = minhash_signature(df, id_col, text_col, k=k, shingle_n=shingle_n, portable=portable)
+    cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows, k=k, portable=portable), id_col)
     sh = df.select(
         F.col(id_col), F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh")
     )
@@ -253,7 +295,11 @@ def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "simhash"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+    portable: bool = False,
 ) -> DataFrame:
     """-> (id_col, out_col): 64-bit SimHash, per-bit majority vote of token
     xxhash64 values (every token occurrence votes, standard SimHash).
@@ -263,12 +309,16 @@ def simhash(
     exploding tokens and taking the 64 bit-votes as plain grouped SUMs runs in
     whole-stage codegen with map-side partial aggregation — one shuffle on the
     id. Token-less rows get word 0 via the left join back onto the id set.
+
+    ``portable=True`` swaps xxhash64 for the 60-bit md5-fold: bits 60-63 then
+    vote all-negative and settle to 0, deterministically in BOTH engines, so
+    the fingerprint is oracle-checkable (the effective fingerprint is 60-bit).
     """
     from recsys_pipeline_spark.operators.text import tokens
 
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64(F.col("_t")))
+    ).withColumn("_h", _hash64(F.col("_t"), portable))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -297,67 +347,130 @@ def hamming64(a: Column, b: Column) -> Column:
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_near_dup_pairs(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.95,
-) -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold -> (id_a, id_b, cos).
+def _np_kernels():
+    """(seq_norm, seq_cross_dot): L2 norms and A@B.T with the summation
+    sequential ALONG the dimension axis — the left-associated fold a scalar
+    SQL engine computes, so downstream cosines are bit-identical to the
+    oracle's.
 
-    Blocked all-pairs: the comparison matrix is broadcast once; each task
-    scores its block of rows against it with numpy kernels that are vectorized
-    ACROSS pairs but sequential ALONG the dimension axis — the identical
-    left-associated fold a scalar SQL engine computes (float32->float64
-    products are exact; only the summation order affects bits), so the scores
-    are bit-for-bit reproducible against the DuckDB oracle while running two
-    orders of magnitude faster than a row-at-a-time nested-loop-join plan.
-
-    The broadcast side must fit in executor memory, like any broadcast join
-    (n_vec * dim * 8 bytes). At corpus scale, pre-bucket with
-    similarity.random_hyperplane_sketch (or ivf_assign) and run this blocked
-    scorer within buckets — the per-task kernel is unchanged.
+    Defined NESTED on purpose: their qualnames are not importable, so
+    cloudpickle ships them BY VALUE inside executor closures. Module-level
+    defs would pickle as references to `recsys_pipeline_spark`, which the
+    driver's bare-session Python workers cannot import (the driver only
+    injects the repo on the DRIVER's sys.path) — that exact failure mode
+    crashed the round-2 driver simulation before this shape.
     """
-    import numpy as np
-    import pandas as pd
 
-    spark = emb.sparkSession
-    prepared = emb.select(
-        F.col(id_col).cast("long").alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    def seq_norm(X):
+        import numpy as np
 
-    pdf_b = prepared.toPandas()
-    ids_all = pdf_b["_id"].to_numpy()
-    B = np.array(pdf_b["_v"].tolist(), dtype=np.float64)
-
-    def _seq_norm(X: "np.ndarray") -> "np.ndarray":
         acc = X[:, 0] * X[:, 0]
         for i in range(1, X.shape[1]):
             acc = acc + X[:, i] * X[:, i]
         return np.sqrt(acc)
 
-    bc = spark.sparkContext.broadcast((ids_all, B, _seq_norm(B)))
+    def seq_cross_dot(A, B):
+        dot = A[:, 0, None] * B[None, :, 0]
+        for i in range(1, A.shape[1]):
+            dot = dot + A[:, i, None] * B[None, :, i]
+        return dot
 
-    def score_block(batches):
-        ids_b, Bm, nrm_b = bc.value
+    return seq_norm, seq_cross_dot
+
+
+# by-value-picklable bindings (nested qualname => cloudpickle serializes the
+# function bodies, not a module reference)
+_seq_norm, _seq_cross_dot = _np_kernels()
+
+
+def block_vectors(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int, blk_col: str = "_blk"
+) -> DataFrame:
+    """-> (blk, ids array<long>, vecs array<array<double>>): the corpus grouped
+    into ``n_blocks`` disjoint blocks keyed by ``pmod(id, n_blocks)``. The two
+    collect_lists consume the same input stream, so ids[i] belongs to vecs[i].
+    One shuffle; per-block state is bounded by the caller's block sizing."""
+    keyed = df.select(
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias(blk_col),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    return keyed.groupBy(blk_col).agg(
+        F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int | None = None,
+    max_block_rows: int = 8192,
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold -> (id_a, id_b, cos).
+
+    Distributed blocked all-pairs — NO driver-side collect of the corpus:
+    rows are grouped into B disjoint blocks (``pmod(id, B)``), the B*(B+1)/2
+    upper-triangle block pairs are enumerated as a tiny driver-built relation,
+    and each block pair is scored by one task running the numpy kernel
+    (vectorized ACROSS pairs, sequential ALONG the dimension axis — the
+    identical left-associated fold a scalar SQL engine computes; only the
+    summation order affects bits, so scores are bit-for-bit reproducible
+    against the DuckDB oracle). The only driver-side action is a scalar
+    count() to size the blocks; task memory is bounded by two blocks
+    (2 * max_block_rows * dim * 8 bytes), independent of corpus size.
+
+    At 100 TB the O(n^2) pair work itself is the cost; cap it by pre-bucketing
+    (similarity.random_hyperplane_sketch / fit_ivf) and running this operator
+    per bucket, or raise n_blocks so the triangle fans out across the cluster.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    if n_blocks is None:
+        n = emb.count()  # scalar only — the rows never leave the executors
+        par = spark.sparkContext.defaultParallelism
+        # enough block pairs to feed every core, but blocks small enough that
+        # two of them fit comfortably in one task
+        n_blocks = max(math.ceil(math.sqrt(2 * par)), math.ceil(n / max_block_rows), 1)
+    g = block_vectors(emb, id_col, vec_col, n_blocks)
+
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
+    ga = g.select(F.col("_blk").alias("ba"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"))
+    gb = g.select(F.col("_blk").alias("bb"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"))
+    joined = pairs.join(ga, "ba").join(gb, "bb")
+
+    def score_block_pair(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            ia = pdf["_id"].to_numpy()
-            A = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            dot = A[:, 0, None] * Bm[None, :, 0]
-            for i in range(1, A.shape[1]):
-                dot = dot + A[:, i, None] * Bm[None, :, i]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dot / (_seq_norm(A)[:, None] * nrm_b[None, :])
-                mask = (cos >= threshold) & (ia[:, None] < ids_b[None, :])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame({"id_a": ia[r], "id_b": ids_b[c], "cos": cos[r, c]})
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                B = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                if not A.size or not B.size:
+                    continue
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _seq_cross_dot(A, B) / (_seq_norm(A)[:, None] * _seq_norm(B)[None, :])
+                    mask = cos >= threshold
+                if row.ba == row.bb:
+                    mask &= ia[:, None] < ib[None, :]
+                r, c = np.nonzero(mask)
+                if not len(r):
+                    continue
+                # blocks are disjoint id sets, so off-diagonal orientation is
+                # free to normalize; cosine is bitwise symmetric (per-dim
+                # products commute, fold order along dim is unchanged)
+                lo = np.minimum(ia[r], ib[c])
+                hi = np.maximum(ia[r], ib[c])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[r, c]})
 
-    # The corpus often arrives as one small file = one partition; spread the
-    # row blocks so every core gets a slice of the O(n^2) work.
-    n_part = spark.sparkContext.defaultParallelism
-    return prepared.repartition(n_part).mapInPandas(
-        score_block, schema="id_a long, id_b long, cos double"
+    # spread the triangle's rows across the cluster: one block pair per task
+    n_pairs = len(pair_rows)
+    return joined.repartition(n_pairs).mapInPandas(
+        score_block_pair, schema="id_a long, id_b long, cos double"
     )

@@ -99,6 +99,12 @@ def star_join(
 
 
 def max_plus_one(df: DataFrame, cols: list[str]) -> dict[str, int]:
-    """A9: per-sparse-feature cardinality = max+1 (s1_feature_engi.py:76,80)."""
-    row = df.agg(*[F.max(F.col(c)).alias(c) for c in cols]).collect()[0]
+    """A9: per-sparse-feature cardinality = max+1 (s1_feature_engi.py:76,80).
+
+    An all-NULL column (possible after a left star-join with no dim match)
+    makes F.max NULL; coalesce to -1 so its cardinality is 0 instead of a
+    driver-side TypeError."""
+    row = df.agg(
+        *[F.coalesce(F.max(F.col(c)), F.lit(-1)).alias(c) for c in cols]
+    ).collect()[0]
     return {c: int(row[c]) + 1 for c in cols}

@@ -140,15 +140,49 @@ def item_key_sets(df: DataFrame, item_col: str, key_col: str, out_col: str = "ke
 
 
 def assign_queryid(
-    df: DataFrame, user_col: str, ts_col: str, tiebreak_col: str | None = None, out_col: str = "queryid"
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    out_col: str = "queryid",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """P12: deterministic 0-based row id equal to the (user, ts) scan order
-    (s1_feature_engi.py:113). Global ordering ⇒ a single-partition window;
-    at 100 TB prefer zipWithIndex-free composite keys, but the reference
-    contract requires this exact dense id, so we document the constraint.
+    (s1_feature_engi.py:113) — WITHOUT a single-partition global sort.
+
+    Two-pass range-partitioned form: (1) range-partition on the order keys so
+    partition p holds a contiguous key range and every key in p sorts before
+    every key in p+1; (2) row_number within each partition; (3) a tiny
+    driver-side collect of the per-partition COUNTS (n_partitions integers,
+    never rows) turned into cumulative offsets that are broadcast-joined back.
+    queryid = local_rn - 1 + offset[pid] — the exact dense global id, but the
+    heaviest single task sorts one partition, not the world.
+
+    Spark's RangePartitioner samples with a deterministic per-partition seed
+    (byteswap32 of the partition index), so the two jobs that consume the
+    range exchange see identical bounds. Ties across a partition boundary
+    cannot reorder IF the order key is total (pass a tiebreak); that is the
+    same precondition the single-window form needs for determinism.
     """
     order = [F.col(user_col).asc(), F.col(ts_col).asc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
-    w = Window.orderBy(*order)
-    return df.withColumn(out_col, F.row_number().over(w) - F.lit(1))
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_partitions, *order)
+    with_pid = part.select(df["*"], F.spark_partition_id().alias("_pid"))
+
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["_n"])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+
+    w = Window.partitionBy("_pid").orderBy(*order)
+    local = with_pid.withColumn("_lrn", F.row_number().over(w))
+    out = local.join(F.broadcast(off_df), "_pid").withColumn(
+        out_col, (F.col("_lrn") - F.lit(1) + F.col("_off")).cast("int")
+    )
+    return out.drop("_pid", "_lrn", "_off")

@@ -162,7 +162,15 @@ def random_hyperplane_sketch(
     emb: DataFrame, vec_col: str = "embedding", bits: int = 16, seed: int = 11, out_col: str = "sketch"
 ) -> DataFrame:
     """SimHash-for-vectors: sign pattern against `bits` random hyperplanes,
-    packed into a long — the bucketing key for embedding near-dup at scale."""
+    packed into a long — the bucketing key for embedding near-dup at scale.
+
+    The dot products are UNROLLED element_at sums against literal plane
+    coefficients (dim is probed once): element_at/*/+ are whole-stage-codegen
+    expressions, unlike the aggregate()/zip_with() higher-order-function form
+    this replaced — that is CodegenFallback (interpreted), the exact pattern
+    PLANS.md measured ~50x slower in the MinHash/SimHash hot path. bits*dim
+    expression terms compile into one codegen stage; no shuffle, no UDF.
+    """
     import random
 
     rng = random.Random(seed)
@@ -172,8 +180,7 @@ def random_hyperplane_sketch(
     v = _as_double(F.col(vec_col))
     for b in range(bits):
         plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        pl = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        dot = unrolled_dot(v, F.array(*[F.lit(x) for x in plane]), dim)
         bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         shifted = F.shiftleft(bit, b)
         word = shifted if word is None else word.bitwiseOR(shifted)

@@ -64,3 +64,18 @@ def temporal_split(
         .withColumn(cnt_col, u_cnt)
         .withColumn(flag_col, split_flag(F.col(rn_col), F.col(cnt_col), n_online, train_frac))
     )
+
+
+def seeded_shuffle(df: DataFrame, seed: int = 123, rand_col: str = "_shuffle_key") -> DataFrame:
+    """W5: deterministic pre-training shuffle (reference
+    offline/recall/s2_vector_recall.py:53 shuffles the epoch stream before its
+    SGD loop). Spark-first: ORDER BY rand(seed) — one range exchange, fully
+    reproducible for a fixed seed and input.
+
+    Use for SGD-family estimators whose minibatch statistics depend on row
+    order (FMClassifier's gradient descent); N/A for ALS, which factorizes the
+    whole matrix per sweep and has no epoch stream — which is why the recall
+    trainer does not call it. Opt-in: a full sort of the training set is real
+    work at 100 TB, so it is never applied silently.
+    """
+    return df.withColumn(rand_col, F.rand(seed)).orderBy(rand_col).drop(rand_col)

@@ -151,7 +151,11 @@ FROM documents GROUP BY 1
 
 
 def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check).
+    """MinHash+LSH near-dup pairs, oracle-checked end to end: signatures,
+    banding, candidate join AND verified jaccard all use the engine-portable
+    md5-fold hash (dedup.portable_hash64), so the DuckDB oracle reproduces the
+    exact pair set and values. Production callers keep portable=False
+    (xxhash64, one 64-bit mix instead of md5) — the plan shape is identical.
 
     5-gram shingles + threshold 0.8 + banding (b=4, r=8 -> s-curve knee at
     j~0.84): the synthetic corpus draws from a tiny vocabulary, so 3-gram
@@ -159,8 +163,50 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-duplicates" — parameterize for selectivity, not just recall.
     """
     return dedup.minhash_dedup_pairs(
-        _docs(spark, sf_dir), "doc_id", threshold=0.8, shingle_n=5, bands=4, rows=8
+        _docs(spark, sf_dir), "doc_id", threshold=0.8, shingle_n=5, bands=4, rows=8,
+        portable=True,
     )
+
+
+def _minhash_sql(k: int = 32, bands: int = 4, rows: int = 8) -> str:
+    """DuckDB replica of q_minhash_dup_pairs (same universal-hash constants)."""
+    params = dedup._hash_params(k)
+    p = dedup._P
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, ('0x' || substr(md5(concat_ws(':', {cols})), 1, 15))::BIGINT AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT % {p} AS h FROM pos
+),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1), i -> substr(text, i, 5))) AS s
+  FROM documents
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+"""
+
+
+SQL_MINHASH_DUP_PAIRS = _minhash_sql()
 
 
 def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,8 +239,28 @@ WHERE CAST(inter AS DOUBLE) / (ga.n_g + gb.n_g - inter) >= 0.5
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: engine-specific hash)."""
-    return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    """SimHash per document with the portable md5-fold token hash — the
+    60-bit fingerprint (bits 60-63 deterministically 0) is value-checked
+    against the DuckDB oracle. Production callers use portable=False."""
+    return dedup.simhash(_docs(spark, sf_dir), portable=True).select("doc_id", "simhash")
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60)
+    )
+    word = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS t FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+w AS (SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM v)
+SELECT d.doc_id, COALESCE(w.simhash, 0) AS simhash
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""
+
+
+SQL_SIMHASH_FINGERPRINT = _simhash_sql()
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,6 +482,9 @@ ORACLES_EXT: dict[str, str] = {
     "ann_exclude_seen": SQL_ANN_EXCLUDE_SEEN,
     "embedding_avg_norm": SQL_EMBEDDING_AVG_NORM,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
-    # minhash_dup_pairs / simhash_fingerprint / ann_ivf_topk / ann_lsh_topk:
-    # engine-specific hashes or ML model state -> rows-only.
+    "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
+    "simhash_fingerprint": SQL_SIMHASH_FINGERPRINT,
+    # ann_ivf_topk / ann_lsh_topk: ML model state (KMeans / LSH bucket
+    # boundaries) -> rows-only; recall@k vs the exact result is asserted in
+    # tests/test_dedup_similarity.py instead.
 }

@@ -119,6 +119,30 @@ def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([("rank_test_auc", float(auc))], "metric string, value double")
 
 
+def q_rank_deepfm_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M5 — the DeepFM composite (reference offline/torchfm/model.py:109-157)
+    as a one-row metric query: FM branch over one-hot ids + dense PIT slots,
+    MLP deep branch over the dense slots, sigmoid(logit_fm + logit_mlp)
+    fusion. Rows-only (iterative training); the signal-recovery gate
+    (DeepFM > FM on planted labels) lives in tests/test_planted_signal.py."""
+    feats, cols = _rank_features(_interactions(spark, sf_dir))
+    feats = split.temporal_split(
+        feats.na.drop(subset=["itemid"]), user_col="userid", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    train = feats.filter(F.col("istest") == 0)
+    test = feats.filter(F.col("istest") == 1)
+    all_cols = ["userid", "itemid"] + cols
+    model = rank_model.train_deepfm(
+        train, all_cols, cols, factor_size=4, max_iter=10,
+        categorical_cols=["userid", "itemid"],
+    )
+    auc = rank_model.auc(model, test)
+    return spark.createDataFrame(
+        [("rank_deepfm_auc", float(auc))], "metric string, value double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 — the composite online query: recall -> rank -> top-k for every user
 # ---------------------------------------------------------------------------
@@ -221,6 +245,7 @@ QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mf_recall_topk": q_mf_recall_topk,
     "rank_score_test": q_rank_score_test,
     "rank_auc": q_rank_auc,
+    "rank_deepfm_auc": q_rank_deepfm_auc,
     "recommend_top50": q_recommend_top50,
     "embedding_classifier_acc": q_embedding_classifier_acc,
 }

@@ -56,21 +56,33 @@ def term_scores(user_terms: DataFrame, item_terms: DataFrame) -> DataFrame:
 
 
 def vector_scores(
-    user_vecs: DataFrame, item_vecs: DataFrame, users_filter: DataFrame | None = None
+    user_vecs: DataFrame,
+    item_vecs: DataFrame,
+    users_filter: DataFrame | None = None,
+    max_broadcast_items: int = 100_000,
 ) -> DataFrame:
     """V4: (userid, itemid, cos_score) for every user×item pair — exact
-    brute-force. The item side is a broadcast dimension (3,952 items in the
-    reference); at catalog scale switch to similarity.ann_lsh_topk / ann_ivf.
+    brute-force, executed with numpy kernels that are vectorized across pairs
+    but sequential along the dimension axis, so every score is bit-identical
+    to the scalar ``cosine()`` expression fold it replaces. Degenerate
+    zero-norm vectors score NULL (matches ``try_divide``).
 
-    Executed as numpy blocks against the broadcast item matrix (the same
-    kernel as dedup.embedding_near_dup_pairs): vectorized across pairs,
-    sequential along the dimension axis, so every score is bit-identical to
-    the scalar ``cosine()`` expression fold it replaces — but the user×item
-    loop runs at BLAS-adjacent speed instead of interpreted per-pair folds.
-    Degenerate zero-norm vectors score NULL (matches ``try_divide``).
+    Two physical strategies, chosen by item-catalog size (a scalar count):
+      * <= max_broadcast_items (the reference's 3,952-item dimension case):
+        collect+broadcast the item matrix once, stream user blocks against it
+        (measured ~10x the blocked-join form at dimension scale);
+      * above it: NO driver materialization — both sides are grouped into
+        disjoint blocks and every (user-block × item-block) pair is scored by
+        one task (dedup.block_vectors plumbing), so memory per task is two
+        blocks regardless of catalog size. The output is still |users|×|items|
+        rows; when that product itself is the problem, use
+        ``vector_scores_ann`` (candidate generation) instead — ``fused_recall``
+        switches automatically.
     """
     import numpy as np
     import pandas as pd
+
+    from recsys_pipeline_spark.operators.dedup import _seq_cross_dot, _seq_norm
 
     u = user_vecs.select("userid", F.col("vector").alias("uvec"))
     if users_filter is not None:
@@ -78,50 +90,153 @@ def vector_scores(
     i = item_vecs.select("itemid", F.col("vector").cast("array<double>").alias("ivec"))
 
     spark = user_vecs.sparkSession
-    pdf_i = i.toPandas()
-    item_ids = pdf_i["itemid"].to_numpy()
-    B = np.array(pdf_i["ivec"].tolist(), dtype=np.float64)
+    n_items = i.count()
+    if n_items > max_broadcast_items:
+        out = _blocked_vector_scores(u, i, max_block_rows=8192)
+    else:
+        pdf_i = i.toPandas()
+        item_ids = pdf_i["itemid"].to_numpy()
+        B = np.array(pdf_i["ivec"].tolist(), dtype=np.float64)
 
-    def _seq_norm(X):
-        acc = X[:, 0] * X[:, 0]
-        for k in range(1, X.shape[1]):
-            acc = acc + X[:, k] * X[:, k]
-        return np.sqrt(acc)
+        bc = spark.sparkContext.broadcast(
+            (item_ids, B, _seq_norm(B) if B.size else B.reshape(0))
+        )
 
-    bc = spark.sparkContext.broadcast(
-        (item_ids, B, _seq_norm(B) if B.size else B.reshape(0))
-    )
+        def score_block(batches):
+            ids_i, Bm, nrm_i = bc.value
+            for pdf in batches:
+                if not len(pdf) or not Bm.size:
+                    continue
+                A = np.array(pdf["uvec"].tolist(), dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _seq_cross_dot(A, Bm) / (_seq_norm(A)[:, None] * nrm_i[None, :])
+                n_u, n_i = cos.shape
+                yield pd.DataFrame(
+                    {
+                        "userid": np.repeat(pdf["userid"].to_numpy(), n_i),
+                        "itemid": np.tile(ids_i, n_u),
+                        "cos_score": np.where(np.isfinite(cos), cos, np.nan).ravel(),
+                    }
+                )
 
-    def score_block(batches):
-        ids_i, Bm, nrm_i = bc.value
-        for pdf in batches:
-            if not len(pdf) or not Bm.size:
-                continue
-            A = np.array(pdf["uvec"].tolist(), dtype=np.float64)
-            dot = A[:, 0, None] * Bm[None, :, 0]
-            for k in range(1, A.shape[1]):
-                dot = dot + A[:, k, None] * Bm[None, :, k]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dot / (_seq_norm(A)[:, None] * nrm_i[None, :])
-            n_u, n_i = cos.shape
-            yield pd.DataFrame(
-                {
-                    "userid": np.repeat(pdf["userid"].to_numpy(), n_i),
-                    "itemid": np.tile(ids_i, n_u),
-                    "cos_score": np.where(np.isfinite(cos), cos, np.nan).ravel(),
-                }
-            )
-
-    prepared = u.select("userid", F.col("uvec").cast("array<double>"))
-    n_part = spark.sparkContext.defaultParallelism
-    out = prepared.repartition(n_part).mapInPandas(
-        score_block, schema="userid long, itemid long, cos_score double"
-    )
+        prepared = u.select("userid", F.col("uvec").cast("array<double>"))
+        n_part = spark.sparkContext.defaultParallelism
+        out = prepared.repartition(n_part).mapInPandas(
+            score_block, schema="userid long, itemid long, cos_score double"
+        )
     # NaN -> NULL so downstream ordering treats degenerate scores like the
     # expression form's try_divide NULLs
     return out.withColumn(
         "cos_score", F.when(F.isnan("cos_score"), F.lit(None)).otherwise(F.col("cos_score"))
     )
+
+
+def _blocked_vector_scores(u: DataFrame, i: DataFrame, max_block_rows: int) -> DataFrame:
+    """Exact all-pairs scoring with BOTH sides blocked (bipartite analog of
+    dedup.embedding_near_dup_pairs's triangle): user-block × item-block rows
+    are enumerated by a tiny cross join of the two block-key ranges and each
+    is scored in one task. Driver never holds a vector."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from recsys_pipeline_spark.operators.dedup import (
+        _seq_cross_dot,
+        _seq_norm,
+        block_vectors,
+    )
+
+    spark = u.sparkSession
+    nb_u = max(1, math.ceil(u.count() / max_block_rows))
+    nb_i = max(1, math.ceil(i.count() / max_block_rows))
+    gu = block_vectors(u, "userid", "uvec", nb_u).select(
+        F.col("_blk").alias("bu"), F.col("ids").alias("ids_u"), F.col("vecs").alias("vecs_u")
+    )
+    gi = block_vectors(i, "itemid", "ivec", nb_i).select(
+        F.col("_blk").alias("bi"), F.col("ids").alias("ids_i"), F.col("vecs").alias("vecs_i")
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(nb_u) for b in range(nb_i)], "bu int, bi int"
+    )
+    joined = pairs.join(gu, "bu").join(gi, "bi")
+
+    def score_pair(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                iu = np.asarray(row.ids_u, dtype=np.int64)
+                ii = np.asarray(row.ids_i, dtype=np.int64)
+                A = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_u])
+                B = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_i])
+                if not A.size or not B.size:
+                    continue
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _seq_cross_dot(A, B) / (_seq_norm(A)[:, None] * _seq_norm(B)[None, :])
+                n_u, n_i = cos.shape
+                yield pd.DataFrame(
+                    {
+                        "userid": np.repeat(iu, n_i),
+                        "itemid": np.tile(ii, n_u),
+                        "cos_score": np.where(np.isfinite(cos), cos, np.nan).ravel(),
+                    }
+                )
+
+    return joined.repartition(nb_u * nb_i).mapInPandas(
+        score_pair, schema="userid long, itemid long, cos_score double"
+    )
+
+
+def vector_scores_ann(
+    user_vecs: DataFrame,
+    item_vecs: DataFrame,
+    k: int = RECALL_SIZE,
+    users_filter: DataFrame | None = None,
+    min_cos: float = 0.0,
+    bucket_len: float = 0.25,
+    tables: int = 3,
+) -> DataFrame:
+    """The 100 TB vector channel: LSH candidate generation instead of the
+    |users|×|items| score matrix. BucketedRandomProjectionLSH over
+    L2-normalized vectors (euclidean order == cosine order on unit vectors);
+    approxSimilarityJoin probes only colliding buckets — an equi-join on
+    (table, hash), never a cartesian product — then each user keeps its
+    top-k candidates by exact cosine re-score.
+
+    Approximate by construction (pairs whose buckets never collide are lost),
+    which is the explicit trade the reference's ES kNN makes too; recall
+    vs the exact kernel is asserted in tests.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    u = user_vecs.select("userid", F.col("vector").cast("array<double>").alias("uvec"))
+    if users_filter is not None:
+        u = u.join(users_filter.select("userid").distinct(), "userid", "left_semi")
+    i = item_vecs.select("itemid", F.col("vector").cast("array<double>").alias("ivec"))
+
+    def _normed(df: DataFrame, col: str) -> DataFrame:
+        df = df.withColumn("_raw", array_to_vector(F.col(col)))
+        return Normalizer(inputCol="_raw", outputCol="nvec", p=2.0).transform(df)
+
+    un = _normed(u, "uvec")
+    inn = _normed(i, "ivec")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nvec", outputCol="hashes", bucketLength=bucket_len,
+        numHashTables=tables, seed=42,
+    )
+    model = lsh.fit(inn)
+    # cos >= min_cos on unit vectors <=> euclidean <= sqrt(2 - 2*min_cos)
+    dist_threshold = float((2.0 - 2.0 * min_cos) ** 0.5)
+    joined = model.approxSimilarityJoin(un, inn, dist_threshold, distCol="_dist")
+    cand = joined.select(
+        F.col("datasetA.userid").alias("userid"),
+        F.col("datasetB.itemid").alias("itemid"),
+        # exact cosine on the ORIGINAL vectors (same expression fold as the
+        # brute-force path), not the normalized pair distance
+        cosine(F.col("datasetA.uvec"), F.col("datasetB.ivec")).alias("cos_score"),
+    )
+    w = Window.partitionBy("userid").orderBy(F.col("cos_score").desc(), F.col("itemid").asc())
+    return cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
 def fused_recall(
@@ -133,10 +248,24 @@ def fused_recall(
     k: int = RECALL_SIZE,
     vector_boost: float = VECTOR_BOOST,
     term_boost: float = TERM_BOOST,
+    ann_item_threshold: int = 100_000,
 ) -> DataFrame:
     """The composite recall query (§2.10 lines 1-3): fuse both channels,
-    drop seen items, keep top-k per user by fused score."""
-    vec = vector_scores(user_vecs, item_vecs)
+    drop seen items, keep top-k per user by fused score.
+
+    The vector channel switches physical strategy on catalog size: at or
+    below ``ann_item_threshold`` items (the reference's 3,952-item dimension
+    case) the exact all-pairs kernel runs; above it, LSH candidate generation
+    (``vector_scores_ann``) keeps per-user candidates bounded so the
+    |users|×|items| matrix is never materialized. Per-user top-k by fused
+    score is unchanged; items outside the candidate set simply contribute
+    cos 0 — the same truncation the reference's ES kNN applies.
+    """
+    n_items = item_vecs.count()
+    if n_items > ann_item_threshold:
+        vec = vector_scores_ann(user_vecs, item_vecs, k=max(k * 4, k))
+    else:
+        vec = vector_scores(user_vecs, item_vecs)
     term = term_scores(user_terms, item_terms)
     fused = (
         vec.join(term, ["userid", "itemid"], "full_outer")

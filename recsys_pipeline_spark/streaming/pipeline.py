@@ -129,8 +129,14 @@ def pit_features_stateful(events: DataFrame, window: int = 10) -> DataFrame:
         dq_types, dq_labels = state.get if state.exists else ([], [])
         dq_types, dq_labels = list(dq_types), list(dq_labels)
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # One group can span several Arrow chunks in a micro-batch (> ~10k
+        # rows); sorting each chunk independently would interleave deque
+        # updates out of (ts, event_id) order. Concatenate FIRST, sort once —
+        # memory is the group's rows in this micro-batch, the same bound the
+        # state-store contract already assumes per key.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = _pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             for eid, et, val in zip(pdf["event_id"], pdf["event_type"], pdf["value"]):
                 row = {"user_id": key[0], "event_id": int(eid)}
                 for t in types:

@@ -20,12 +20,45 @@ path-agnostic); executors never see local driver paths.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.ml import PipelineModel
 from pyspark.ml.recommendation import ALSModel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any supported URI scheme (file://, hdfs://,
+    s3a://, ...) — the same resolution the parquet/MLlib writers use, so the
+    JSON sidecar and model-dir probes work wherever out_dir does (local
+    os.path/open() silently failed for non-local URIs)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
 
 
 def build_user_state(
@@ -79,8 +112,11 @@ def save_online_state(
     if ranker is not None:
         ranker.write().overwrite().save(f"{out_dir}/rank_model")
     if feat_meta is not None:
-        with open(os.path.join(out_dir, "feat_meta.json"), "w") as f:
-            json.dump(feat_meta, f, indent=2, sort_keys=True)
+        _fs_write_text(
+            user_state.sparkSession,
+            f"{out_dir}/feat_meta.json",
+            json.dumps(feat_meta, indent=2, sort_keys=True),
+        )
 
 
 def load_online_state(spark: SparkSession, out_dir: str) -> dict:
@@ -95,14 +131,12 @@ def load_online_state(spark: SparkSession, out_dir: str) -> dict:
         "rank_model": None,
         "feat_meta": None,
     }
-    if os.path.isdir(f"{out_dir}/mf_model"):
+    if _fs_exists(spark, f"{out_dir}/mf_model"):
         out["mf_model"] = ALSModel.load(f"{out_dir}/mf_model")
-    if os.path.isdir(f"{out_dir}/rank_model"):
+    if _fs_exists(spark, f"{out_dir}/rank_model"):
         out["rank_model"] = PipelineModel.load(f"{out_dir}/rank_model")
-    meta_path = os.path.join(out_dir, "feat_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            out["feat_meta"] = json.load(f)
+    if _fs_exists(spark, f"{out_dir}/feat_meta.json"):
+        out["feat_meta"] = json.loads(_fs_read_text(spark, f"{out_dir}/feat_meta.json"))
     return out
 
 

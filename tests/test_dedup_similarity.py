@@ -98,22 +98,42 @@ def emb(spark):
 
 
 def test_lsh_ann_recall_vs_bruteforce(emb):
+    """V7/VERDICT item 7: recall@10 of the LSH path vs the exact result must
+    stay >= 0.8 — degrading bucket_len/tables below useful values fails here."""
     q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
     exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
     model, prepared = similarity.fit_lsh(emb, bucket_len=1.0, tables=5)
     approx = [r["vec_id"] for r in similarity.ann_lsh_topk(model, prepared, q, k=10).collect()]
     assert exact[0] == 7  # self-retrieval NN@1
     overlap = len(set(exact) & set(approx))
-    assert overlap >= 5, (exact, approx)
+    assert overlap >= 8, (exact, approx)
 
 
-def test_ivf_recall_vs_bruteforce(emb):
-    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
-    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
-    model, cells = similarity.fit_ivf(emb, n_cells=8)
-    approx = [r["vec_id"] for r in similarity.ann_ivf_topk(model, cells, q, k=10, n_probe=4).collect()]
+def test_ivf_recall_vs_bruteforce(spark):
+    """recall@10 >= 0.8 for the IVF probe path vs exact, probing 2/8 cells.
+
+    Run on CLUSTERED vectors — the workload IVF exists for. (On the
+    near-uniform synthetic corpus a coarse quantizer cannot prune: measured
+    recall at n_probe=6/8 was 0.7 because top-10 neighbors of a uniform point
+    scatter across almost every cell. That is a property of the data, not the
+    operator; uniform-corpus coverage is the LSH test above.)"""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for cid in range(8):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for j in range(60):
+            rows.append(
+                (cid * 60 + j, [c + rng.gauss(0, 0.15) for c in center])
+            )
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(clustered, q, k=10).collect()]
+    model, cells = similarity.fit_ivf(clustered, n_cells=8)
+    approx = [r["vec_id"] for r in similarity.ann_ivf_topk(model, cells, q, k=10, n_probe=2).collect()]
     assert approx[0] == 7
-    assert len(set(exact) & set(approx)) >= 5, (exact, approx)
+    assert len(set(exact) & set(approx)) >= 8, (exact, approx)
 
 
 def test_embedding_near_dup_symmetric_threshold(emb):
@@ -121,6 +141,32 @@ def test_embedding_near_dup_symmetric_threshold(emb):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert r["cos"] >= 0.2
+
+
+def test_embedding_near_dup_never_collects_corpus(emb, monkeypatch):
+    """VERDICT item 1 regression guard: the operator must not materialize the
+    corpus on the driver (toPandas/collect of the vectors). Any reintroduced
+    driver collect raises here before a single pair is emitted."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side toPandas() inside embedding_near_dup_pairs")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = dedup.embedding_near_dup_pairs(emb.limit(100), threshold=0.2)
+    rows = out.collect()  # collecting the small PAIR OUTPUT is fine
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_embedding_near_dup_blocked_matches_single_block(emb):
+    """Block decomposition must be invisible in the result: many small blocks
+    and one giant block produce the identical pair set, bit for bit."""
+    sub = emb.limit(120)
+    a = {(r["id_a"], r["id_b"]): r["cos"] for r in
+         dedup.embedding_near_dup_pairs(sub, threshold=0.2, n_blocks=7).collect()}
+    b = {(r["id_a"], r["id_b"]): r["cos"] for r in
+         dedup.embedding_near_dup_pairs(sub, threshold=0.2, n_blocks=1).collect()}
+    assert a == b and len(a) > 0
 
 
 def test_hyperplane_sketch_buckets_similar_vectors(emb):

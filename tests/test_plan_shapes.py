@@ -50,6 +50,34 @@ def test_pit_windows_collapse_to_one_windowexec(spark):
     assert len(re.findall(r"\bWindow\b", plan)) == 1  # PLANS.md iteration 1
 
 
+def test_assign_queryid_no_single_partition_sort(spark):
+    """VERDICT item 5: the P12 dense row id must come from the two-pass
+    range-partitioned form — a Window over an `Exchange SinglePartition`
+    (one task sorts the world) must never reappear."""
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.operators import pit
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts", "event_id")
+    out = pit.assign_queryid(ev, "user_id", "ts", tiebreak_col="event_id")
+    plan = _final_plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_hyperplane_sketch_is_codegen_not_hof(spark):
+    """VERDICT item 9: the sketch is the 100 TB bucketing primitive; its dot
+    products must stay whole-stage-codegen expressions, never the
+    aggregate()/zip_with() CodegenFallback fold (measured ~50x slower)."""
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.operators.similarity import random_hyperplane_sketch
+
+    emb = read_table(spark, SF, "embeddings")
+    out = random_hyperplane_sketch(emb, bits=8)
+    plan = _final_plan(out)
+    assert "zip_with" not in plan and "aggregate(" not in plan
+    assert "*(" in plan  # the WholeStageCodegen stage marker in toString()
+
+
 def test_star_join_broadcasts_dims(spark):
     plan = _final_plan(q_star_join_revenue(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
