@@ -35,19 +35,24 @@ DIM = 6
 N_PER_USER = 60
 SEED = 777
 
-# affinity mix: latent dot / genre preference / history band / noise
-A_DOT = 2.5
-B_GENRE = 0.9
-C_BAND = 1.4
-NOISE = 0.3
+# affinity mix: latent dot / genre preference / history band / noise.
+# The absolute scale matters as much as the mix: labels are a Bernoulli draw
+# of sigmoid(aff), so small |aff| caps even the Bayes AUC — coefficients are
+# sized to keep sigmoid near-saturated (measured: halving them costs every
+# model ~0.08 AUC of irreducible label noise).
+A_DOT = 3.0
+B_GENRE = 1.2
+C_BAND = 1.6  # per band genre; three genres => band term spans ±4.8
+NOISE = 0.4
 WINDOW = 10
-# the nonlinear band rides on ONE fixed genre's recent-impression count, so
-# it maps exactly onto a single PIT dense slot (user_g{id}_imp) — visible to
-# the dense-only MLP branch, outside FM's linear+bilinear family. The genre
-# is planted on ~45% of items so the last-10 count is near-binomial(10, .45)
-# and the [3, 6] band splits rows roughly in half (a rare genre would make
-# the band fire on <20% of rows — measured MLP AUC collapse).
-BAND_GENRE = GENRES[4]
+# the nonlinear bands ride on THREE fixed genres' recent-impression counts,
+# mapping exactly onto three PIT dense slots (user_g{id}_imp) — visible to
+# the dense-only MLP branch, outside FM's linear+bilinear family (no x^2
+# terms). Each genre is planted on ~45% of items so its last-10 count is
+# near-binomial(10, .45) and the [3, 6] band splits rows roughly in half
+# (one rare genre measured: band fires on <20% of rows and the MLP's AUC
+# collapses into the noise floor of the other 33 dense slots).
+BAND_GENRES = [GENRES[4], GENRES[7], GENRES[11]]
 BAND_ITEM_P = 0.45
 BAND_LO, BAND_HI = 3, 6
 
@@ -60,12 +65,11 @@ def gen_world(seed: int = SEED):
     """-> (ratings_pdf, movies_pdf, users_pdf), all deterministic."""
     rng = random.Random(seed)
     item_vec = {i: _unit_gauss(rng, DIM) for i in range(1, N_ITEMS + 1)}
-    other_genres = [g for g in GENRES if g != BAND_GENRE]
+    other_genres = [g for g in GENRES if g not in BAND_GENRES]
     item_genres = {}
     for i in range(1, N_ITEMS + 1):
         gs = rng.sample(other_genres, rng.randint(1, 2))
-        if rng.random() < BAND_ITEM_P:
-            gs = [BAND_GENRE] + gs
+        gs = [g for g in BAND_GENRES if rng.random() < BAND_ITEM_P] + gs
         item_genres[i] = gs
     user_vec = {u: _unit_gauss(rng, DIM) for u in range(1, N_USERS + 1)}
     user_pref = {u: set(rng.sample(GENRES, 3)) for u in range(1, N_USERS + 1)}
@@ -80,8 +84,10 @@ def gen_world(seed: int = SEED):
             gs = item_genres[it]
             dot = sum(a * b for a, b in zip(user_vec[u], item_vec[it])) * DIM
             genre_hit = len(user_pref[u] & set(gs))
-            band_cnt = sum(1 for past in hist for g in past if g == BAND_GENRE)
-            band = 1.0 if BAND_LO <= band_cnt <= BAND_HI else -1.0
+            band = 0.0
+            for bg in BAND_GENRES:
+                cnt = sum(1 for past in hist for g in past if g == bg)
+                band += 1.0 if BAND_LO <= cnt <= BAND_HI else -1.0
             aff = (
                 A_DOT * dot
                 + B_GENRE * genre_hit

@@ -1,0 +1,88 @@
+"""Signal-recovery gates on the planted fixture (VERDICT r1 items 2+3).
+
+The round-1 gates were `> 0.45` (chance) on a uniform-random fixture — they
+proved mechanics, not learning. These gates assert the MLlib stack RECOVERS
+planted structure at the reference's quality bar (readme.md:53,64 — AUC
+0.8081 recall / 0.8206 rank on real ml-1m), and fail on shuffled labels:
+
+  * ALS recall AUC        >= 0.70 (latent dot-product recovery)
+  * FM rank AUC           >= 0.70 (one-hot id embeddings + dense slots)
+  * DeepFM rank AUC       >  FM rank AUC (the MLP branch captures the
+    planted nonlinear band that FM's linear+bilinear family cannot)
+  * shuffled-label FM AUC <  0.60 (the gates above are signal, not leakage)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.pipeline import feature_engi, preprocess
+from recsys_pipeline_spark.rank import model as rank_model
+from recsys_pipeline_spark.recall import vectors
+from tests import planted_fixture as pf
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    r, m, u = pf.gen_world()
+    ratings = spark.createDataFrame(r)
+    movies = spark.createDataFrame(m)
+    users = spark.createDataFrame(u)
+    labeled = preprocess.label_and_split(ratings)
+    offline, _online = preprocess.offline_online(labeled)
+    train, test, _ue, _ie, meta = feature_engi.build_features(offline, users, movies)
+    fc = [f["name"] for f in meta["sparse_id"] + meta["sparse_side"] + meta["dense"]]
+    dc = [f["name"] for f in meta["dense"]]
+    cat = ["userid", "itemid"] + [c for c in ("gender", "age", "occupation") if c in fc]
+    return dict(train=train.cache(), test=test.cache(), fc=fc, dc=dc, cat=cat)
+
+
+# tuned on the fixture (see PLANS.md round-2 notes): factorSize must stay
+# small on a 150x80 world — measured FM AUC 0.777 at fs=4 vs 0.649 at fs=16
+FM_KW = dict(algo="fm", factor_size=4, max_iter=200)
+
+
+@pytest.fixture(scope="module")
+def fm_auc(planted):
+    m = rank_model.train_rank_model(
+        planted["train"], planted["fc"], categorical_cols=planted["cat"], **FM_KW
+    )
+    return rank_model.auc(m, planted["test"])
+
+
+def test_recall_auc_recovers_latent_signal(planted):
+    mf = vectors.train_mf(
+        planted["train"].select("userid", "itemid", "label"),
+        rank=8, max_iter=20, reg=0.01,
+    )
+    score = vectors.auc(mf, planted["test"].select("userid", "itemid", "label"))
+    assert score >= 0.75, score
+
+
+def test_rank_fm_auc_recovers_planted_signal(planted, fm_auc):
+    assert fm_auc >= 0.75, fm_auc
+
+
+def test_deepfm_beats_fm_baseline(planted, fm_auc):
+    """M4/M5 gate: the deep branch must add value — the planted band lives
+    outside FM's function family, so the stacked ensemble improves on FM."""
+    dfm = rank_model.train_deepfm(
+        planted["train"], planted["fc"], planted["dc"], factor_size=4,
+        max_iter=200, categorical_cols=planted["cat"],
+    )
+    deepfm_auc = rank_model.auc(dfm, planted["test"])
+    assert deepfm_auc > fm_auc, (deepfm_auc, fm_auc)
+    assert deepfm_auc >= 0.75, deepfm_auc
+
+
+def test_shuffled_labels_destroy_signal(planted):
+    """Leakage control: the same pipeline on label-shuffled train data must
+    NOT clear the gates (if it does, the gates measure leakage, not signal)."""
+    shuf = planted["train"].withColumn(
+        "label", F.when(F.pmod(F.xxhash64("queryid"), 2) == 0, 1).otherwise(0)
+    )
+    m = rank_model.train_rank_model(
+        shuf, planted["fc"], categorical_cols=planted["cat"], **FM_KW
+    )
+    assert rank_model.auc(m, planted["test"]) < 0.60
