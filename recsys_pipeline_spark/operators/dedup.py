@@ -437,27 +437,87 @@ def embedding_near_dup_pairs(
         # enough block pairs to feed every core, but blocks small enough that
         # two of them fit comfortably in one task
         n_blocks = max(math.ceil(math.sqrt(2 * par)), math.ceil(n / max_block_rows), 1)
-    g = block_vectors(emb, id_col, vec_col, n_blocks)
-
-    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
-    ga = g.select(F.col("_blk").alias("ba"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"))
-    gb = g.select(F.col("_blk").alias("bb"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"))
-    joined = pairs.join(ga, "ba").join(gb, "bb")
+    # ONE scan, ONE exchange (PLANS.md lesson 5 — a grouped-blocks self-join
+    # scans + shuffles the corpus twice with zero exchange reuse, measured):
+    # each ROW explodes straight into its triangle memberships — side 'a' of
+    # every pair where its block is the smaller id, side 'b' where it is the
+    # larger — via a LITERAL per-block membership table (constant-folded,
+    # codegen; no interpreted higher-order functions in the per-row path),
+    # and one groupBy(ba, bb) assembles both sides of every block pair with
+    # null-skipping collect_lists. Diagonal pairs have an empty 'b' side;
+    # the kernel triangulates them against themselves.
+    keyed = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    if n_blocks <= 64:
+        # literal membership table: B^2 constant structs in the plan, fully
+        # codegen / constant-folded — no interpreted HOF in the per-row path
+        memb = F.element_at(
+            F.array(
+                *[
+                    F.array(
+                        *(
+                            [
+                                F.struct(F.lit(b).alias("ba"), F.lit(j).alias("bb"), F.lit("a").alias("side"))
+                                for j in range(b, n_blocks)
+                            ]
+                            + [
+                                F.struct(F.lit(i).alias("ba"), F.lit(b).alias("bb"), F.lit("b").alias("side"))
+                                for i in range(0, b)
+                            ]
+                        )
+                    )
+                    for b in range(n_blocks)
+                ]
+            ),
+            F.col("_blk") + 1,
+        )
+    else:
+        # beyond ~64 blocks the literal table bloats the plan (B^2 structs);
+        # build memberships with sequence/transform instead — interpreted,
+        # but the per-row cost is the same O(B) explode that block all-pairs
+        # inherently requires
+        as_a = F.transform(
+            F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                F.col("_blk").alias("ba"), j.cast("int").alias("bb"), F.lit("a").alias("side")
+            ),
+        )
+        as_b = F.when(
+            F.col("_blk") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("_blk") - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("ba"), F.col("_blk").alias("bb"), F.lit("b").alias("side")
+                ),
+            ),
+        ).otherwise(F.array())
+        memb = F.concat(as_a, as_b)
+    mem = keyed.select("_id", "_v", F.explode(memb).alias("m"))
+    joined = mem.groupBy("m.ba", "m.bb").agg(
+        F.collect_list(F.when(F.col("m.side") == "a", F.struct("_id", "_v"))).alias("a_rows"),
+        F.collect_list(F.when(F.col("m.side") == "b", F.struct("_id", "_v"))).alias("b_rows"),
+    )
 
     def score_block_pair(batches):
+        def unpack(rows):
+            ids = np.fromiter((r["_id"] for r in rows), dtype=np.int64, count=len(rows))
+            V = np.array([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+            return ids, V
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ia = np.asarray(row.ids_a, dtype=np.int64)
-                ib = np.asarray(row.ids_b, dtype=np.int64)
-                A = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
-                B = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
-                if not A.size or not B.size:
+                if not len(row.a_rows):
                     continue
+                ia, A = unpack(row.a_rows)
+                diagonal = not len(row.b_rows)
+                ib, B = (ia, A) if diagonal else unpack(row.b_rows)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = _seq_cross_dot(A, B) / (_seq_norm(A)[:, None] * _seq_norm(B)[None, :])
                     mask = cos >= threshold
-                if row.ba == row.bb:
+                if diagonal:
                     mask &= ia[:, None] < ib[None, :]
                 r, c = np.nonzero(mask)
                 if not len(r):
@@ -469,8 +529,64 @@ def embedding_near_dup_pairs(
                 hi = np.maximum(ia[r], ib[c])
                 yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[r, c]})
 
-    # spread the triangle's rows across the cluster: one block pair per task
-    n_pairs = len(pair_rows)
-    return joined.repartition(n_pairs).mapInPandas(
-        score_block_pair, schema="id_a long, id_b long, cos double"
+    return joined.mapInPandas(score_block_pair, schema="id_a long, id_b long, cos double")
+
+
+def embedding_near_dup_pairs_sketch(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 12,
+    tables: int = 3,
+    seed: int = 11,
+) -> DataFrame:
+    """The 100 TB near-dup path: random-hyperplane-sketch bucketing, exact
+    cosine only WITHIN buckets — candidate work drops from n^2 to
+    sum(bucket^2), at the cost of recall (a pair whose sketches differ in
+    every table is never compared; P[same sketch] = (1 - theta/pi)^bits per
+    table, so this is for high thresholds / small angles). ``tables``
+    independent sketches union their pairs — the standard multi-table LSH
+    recall amplification; cosines are bit-identical across tables so the
+    dedup is a plain groupBy-min.
+
+    Exactness WITHIN a bucket is the same kernel as the exact operator, so
+    precision is 1.0 — only recall is approximate. Recall vs the exact pair
+    set is asserted in tests on clustered vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from recsys_pipeline_spark.operators.similarity import random_hyperplane_sketch
+
+    prepared = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    seq_norm, cross_dot = _np_kernels()
+
+    def score_bucket(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray(row.ids, dtype=np.int64)
+                if len(ids) < 2:
+                    continue
+                V = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = cross_dot(V, V) / (seq_norm(V)[:, None] * seq_norm(V)[None, :])
+                    mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+                r, c = np.nonzero(mask)
+                if len(r):
+                    yield pd.DataFrame({"id_a": ids[r], "id_b": ids[c], "cos": cos[r, c]})
+
+    out = None
+    for t in range(tables):
+        sk = random_hyperplane_sketch(prepared, vec_col="_v", bits=bits, seed=seed + 101 * t)
+        g = sk.groupBy("sketch").agg(
+            F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
+        )
+        p = g.mapInPandas(score_bucket, schema="id_a long, id_b long, cos double")
+        out = p if out is None else out.unionByName(p)
+    # the same pair may surface from several tables; cosines are bit-identical
+    # (same kernel, same operand order), so min == the value
+    return out.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))

@@ -267,6 +267,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-bucketed (sub-quadratic) near-dup path — rows-only check
+    (bucket membership is sketch state); precision-1.0 / recall>=0.8 vs the
+    exact operator is asserted in tests/test_dedup_similarity.py on
+    clustered vectors. The synthetic corpus is near-uniform, so parameters
+    are sized for its wide angles: threshold 0.3 (theta 72deg => per-bit
+    agreement 0.6), 4 bits/table (0.6^4 ~ 0.13 collide), 6 tables
+    (~0.56 recall of the exact pair set) — precision stays 1.0 because
+    within-bucket scoring is exact."""
+    return dedup.embedding_near_dup_pairs_sketch(
+        _emb(spark, sf_dir), threshold=0.3, bits=4, tables=6
+    )
+
+
 _COS_PAIR = (
     "list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))"
     " / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))"
@@ -460,6 +474,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "cosine_topk": q_cosine_topk,
     "ann_exclude_seen": q_ann_exclude_seen,
     "embedding_avg_norm": q_embedding_avg_norm,

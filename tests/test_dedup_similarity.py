@@ -167,6 +167,35 @@ def test_embedding_near_dup_blocked_matches_single_block(emb):
     b = {(r["id_a"], r["id_b"]): r["cos"] for r in
          dedup.embedding_near_dup_pairs(sub, threshold=0.2, n_blocks=1).collect()}
     assert a == b and len(a) > 0
+    # >64 blocks switches to the sequence/transform membership branch
+    c = {(r["id_a"], r["id_b"]): r["cos"] for r in
+         dedup.embedding_near_dup_pairs(sub, threshold=0.2, n_blocks=70).collect()}
+    assert c == a
+
+
+def test_sketch_near_dup_recall_vs_exact(spark):
+    """The sketch-bucketed near-dup (100 TB path) must keep precision 1.0
+    (within-bucket scoring is the exact kernel) and recall >= 0.8 of the
+    exact pair set on clustered vectors at a high threshold."""
+    import random
+
+    rng = random.Random(29)
+    rows = []
+    for cid in range(12):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for j in range(25):
+            rows.append((cid * 25 + j, [c + rng.gauss(0, 0.08) for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["cos"]
+              for r in dedup.embedding_near_dup_pairs_sketch(emb, threshold=0.95).collect()}
+    assert exact, "fixture must actually contain near-dup pairs"
+    assert set(approx) <= set(exact)  # precision 1.0
+    for k, v in approx.items():
+        assert v == exact[k]  # bit-identical kernel
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, (recall, len(approx), len(exact))
 
 
 def test_hyperplane_sketch_buckets_similar_vectors(emb):

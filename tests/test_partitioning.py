@@ -33,3 +33,21 @@ def test_partition_filter_prunes_files(spark, partitioned_dir):
 
 def test_partitioned_roundtrip_preserves_rows(spark, partitioned_dir):
     assert spark.read.parquet(partitioned_dir).count() == read_table(spark, SF, "events").count()
+
+
+def test_ivf_cells_prune_as_partition_key(spark, tmp_path_factory):
+    """The IVF 100 TB story made concrete (similarity.fit_ivf docstring):
+    write the corpus partitioned BY CELL, probe a cell subset — the scan must
+    prune to the probed cell directories, so an ANN query against a 100 TB
+    corpus reads only n_probe/n_cells of it."""
+    from recsys_pipeline_spark.operators import similarity
+
+    emb = read_table(spark, SF, "embeddings")
+    _model, cells = similarity.fit_ivf(emb, n_cells=4)
+    out = str(tmp_path_factory.mktemp("ivf") / "emb_by_cell")
+    write_parquet(cells.drop("_vec"), out, partition_by=["cell"])
+
+    probed = spark.read.parquet(out).filter(F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert probed.count() == cells.filter(F.col("cell").isin([0, 1])).count()

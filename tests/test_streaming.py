@@ -80,3 +80,33 @@ def test_stateful_pit_matches_batch_window_functions(spark, batch_events):
         for r in q_pit_sliding_features(spark, SF).collect()
     }
     assert got == want
+
+
+def test_stateful_pit_correct_across_arrow_chunks(spark, batch_events):
+    """ADVICE r1 regression: when one user's micro-batch rows span several
+    Arrow chunks, the deque updates must still run in (ts, event_id) order.
+    Forcing 10-row Arrow batches makes every user span many chunks; the
+    result must be unchanged from the batch twin."""
+    from recsys_pipeline_spark.queries import q_pit_sliding_features
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "10")
+    try:
+        stream = sp.stream_events(spark, SF)
+        sp.run_to_memory(sp.pit_features_stateful(stream), "pit_stream_chunked", "append")
+        cols = [f"{t}_{s}" for t in sp.PIT_EVENT_TYPES for s in ("imp", "clk")]
+        got = {
+            r["event_id"]: tuple(r[c] for c in cols)
+            for r in spark.sql("SELECT * FROM pit_stream_chunked").collect()
+        }
+        want = {
+            r["event_id"]: tuple(r[c] for c in cols)
+            for r in q_pit_sliding_features(spark, SF).collect()
+        }
+        assert got == want
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
