@@ -383,23 +383,6 @@ def _np_kernels():
 _seq_norm, _seq_cross_dot = _np_kernels()
 
 
-def block_vectors(
-    df: DataFrame, id_col: str, vec_col: str, n_blocks: int, blk_col: str = "_blk"
-) -> DataFrame:
-    """-> (blk, ids array<long>, vecs array<array<double>>): the corpus grouped
-    into ``n_blocks`` disjoint blocks keyed by ``pmod(id, n_blocks)``. The two
-    collect_lists consume the same input stream, so ids[i] belongs to vecs[i].
-    One shuffle; per-block state is bounded by the caller's block sizing."""
-    keyed = df.select(
-        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias(blk_col),
-        F.col(id_col).cast("long").alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    return keyed.groupBy(blk_col).agg(
-        F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
-    )
-
-
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

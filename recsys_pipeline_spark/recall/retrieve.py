@@ -71,10 +71,10 @@ def vector_scores(
       * <= max_broadcast_items (the reference's 3,952-item dimension case):
         collect+broadcast the item matrix once, stream user blocks against it
         (measured ~10x the blocked-join form at dimension scale);
-      * above it: NO driver materialization — both sides are grouped into
-        disjoint blocks and every (user-block × item-block) pair is scored by
-        one task (dedup.block_vectors plumbing), so memory per task is two
-        blocks regardless of catalog size. The output is still |users|×|items|
+      * above it: NO driver materialization — both sides explode into their
+        (user-block, item-block) pair memberships and one groupBy assembles
+        each pair for one scoring task, so memory per task is two blocks
+        regardless of catalog size. The output is still |users|×|items|
         rows; when that product itself is the problem, use
         ``vector_scores_ann`` (candidate generation) instead — ``fused_recall``
         switches automatically.
@@ -133,45 +133,62 @@ def vector_scores(
 
 def _blocked_vector_scores(u: DataFrame, i: DataFrame, max_block_rows: int) -> DataFrame:
     """Exact all-pairs scoring with BOTH sides blocked (bipartite analog of
-    dedup.embedding_near_dup_pairs's triangle): user-block × item-block rows
-    are enumerated by a tiny cross join of the two block-key ranges and each
-    is scored in one task. Driver never holds a vector."""
+    dedup.embedding_near_dup_pairs's one-pass triangle): each user row
+    explodes to its nb_i (bu, bi) pairs, each item row to its nb_u, the
+    union is assembled by ONE groupBy(bu, bi) with side-filtered
+    collect_lists, and one task scores each block pair. Two scans (two
+    distinct inputs), one exchange; driver never holds a vector."""
     import math
 
     import numpy as np
     import pandas as pd
 
-    from recsys_pipeline_spark.operators.dedup import (
-        _seq_cross_dot,
-        _seq_norm,
-        block_vectors,
-    )
+    from recsys_pipeline_spark.operators.dedup import _np_kernels
 
-    spark = u.sparkSession
     nb_u = max(1, math.ceil(u.count() / max_block_rows))
     nb_i = max(1, math.ceil(i.count() / max_block_rows))
-    gu = block_vectors(u, "userid", "uvec", nb_u).select(
-        F.col("_blk").alias("bu"), F.col("ids").alias("ids_u"), F.col("vecs").alias("vecs_u")
+    seq_norm, cross_dot = _np_kernels()
+
+    def memberships(df, id_col, vec_col, my_blocks, other_blocks, mine_is_user):
+        blk = F.pmod(F.col(id_col).cast("long"), F.lit(my_blocks)).cast("int")
+        other = F.explode(F.sequence(F.lit(0), F.lit(other_blocks - 1))).alias("_ob")
+        base = df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            blk.alias("_blk"),
+        ).select("_id", "_v", "_blk", other)
+        bu = F.col("_blk") if mine_is_user else F.col("_ob")
+        bi = F.col("_ob") if mine_is_user else F.col("_blk")
+        return base.select(
+            bu.cast("int").alias("bu"),
+            bi.cast("int").alias("bi"),
+            F.lit(mine_is_user).alias("is_user"),
+            "_id",
+            "_v",
+        )
+
+    mem = memberships(u, "userid", "uvec", nb_u, nb_i, True).unionByName(
+        memberships(i, "itemid", "ivec", nb_i, nb_u, False)
     )
-    gi = block_vectors(i, "itemid", "ivec", nb_i).select(
-        F.col("_blk").alias("bi"), F.col("ids").alias("ids_i"), F.col("vecs").alias("vecs_i")
+    joined = mem.groupBy("bu", "bi").agg(
+        F.collect_list(F.when(F.col("is_user"), F.struct("_id", "_v"))).alias("u_rows"),
+        F.collect_list(F.when(~F.col("is_user"), F.struct("_id", "_v"))).alias("i_rows"),
     )
-    pairs = spark.createDataFrame(
-        [(a, b) for a in range(nb_u) for b in range(nb_i)], "bu int, bi int"
-    )
-    joined = pairs.join(gu, "bu").join(gi, "bi")
 
     def score_pair(batches):
+        def unpack(rows):
+            ids = np.fromiter((r["_id"] for r in rows), dtype=np.int64, count=len(rows))
+            V = np.array([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+            return ids, V
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                iu = np.asarray(row.ids_u, dtype=np.int64)
-                ii = np.asarray(row.ids_i, dtype=np.int64)
-                A = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_u])
-                B = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_i])
-                if not A.size or not B.size:
+                if not len(row.u_rows) or not len(row.i_rows):
                     continue
+                iu, A = unpack(row.u_rows)
+                ii, B = unpack(row.i_rows)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = _seq_cross_dot(A, B) / (_seq_norm(A)[:, None] * _seq_norm(B)[None, :])
+                    cos = cross_dot(A, B) / (seq_norm(A)[:, None] * seq_norm(B)[None, :])
                 n_u, n_i = cos.shape
                 yield pd.DataFrame(
                     {
@@ -181,9 +198,7 @@ def _blocked_vector_scores(u: DataFrame, i: DataFrame, max_block_rows: int) -> D
                     }
                 )
 
-    return joined.repartition(nb_u * nb_i).mapInPandas(
-        score_pair, schema="userid long, itemid long, cos_score double"
-    )
+    return joined.mapInPandas(score_pair, schema="userid long, itemid long, cos_score double")
 
 
 def vector_scores_ann(
