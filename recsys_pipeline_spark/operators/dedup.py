@@ -536,15 +536,51 @@ def embedding_near_dup_pairs_sketch(
     Exactness WITHIN a bucket is the same kernel as the exact operator, so
     precision is 1.0 — only recall is approximate. Recall vs the exact pair
     set is asserted in tests on clustered vectors.
+
+    ONE scan, ONE full-data exchange for ALL tables: a single Arrow-batched
+    pandas pass computes every table's sketch as a numpy matmul
+    (sign(X @ P_t^T) bit-packed; planes from a seeded RandomState, stable
+    across workers) and emits the (table, sketch) memberships; one
+    groupBy(table, sketch) forms the buckets. Two prior shapes measured
+    WORSE at sf0.1: a per-table DataFrame loop = one scan+shuffle per table
+    (~9 s), and per-table sketches as unrolled codegen expressions = a
+    ~40k-node projection that costs ~11 s of DRIVER plan/codegen time per
+    invocation before a single row moves (2000-row corpus!). Expression
+    sketches are right for ONE table (similarity.random_hyperplane_sketch);
+    for multi-table they compile combinatorially.
     """
     import numpy as np
     import pandas as pd
 
-    from recsys_pipeline_spark.operators.similarity import random_hyperplane_sketch
-
     prepared = emb.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def gen_memberships(batches):
+        planes = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            if planes is None:
+                planes = [
+                    np.random.RandomState(seed + 101 * t).standard_normal((bits, X.shape[1]))
+                    for t in range(tables)
+                ]
+            ids = pdf["_id"].to_numpy()
+            powers = (1 << np.arange(bits)).astype(np.int64)
+            for t in range(tables):
+                words = ((X @ planes[t].T) >= 0) @ powers
+                yield pd.DataFrame(
+                    {"tbl": t, "sketch": words.astype(np.int64), "_id": ids, "_v": pdf["_v"]}
+                )
+
+    mem = prepared.mapInPandas(
+        gen_memberships, schema="tbl int, sketch long, _id long, _v array<double>"
+    )
+    buckets = mem.groupBy("tbl", "sketch").agg(
+        F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
     )
     seq_norm, cross_dot = _np_kernels()
 
@@ -562,14 +598,7 @@ def embedding_near_dup_pairs_sketch(
                 if len(r):
                     yield pd.DataFrame({"id_a": ids[r], "id_b": ids[c], "cos": cos[r, c]})
 
-    out = None
-    for t in range(tables):
-        sk = random_hyperplane_sketch(prepared, vec_col="_v", bits=bits, seed=seed + 101 * t)
-        g = sk.groupBy("sketch").agg(
-            F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
-        )
-        p = g.mapInPandas(score_bucket, schema="id_a long, id_b long, cos double")
-        out = p if out is None else out.unionByName(p)
+    pairs = buckets.mapInPandas(score_bucket, schema="id_a long, id_b long, cos double")
     # the same pair may surface from several tables; cosines are bit-identical
     # (same kernel, same operand order), so min == the value
-    return out.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))

@@ -158,6 +158,26 @@ def ann_ivf_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def hyperplane_sketch_col(vec_col: str, dim: int, bits: int = 16, seed: int = 11) -> Column:
+    """The sketch as a COLUMN expression (callers that build several table
+    sketches in one projection avoid one scan per table): sign pattern
+    against ``bits`` seeded random hyperplanes packed into a long, with the
+    dot products unrolled into codegen element_at sums (see
+    random_hyperplane_sketch for why not higher-order functions)."""
+    import random
+
+    rng = random.Random(seed)
+    word = None
+    v = _as_double(F.col(vec_col))
+    for b in range(bits):
+        plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        dot = unrolled_dot(v, F.array(*[F.lit(x) for x in plane]), dim)
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(bit, b)
+        word = shifted if word is None else word.bitwiseOR(shifted)
+    return word
+
+
 def random_hyperplane_sketch(
     emb: DataFrame, vec_col: str = "embedding", bits: int = 16, seed: int = 11, out_col: str = "sketch"
 ) -> DataFrame:
@@ -171,17 +191,6 @@ def random_hyperplane_sketch(
     PLANS.md measured ~50x slower in the MinHash/SimHash hot path. bits*dim
     expression terms compile into one codegen stage; no shuffle, no UDF.
     """
-    import random
-
-    rng = random.Random(seed)
     dim_probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(dim_probe["d"])
-    word = None
-    v = _as_double(F.col(vec_col))
-    for b in range(bits):
-        plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        dot = unrolled_dot(v, F.array(*[F.lit(x) for x in plane]), dim)
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        shifted = F.shiftleft(bit, b)
-        word = shifted if word is None else word.bitwiseOR(shifted)
-    return emb.withColumn(out_col, word)
+    return emb.withColumn(out_col, hyperplane_sketch_col(vec_col, dim, bits=bits, seed=seed))
