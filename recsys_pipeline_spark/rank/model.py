@@ -288,6 +288,7 @@ def train_with_early_stop(
     patience: int = 5,
     reg: float = 1e-5,
     seed: int = 123,
+    train_fn=None,
 ) -> tuple[PipelineModel, float, int]:
     """M7 — the reference's early stopping (offline/torchfm/train.py:6-24):
     grow training effort, evaluate validation AUC each round, keep the best
@@ -298,14 +299,21 @@ def train_with_early_stop(
     semantics* (best-AUC checkpoint + patience) match the reference exactly;
     the retrain-per-round cost is the MLlib trade-off and parallelizes the
     same way any fit does. -> (best_model, best_auc, best_max_iter).
+
+    ``train_fn(df, max_iter) -> model`` overrides the trainer — the hook that
+    early-stops composite models (e.g. ``lambda df, it: train_deepfm(df, fc,
+    dc, max_iter=it)``) under the same checkpoint/patience loop.
     """
     best_model, best_auc, best_iter = None, float("-inf"), 0
     bad = 0
     for r in range(1, max_rounds + 1):
-        m = train_rank_model(
-            train_df, feature_cols, algo=algo, factor_size=factor_size,
-            max_iter=r * iter_step, reg=reg, seed=seed,
-        )
+        if train_fn is not None:
+            m = train_fn(train_df, r * iter_step)
+        else:
+            m = train_rank_model(
+                train_df, feature_cols, algo=algo, factor_size=factor_size,
+                max_iter=r * iter_step, reg=reg, seed=seed,
+            )
         a = auc(m, valid_df)
         if a > best_auc:
             best_model, best_auc, best_iter = m, a, r * iter_step

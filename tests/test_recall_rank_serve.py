@@ -88,6 +88,39 @@ def test_vector_scores_ann_no_cartesian_and_bounded(world, mf_model):
     assert rows and max(per_user.values()) <= 5
 
 
+def test_vector_scores_ann_recall_vs_exact(spark):
+    """Quality gate for the LSH recall channel: on clustered vectors the
+    ANN top-5 per user must overlap the exact top-5 by >= 0.8 on average."""
+    import random
+
+    rng = random.Random(53)
+    centers = [[rng.gauss(0, 1) for _ in range(12)] for _ in range(6)]
+    users, items = [], []
+    for u in range(40):
+        c = centers[u % 6]
+        users.append((u, [x + rng.gauss(0, 0.2) for x in c]))
+    for it in range(120):
+        c = centers[it % 6]
+        items.append((it, [x + rng.gauss(0, 0.2) for x in c]))
+    uv = spark.createDataFrame(users, "userid long, vector array<double>")
+    iv = spark.createDataFrame(items, "itemid long, vector array<double>")
+
+    exact = retrieve.vector_scores(uv, iv)
+    from recsys_pipeline_spark.operators import topk
+
+    top_exact = topk.top_k_per_group(
+        exact, ["userid"], [F.col("cos_score").desc(), F.col("itemid").asc()], k=5
+    )
+    want: dict[int, set] = {}
+    for r in top_exact.collect():
+        want.setdefault(r["userid"], set()).add(r["itemid"])
+    got: dict[int, set] = {}
+    for r in retrieve.vector_scores_ann(uv, iv, k=5, min_cos=0.5).collect():
+        got.setdefault(r["userid"], set()).add(r["itemid"])
+    recalls = [len(want[u] & got.get(u, set())) / len(want[u]) for u in want]
+    assert sum(recalls) / len(recalls) >= 0.8, sum(recalls) / len(recalls)
+
+
 def test_fused_recall_ann_switch(world, mf_model):
     """Forcing the ANN switch (threshold 0) must still produce <= k ranked,
     seen-filtered rows per user — same contract as the exact path."""
@@ -150,6 +183,23 @@ def test_early_stop_returns_best_checkpoint(world):
         algo="lr", iter_step=2, max_rounds=4, patience=2,
     )
     assert m is not None and best_iter >= 2
+    assert abs(rank_model.auc(m, world["test"]) - best_auc) < 1e-12
+
+
+def test_early_stop_train_fn_hook(world):
+    """M7 composes with composite trainers: the train_fn hook must drive the
+    same best-checkpoint selection (verified with a cheap LR trainer)."""
+    calls = []
+
+    def fn(df, it):
+        calls.append(it)
+        return rank_model.train_rank_model(df, world["feature_cols"], algo="lr", max_iter=it)
+
+    m, best_auc, best_iter = rank_model.train_with_early_stop(
+        world["train"], world["test"], world["feature_cols"],
+        iter_step=2, max_rounds=3, patience=1, train_fn=fn,
+    )
+    assert calls and calls == [2 * (i + 1) for i in range(len(calls))]
     assert abs(rank_model.auc(m, world["test"]) - best_auc) < 1e-12
 
 
