@@ -238,6 +238,33 @@ WHERE CAST(inter AS DOUBLE) / (ga.n_g + gb.n_g - inter) >= 0.5
 """
 
 
+def q_ngram_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_survivors over the exact n-gram Jaccard pairs: greedy
+    keep-smallest-id (drop every id_b), the standard single-hop LSH-dedup
+    survivor rule — oracle-checked end to end."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5, max_df=100)
+    return dedup.dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+SQL_NGRAM_DEDUP_SURVIVORS = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_GRAMS3}) AS gram FROM t),
+sz AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY 1),
+keep AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1) WHERE df <= 100),
+e AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+losers AS (
+  SELECT DISTINCT id_b FROM i
+  JOIN sz ga ON id_a = ga.doc_id JOIN sz gb ON id_b = gb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (ga.n_g + gb.n_g - inter) >= 0.5
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document with the portable md5-fold token hash — the
     60-bit fingerprint (bits 60-63 deterministically 0) is value-checked
@@ -472,6 +499,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
+    "ngram_dedup_survivors": q_ngram_dedup_survivors,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -492,6 +520,7 @@ ORACLES_EXT: dict[str, str] = {
     "ngram_profile": SQL_NGRAM_PROFILE,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard_dup": SQL_NGRAM_JACCARD_DUP,
+    "ngram_dedup_survivors": SQL_NGRAM_DEDUP_SURVIVORS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_exclude_seen": SQL_ANN_EXCLUDE_SEEN,
