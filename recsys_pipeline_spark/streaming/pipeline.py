@@ -158,6 +158,17 @@ def pit_features_stateful(events: DataFrame, window: int = 10) -> DataFrame:
     )
 
 
+def deduplicated(events: DataFrame, keys: list[str] | None = None, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact-dedup (idempotent ingestion): drop rows whose key was
+    already seen, with the watermark bounding the dedup state — the streaming
+    twin of the batch exact-dedup operator, and the standard guard in front
+    of an at-least-once source. State is keyed and hash-partitioned by the
+    dedup key, so it scales with the key cardinality inside the watermark
+    horizon, not with history."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a streaming query to completion over all currently-available
     input (availableNow) into an in-memory table — the deterministic test

@@ -110,3 +110,18 @@ def test_stateful_pit_correct_across_arrow_chunks(spark, batch_events):
             spark.conf.set(key, old)
         else:
             spark.conf.unset(key)
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, batch_events):
+    """Union the source with itself (an at-least-once replay): the
+    watermarked dropDuplicates must emit each event_id exactly once, matching
+    the batch distinct count."""
+    s1 = sp.stream_events(spark, SF)
+    s2 = sp.stream_events(spark, SF)
+    sp.run_to_memory(
+        sp.deduplicated(s1.unionByName(s2)), "dedup_stream", "append"
+    )
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))  # no duplicates emitted
+    assert len(ids) == batch_events.select("event_id").distinct().count()
