@@ -515,6 +515,18 @@ def embedding_near_dup_pairs(
     return joined.mapInPandas(score_block_pair, schema="id_a long, id_b long, cos double")
 
 
+def sketch_planes(dim: int, bits: int = 12, tables: int = 3, seed: int = 11):
+    """The random hyperplanes as plain Python floats — ONE generator shared
+    by the Spark kernel and the DuckDB oracle SQL, so both engines bucket
+    with bit-identical sketches."""
+    import numpy as np
+
+    return [
+        np.random.RandomState(seed + 101 * t).standard_normal((bits, dim))
+        for t in range(tables)
+    ]
+
+
 def embedding_near_dup_pairs_sketch(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -523,6 +535,7 @@ def embedding_near_dup_pairs_sketch(
     bits: int = 12,
     tables: int = 3,
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup path: random-hyperplane-sketch bucketing, exact
     cosine only WITHIN buckets — candidate work drops from n^2 to
@@ -556,24 +569,31 @@ def embedding_near_dup_pairs_sketch(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    if dim is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(row["d"])
+    planes = sketch_planes(dim, bits=bits, tables=tables, seed=seed)
 
     def gen_memberships(batches):
-        planes = None
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            if planes is None:
-                planes = [
-                    np.random.RandomState(seed + 101 * t).standard_normal((bits, X.shape[1]))
-                    for t in range(tables)
-                ]
             ids = pdf["_id"].to_numpy()
-            powers = (1 << np.arange(bits)).astype(np.int64)
             for t in range(tables):
-                words = ((X @ planes[t].T) >= 0) @ powers
+                # per-bit dots accumulated SEQUENTIALLY along dim — the
+                # left-associated fold DuckDB's list_sum computes, so the
+                # sign pattern (and thus every bucket) is oracle-identical;
+                # a matmul's pairwise summation could flip a near-zero sign
+                words = np.zeros(len(ids), dtype=np.int64)
+                for b in range(bits):
+                    p = planes[t][b]
+                    acc = X[:, 0] * p[0]
+                    for k in range(1, X.shape[1]):
+                        acc = acc + X[:, k] * p[k]
+                    words |= (acc >= 0).astype(np.int64) << b
                 yield pd.DataFrame(
-                    {"tbl": t, "sketch": words.astype(np.int64), "_id": ids, "_v": pdf["_v"]}
+                    {"tbl": t, "sketch": words, "_id": ids, "_v": pdf["_v"]}
                 )
 
     mem = prepared.mapInPandas(

@@ -295,17 +295,47 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch-bucketed (sub-quadratic) near-dup path — rows-only check
-    (bucket membership is sketch state); precision-1.0 / recall>=0.8 vs the
-    exact operator is asserted in tests/test_dedup_similarity.py on
-    clustered vectors. The synthetic corpus is near-uniform, so parameters
-    are sized for its wide angles: threshold 0.3 (theta 72deg => per-bit
-    agreement 0.6), 4 bits/table (0.6^4 ~ 0.13 collide), 6 tables
-    (~0.56 recall of the exact pair set) — precision stays 1.0 because
-    within-bucket scoring is exact."""
+    """The sketch-bucketed (sub-quadratic) near-dup path, oracle-checked end
+    to end: the hyperplane coefficients are one shared literal table
+    (dedup.sketch_planes) and every sketch dot is the sequential
+    left-associated fold, so DuckDB reproduces the exact buckets, candidate
+    pairs AND cosines. Parameters sized for the corpus's wide angles:
+    threshold 0.3 (theta 72deg => per-bit agreement 0.6), 4 bits/table
+    (0.6^4 ~ 0.13 collide), 6 tables (~0.56 recall of the exact pair set);
+    precision is 1.0 — within-bucket scoring is the exact kernel (recall
+    behavior asserted in tests/test_dedup_similarity.py)."""
     return dedup.embedding_near_dup_pairs_sketch(
-        _emb(spark, sf_dir), threshold=0.3, bits=4, tables=6
+        _emb(spark, sf_dir), threshold=0.3, bits=4, tables=6, dim=64
     )
+
+
+def _sketch_near_dup_sql(threshold=0.3, bits=4, tables=6, seed=11, dim=64) -> str:
+    """DuckDB replica of q_embedding_near_dup_lsh (same plane constants)."""
+    planes = dedup.sketch_planes(dim, bits=bits, tables=tables, seed=seed)
+    selects = []
+    for t in range(tables):
+        bit_terms = []
+        for b in range(bits):
+            coeffs = ", ".join(repr(float(x)) for x in planes[t][b])
+            dot = (
+                "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+                f"[{coeffs}]::DOUBLE[]), x -> x[1]*x[2]))"
+            )
+            bit_terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END")
+        selects.append(
+            f"SELECT {t} AS tbl, CAST({' + '.join(bit_terms)} AS BIGINT) AS sketch, vec_id FROM embeddings"
+        )
+    mem = " UNION ALL ".join(selects)
+    return f"""
+WITH mem AS ({mem}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM mem x JOIN mem y ON x.tbl = y.tbl AND x.sketch = y.sketch AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, {_COS_PAIR} AS cos
+FROM cand JOIN embeddings a ON a.vec_id = id_a JOIN embeddings b ON b.vec_id = id_b
+WHERE {_COS_PAIR} >= {threshold}
+"""
 
 
 _COS_PAIR = (
@@ -319,6 +349,9 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_PAIR} AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_COS_PAIR} >= 0.3
 """
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _sketch_near_dup_sql()
 
 # ---------------------------------------------------------------------------
 # Similarity search
@@ -522,6 +555,7 @@ ORACLES_EXT: dict[str, str] = {
     "ngram_jaccard_dup": SQL_NGRAM_JACCARD_DUP,
     "ngram_dedup_survivors": SQL_NGRAM_DEDUP_SURVIVORS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_exclude_seen": SQL_ANN_EXCLUDE_SEEN,
     "embedding_avg_norm": SQL_EMBEDDING_AVG_NORM,
