@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from recsys_pipeline_spark import queries as Q
+from recsys_pipeline_spark import queries_analytics as QA
 from recsys_pipeline_spark import queries_ext as QX
 from recsys_pipeline_spark import queries_ml as QM
 
@@ -26,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**Q.QUERIES, **QX.QUERIES_EXT, **QM.QUERIES_ML}
+    return {**Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**Q.ORACLES, **QX.ORACLES_EXT, **QM.ORACLES_ML}
+    return {**Q.ORACLES, **QA.ORACLES_AN, **QX.ORACLES_EXT, **QM.ORACLES_ML}

@@ -1,0 +1,118 @@
+"""Exact-arithmetic statistical aggregates (correlation / covariance) and
+the approximate counterparts used at 100 TB.
+
+Built-in `F.corr` / `F.covar_samp` accumulate doubles in partition order, so
+two runs (or two engines) can differ in the last bits — fine for analytics,
+fatal for a hash-compared oracle.  These helpers compute the five power sums
+(n, Sx, Sy, Sxx, Syy, Sxy) in DECIMAL — exact, associative, order-independent
+— and derive the moments from the sums with one deterministic double-valued
+expression.  The decimal sums agree bit-for-bit across engines; the derived
+doubles can still differ by a few ulps because decimal->double casting is not
+correctly rounded everywhere (measured: DuckDB's scale-12 hugeint decimal
+cast is off by 1 ulp), so the moment outputs are rounded to a precision far
+above that noise floor (means/covariance 6 dp, correlation 9 dp) to stay
+hash-comparable.
+
+Scale: the decimal power sums are an ordinary partial+final hash aggregate
+(map-side combine, one shuffle of 6 numbers per group); decimal(38,x) adds a
+few bytes per accumulator over double, nothing more.  The derived formulas
+are scalar post-processing on one row per group.
+
+Approximate path: `approx_distinct` wraps HyperLogLog++
+(`approx_count_distinct`) — at 100 TB the exact countDistinct's per-group
+de-dup shuffle is the bottleneck and a 2% HLL sketch (constant memory,
+mergeable) is the right default; it is gated by a tolerance *test*, not a
+hash oracle, because sketch internals are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,6)"
+
+
+def _power_sums(x: Column, y: Column) -> list[Column]:
+    xd, yd = x.cast(_DEC), y.cast(_DEC)
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    ]
+
+
+def exact_bivariate_stats(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group n, mean_x, mean_y, sample covariance and Pearson correlation,
+    every double derived from exact decimal sums in a fixed expression order.
+
+    covar_samp = (Sxy - Sx*Sy/n) / (n-1)
+    corr       = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+    """
+    agg = df.groupBy(group_col).agg(*_power_sums(F.col(x_col), F.col(y_col)))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(sx / n, 6).alias("mean_x"),
+        F.round(sy / n, 6).alias("mean_y"),
+        F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 6).alias("covar_samp"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("corr"),
+    )
+
+
+def exact_bivariate_stats_sql(
+    table: str, group_col: str, x_col: str, y_col: str
+) -> str:
+    """The DuckDB mirror of `exact_bivariate_stats` — same sums, same formula,
+    same operation order.  Operands are cast to DECIMAL(19,6) (not 18) on the
+    DuckDB side: precision 19 forces int128 storage so the products cannot
+    overflow int64; the product type is (38,12) vs Spark's (37,12) — both
+    exact, so the values are identical."""
+    return f"""
+WITH sums AS (
+  SELECT {group_col},
+         COUNT(*) AS n,
+         SUM(CAST({x_col} AS DECIMAL(19,6))) AS sx,
+         SUM(CAST({y_col} AS DECIMAL(19,6))) AS sy,
+         SUM(CAST({x_col} AS DECIMAL(19,6)) * CAST({x_col} AS DECIMAL(19,6))) AS sxx,
+         SUM(CAST({y_col} AS DECIMAL(19,6)) * CAST({y_col} AS DECIMAL(19,6))) AS syy,
+         SUM(CAST({x_col} AS DECIMAL(19,6)) * CAST({y_col} AS DECIMAL(19,6))) AS sxy
+  FROM {table} GROUP BY {group_col}
+)
+SELECT {group_col},
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_samp,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr
+FROM sums
+"""
+
+
+def approx_distinct(
+    df: DataFrame, group_col: str, value_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """HyperLogLog++ distinct count per group — the 100 TB path for
+    cardinality (constant-memory mergeable sketch vs countDistinct's
+    expand-and-dedup shuffle)."""
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_uniques")
+    )

@@ -1,0 +1,300 @@
+"""Analytics-surface queries: full window-function coverage (navigation,
+ranking, RANGE frames), set operations, CUBE, the generalized timestamp as-of
+join, and exact statistical aggregates.
+
+SURVEY.md §2.5/§2.6 lists these as absent from the reference but built into
+Spark; an analytics user of the engine expects them, so they are implemented
+and oracle-checked like the §2 inventory.  Float discipline follows
+queries.py: money aggregates in DECIMAL scaled to integer outputs; the only
+double outputs are bit-deterministic scalar expressions evaluated identically
+by both engines (percent_rank/cume_dist ratios, moment formulas over exact
+decimal sums).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.operators import asof, stats, windows
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").withColumn(
+        "ts_epoch", F.unix_micros(F.col("ts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Navigation window functions (lag / lead / first)
+# ---------------------------------------------------------------------------
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    out = windows.navigation_cols(
+        df, part_col="user_id", order_col="ts_epoch",
+        tiebreak_col="event_id", value_col="value",
+    )
+    return out.select(
+        "event_id", "user_id", "prev_gap", "next_gap", "since_first", "prev_value"
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tse, value FROM events)
+SELECT event_id, user_id,
+       tse - LAG(tse)  OVER w AS prev_gap,
+       LEAD(tse) OVER w - tse AS next_gap,
+       tse - FIRST_VALUE(tse) OVER w AS since_first,
+       LAG(value) OVER w AS prev_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+"""
+
+# ---------------------------------------------------------------------------
+# Ranking window functions over an exact aggregate key
+# ---------------------------------------------------------------------------
+
+def q_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(28,6)")) * 1_000_000)
+            .cast("long")
+            .alias("spend_e6")
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    ranked = windows.ranking_cols(
+        spend,
+        part_col="c_mktsegment",
+        order_expr=F.col("spend_e6").desc(),
+        n_tiles=10,
+        tile_tiebreak=F.col("o_custkey"),
+    )
+    return ranked.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "spend_e6", "rnk", "drnk", "tile", "pct_rank", "cume",
+    )
+
+
+SQL_SPEND_RANK = """
+WITH spend AS (
+  SELECT o_custkey AS custkey, c_mktsegment AS segment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS spend_e6
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_mktsegment
+)
+SELECT custkey, segment, spend_e6,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       NTILE(10)      OVER (PARTITION BY segment ORDER BY spend_e6 DESC, custkey) AS tile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM spend
+WINDOW w AS (PARTITION BY segment ORDER BY spend_e6 DESC)
+"""
+
+# ---------------------------------------------------------------------------
+# RANGE frame: trailing 30-day spend per customer
+# ---------------------------------------------------------------------------
+
+def q_trailing_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    )
+    out = windows.trailing_range_agg(
+        orders,
+        part_col="o_custkey",
+        order_numeric_col="day",
+        value_expr=F.col("o_totalprice").cast("decimal(28,6)"),
+        lower=-29,
+        upper=0,
+        out_col="spend30",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        (F.col("spend30") * 1_000_000).cast("long").alias("spend30_e6"),
+    )
+
+
+SQL_TRAILING_SPEND = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(o_totalprice AS DECIMAL(28,6)) AS price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, CAST(day AS INT) AS day,
+       CAST(SUM(price) OVER (
+              PARTITION BY o_custkey ORDER BY day
+              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+            ) * 1000000 AS BIGINT) AS spend30_e6
+FROM o
+"""
+
+# ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT / UNION, distinct semantics)
+# ---------------------------------------------------------------------------
+
+def q_audience_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+
+    def users(t: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select("user_id")
+
+    both = users("purchase").intersect(users("click"))
+    only = users("purchase").subtract(users("error"))
+    either = users("purchase").union(users("signup")).distinct()
+    return (
+        both.withColumn("op", F.lit("purchase_and_click"))
+        .unionByName(only.withColumn("op", F.lit("purchase_not_error")))
+        .unionByName(either.withColumn("op", F.lit("purchase_or_signup")))
+    )
+
+
+SQL_AUDIENCE_SET_OPS = """
+SELECT user_id, 'purchase_and_click' AS op FROM
+  (SELECT user_id FROM events WHERE event_type = 'purchase'
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'click')
+UNION ALL
+SELECT user_id, 'purchase_not_error' AS op FROM
+  (SELECT user_id FROM events WHERE event_type = 'purchase'
+   EXCEPT
+   SELECT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT user_id, 'purchase_or_signup' AS op FROM
+  (SELECT user_id FROM events WHERE event_type = 'purchase'
+   UNION
+   SELECT user_id FROM events WHERE event_type = 'signup')
+"""
+
+# ---------------------------------------------------------------------------
+# CUBE (companion of queries.q_rollup_revenue — same Expand-based one-pass plan)
+# ---------------------------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast(dec)
+                    * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("revenue_e6"),
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) * 1000000 AS BIGINT) AS revenue_e6
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# ---------------------------------------------------------------------------
+# Generalized as-of join: purchase attributed to the latest strictly-prior click
+# ---------------------------------------------------------------------------
+
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_epoch"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_epoch")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof.asof_join(
+        purchases, clicks,
+        key_col="user_id", ts_col="ts_epoch",
+        right_cols=["ts_epoch", "click_value"],
+        strict=True,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_epoch",
+        F.col("asof_ts_epoch").alias("click_ts_epoch"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+SQL_ASOF_CLICK = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_epoch
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS cts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, p.user_id, p.ts_epoch,
+       c.cts AS click_ts_epoch, c.click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_epoch > c.cts
+"""
+
+# ---------------------------------------------------------------------------
+# Exact statistical aggregates
+# ---------------------------------------------------------------------------
+
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return stats.exact_bivariate_stats(
+        li, group_col="l_returnflag", x_col="l_quantity", y_col="l_extendedprice"
+    )
+
+
+SQL_CORR_QTY_PRICE = stats.exact_bivariate_stats_sql(
+    "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+)
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "event_gaps": q_event_gaps,
+    "spend_rank": q_spend_rank,
+    "trailing_spend_30d": q_trailing_spend_30d,
+    "audience_set_ops": q_audience_set_ops,
+    "cube_revenue": q_cube_revenue,
+    "asof_click_attribution": q_asof_click_attribution,
+    "corr_qty_price": q_corr_qty_price,
+}
+
+ORACLES_AN: dict[str, str] = {
+    "event_gaps": SQL_EVENT_GAPS,
+    "spend_rank": SQL_SPEND_RANK,
+    "trailing_spend_30d": SQL_TRAILING_SPEND,
+    "audience_set_ops": SQL_AUDIENCE_SET_OPS,
+    "cube_revenue": SQL_CUBE_REVENUE,
+    "asof_click_attribution": SQL_ASOF_CLICK,
+    "corr_qty_price": SQL_CORR_QTY_PRICE,
+}

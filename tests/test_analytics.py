@@ -1,0 +1,107 @@
+"""Window-analytics / as-of / stats operator tests beyond the oracle parity
+gate (tests/test_oracle_parity.py covers the value checks for every
+queries_analytics.py entry)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators import asof, stats
+from recsys_pipeline_spark import queries_analytics as QA
+from tests.conftest import SF_SMOKE
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 25, 250.0), (3, 1, 999.0)],
+        "k int, ts int, v double",
+    )
+    return left, right
+
+
+def test_asof_strict_excludes_same_instant(spark):
+    left, right = _sides(spark)
+    out = asof.asof_join(
+        left, right, key_col="k", ts_col="ts", right_cols=["ts", "v"], strict=True
+    )
+    got = {r["tag"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+    # ts=10 left row must NOT see the ts=10 right row under strict `<`
+    assert got["a"] == (None, None)
+    assert got["b"] == (10, 100.0)
+    assert got["c"] == (25, 250.0)
+    assert got["d"] == (None, None)  # key 2 has no right rows at all
+
+
+def test_asof_inclusive_matches_same_instant(spark):
+    left, right = _sides(spark)
+    out = asof.asof_join(
+        left, right, key_col="k", ts_col="ts", right_cols=["v"], strict=False
+    )
+    got = {r["tag"]: r["asof_v"] for r in out.collect()}
+    assert got["a"] == 100.0
+    assert got["b"] == 100.0
+    assert got["c"] == 250.0
+
+
+def test_asof_plan_has_no_join(spark):
+    """The merge-scan form must stay a union + one window — a Join node means
+    the quadratic candidate formulation snuck back in."""
+    left, right = _sides(spark)
+    out = asof.asof_join(left, right, "k", "ts", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_navigation_and_ranking_share_one_exchange(spark):
+    df = QA.q_event_gaps(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    ranked = QA.q_spend_rank(spark, SF_SMOKE)
+    rplan = ranked._jdf.queryExecution().executedPlan().toString()
+    # agg shuffle + window shuffle; the broadcast dim must not add a shuffle
+    assert rplan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in rplan
+
+
+def test_approx_distinct_within_tolerance(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    approx = {
+        r["event_type"]: r["approx_uniques"]
+        for r in stats.approx_distinct(events, "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+def test_exact_corr_matches_builtin_loosely(spark):
+    """Sanity: the exact-decimal corr agrees with Spark's double corr to
+    float tolerance (the decimal path exists for cross-engine exactness,
+    not to change the statistic)."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    ours = {
+        r["l_returnflag"]: r["corr"]
+        for r in stats.exact_bivariate_stats(
+            li, "l_returnflag", "l_quantity", "l_extendedprice"
+        ).collect()
+    }
+    builtin = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    for k, v in builtin.items():
+        assert ours[k] == pytest.approx(v, abs=1e-6)
