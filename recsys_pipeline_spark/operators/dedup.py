@@ -309,6 +309,13 @@ def simhash(
     exploding tokens and taking the 64 bit-votes as plain grouped SUMs runs in
     whole-stage codegen with map-side partial aggregation — one shuffle on the
     id. Token-less rows get word 0 via the left join back onto the id set.
+    (Needs session codegen.maxFields >= 65 — see session.py — or the
+    64-buffer aggregate silently drops out of WholeStageCodegen, 3-5x slower.)
+
+    The 64 vote aggregates and the 64-term word assembly are built as parsed
+    SQL strings, not composed Column objects: composing them crosses py4j
+    ~400 times and costs multiple driver seconds per invocation (measured
+    5.7 s -> <1 s), which dominates a one-shot query at bench scale.
 
     ``portable=True`` swaps xxhash64 for the 60-bit md5-fold: bits 60-63 then
     vote all-negative and settle to 0, deterministically in BOTH engines, so
@@ -316,22 +323,27 @@ def simhash(
     """
     from recsys_pipeline_spark.operators.text import tokens
 
+    hash_sql = (
+        "cast(conv(substring(md5(_t), 1, 15), 16, 10) as bigint)"
+        if portable
+        else "xxhash64(_t)"
+    )
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
-    ).withColumn("_h", _hash64(F.col("_t"), portable))
+    ).selectExpr(id_col, f"{hash_sql} as _h")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{i}")
+        F.expr(f"sum(case when ((_h >> {i}) & 1) = 1 then 1 else -1 end)").alias(f"_v{i}")
         for i in range(64)
     ]
     agg = exploded.groupBy(id_col).agg(*votes)
-    word = None
-    for i in range(64):
-        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        shifted = F.shiftleft(bit, i)
-        word = shifted if word is None else word.bitwiseOR(shifted)
-    sig = agg.select(F.col(id_col), word.alias(out_col))
+    # sum of disjoint powers of two == OR of the bits; bit 63 is the long's
+    # sign bit, added as its negative two's-complement literal
+    word = " + ".join(
+        f"(case when _v{i} > 0 then cast({1 << i if i < 63 else -(1 << 63)} as bigint) "
+        "else cast(0 as bigint) end)"
+        for i in range(64)
+    )
+    sig = agg.selectExpr(id_col, f"cast({word} as bigint) as {out_col}")
     ids = df.select(id_col)
     return ids.join(sig, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col(out_col), F.lit(0).cast("long")).alias(out_col)

@@ -32,8 +32,20 @@ def get_spark(app_name: str = "recsys_pipeline_spark", shuffle_partitions: str |
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Wide-aggregate codegen: the 64-bit-vote SimHash and the pivoted PIT
+        # feature build carry >100 aggregate buffers; the default
+        # codegen.maxFields=100 silently drops WholeStageCodegen for exactly
+        # those plans (measured 3-5x slower interpreted). 300 keeps them
+        # compiled while staying far below JIT method-size fallbacks.
+        .config("spark.sql.codegen.maxFields", "300")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        # Single-JVM local mode: a bigger heap is NOT better — at 90g the G1
+        # old-gen cycles showed up as 5-20 s pauses randomly attributed to
+        # whichever query was running (measured: same 46-query bench 70-87 s
+        # at 90g vs 45 s at 24g, spikes gone). 24g comfortably fits every
+        # broadcast/window state at bench scale; raise via SPARK_DRIVER_MEMORY
+        # only for driver-heavy ML fits.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]")
