@@ -97,3 +97,26 @@ def test_star_join_broadcasts_dims(spark):
     plan = _final_plan(q_star_join_revenue(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_aggregate_stays_codegen(spark):
+    """The 64-bit-vote SimHash aggregate must run inside WholeStageCodegen:
+    with the default codegen.maxFields=100 Spark silently drops codegen for
+    >100-buffer aggregates and the interpreted path is 3-5x slower (PLANS.md
+    round-3 lesson 12; session.py pins maxFields=300)."""
+    import contextlib
+    import io
+
+    from recsys_pipeline_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = simhash(docs, portable=True)
+    df.collect()  # settle AQE so the formatted explain shows the final plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    # formatted explain tags compiled operators as "NodeName [codegen id : N]"
+    assert re.search(r"HashAggregate \[codegen id", buf.getvalue()), (
+        "64-buffer vote aggregate fell out of whole-stage codegen "
+        "(check spark.sql.codegen.maxFields in session.py)"
+    )
