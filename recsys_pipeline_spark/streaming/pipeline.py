@@ -169,6 +169,49 @@ def deduplicated(events: DataFrame, keys: list[str] | None = None, watermark: st
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def attributed_purchases(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: every purchase paired with the
+    same user's clicks in the preceding ``lookback`` window (strictly before
+    the purchase) — the online twin of the batch range-join attribution
+    query (queries.q_range_join_attribution semantics family).
+
+    Both sides carry watermarks and the join has a two-sided event-time bound,
+    so the state store holds only ``lookback + watermark`` of each side per
+    user (the engine derives the eviction condition from the interval) —
+    bounded state, the requirement for an unbounded 100 TB/day stream.
+    Append mode: a (purchase, click) pair is emitted once, when the watermark
+    proves no earlier-arriving match can still appear.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select("p_event_id", "c_event_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a streaming query to completion over all currently-available
     input (availableNow) into an in-memory table — the deterministic test

@@ -125,3 +125,35 @@ def test_streaming_dedup_drops_replayed_rows(spark, batch_events):
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids))  # no duplicates emitted
     assert len(ids) == batch_events.select("event_id").distinct().count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, batch_events):
+    stream = sp.stream_events(spark, SF)
+    sp.run_to_memory(
+        sp.attributed_purchases(stream, lookback="1 hour"), "attributed", "append"
+    )
+    got = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in spark.sql("SELECT * FROM attributed").collect()
+    }
+    p = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in p.join(
+            c,
+            (F.col("u") == F.col("cu"))
+            & (F.col("c_ts") < F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture actually exercises the join
