@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from recsys_pipeline_spark.io import read_table
 from recsys_pipeline_spark.operators import asof, stats, windows
 
+# DuckDB tokenizer fragment shared with the text queries (operators/text.py
+# semantics: lowercase, split on whitespace, drop empties)
+_I_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events").withColumn(
@@ -276,6 +280,80 @@ SQL_CORR_QTY_PRICE = stats.exact_bivariate_stats_sql(
 )
 
 # ---------------------------------------------------------------------------
+# TF-IDF document-term weights (text-analysis companion: the full weighted
+# inverted index, no top-k so the output set is deterministic)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc, term): tf, df and round(tf * ln(N/df), 6).
+
+    Pure relational TF-IDF: one explode + two hash aggregates (term counts
+    per doc; document frequency per term joined back on term — the small
+    side, vocabulary-sized, broadcastable at any corpus scale).  The score is
+    rounded because ln() is not required to be correctly rounded by IEEE and
+    the two engines' libm may differ in the last ulp; 6 dp is ~9 orders of
+    magnitude above that noise.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar only (the oracle inlines the same count)
+    term_rows = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = term_rows.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
+SQL_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_I_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.term = df.term
+"""
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based `percentile`, linear interpolation — the
+# exact analog; at 100 TB swap for approx_percentile's mergeable sketch)
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -287,6 +365,8 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": q_cube_revenue,
     "asof_click_attribution": q_asof_click_attribution,
     "corr_qty_price": q_corr_qty_price,
+    "tfidf_doc_terms": q_tfidf_doc_terms,
+    "value_percentiles": q_value_percentiles,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -297,4 +377,6 @@ ORACLES_AN: dict[str, str] = {
     "cube_revenue": SQL_CUBE_REVENUE,
     "asof_click_attribution": SQL_ASOF_CLICK,
     "corr_qty_price": SQL_CORR_QTY_PRICE,
+    "tfidf_doc_terms": SQL_TFIDF,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
 }
