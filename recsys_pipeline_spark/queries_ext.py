@@ -265,6 +265,48 @@ WHERE doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive dup-cluster resolution: connected components (hash-min
+    label propagation, operators/graph.py) over the exact n-gram Jaccard pair
+    graph; every document labeled with its component's minimum doc_id
+    (singletons label themselves). Oracle = DuckDB recursive CTE closure —
+    the iterative DataFrame loop and the recursive SQL must agree exactly."""
+    from recsys_pipeline_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5, max_df=100)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return docs.select("doc_id").join(
+        cc, docs["doc_id"] == cc["id"], "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_GRAMS3}) AS gram FROM t),
+sz AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY 1),
+keep AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1) WHERE df <= 100),
+e AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT id_a, id_b FROM i
+      JOIN sz ga ON id_a = ga.doc_id JOIN sz gb ON id_b = gb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (ga.n_g + gb.n_g - inter) >= 0.5),
+sym AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+comp(id, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, c.lbl FROM comp c JOIN sym s ON c.id = s.a
+)
+SELECT d.doc_id,
+       COALESCE(m.lbl, d.doc_id) AS component
+FROM documents d
+LEFT JOIN (SELECT id, MIN(lbl) AS lbl FROM comp GROUP BY id) m ON d.doc_id = m.id
+"""
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document with the portable md5-fold token hash — the
     60-bit fingerprint (bits 60-63 deterministically 0) is value-checked
@@ -542,6 +584,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "dup_clusters": q_dup_clusters,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -554,6 +597,7 @@ ORACLES_EXT: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard_dup": SQL_NGRAM_JACCARD_DUP,
     "ngram_dedup_survivors": SQL_NGRAM_DEDUP_SURVIVORS,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -1,0 +1,39 @@
+"""connected_components: hand-graph semantics + convergence guard
+(the oracle-checked dup_clusters query covers it end-to-end)."""
+
+from __future__ import annotations
+
+import pytest
+
+from recsys_pipeline_spark.operators.graph import connected_components
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["id"]: r["component"] for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_chain_and_clique_and_disjoint(spark):
+    # chain 1-2-3-4, clique {10,11,12}, pair {20,21}
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_min_label_crosses_bridges(spark):
+    # two cliques bridged by one edge -> one component labeled by global min
+    got = _cc(spark, [(5, 6), (6, 7), (100, 101), (7, 100)])
+    assert set(got.values()) == {5}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(1, 12)], max_iter=2)
