@@ -120,3 +120,17 @@ def test_simhash_aggregate_stays_codegen(spark):
         "64-buffer vote aggregate fell out of whole-stage codegen "
         "(check spark.sql.codegen.maxFields in session.py)"
     )
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    """Predicate pushdown + column pruning must reach the parquet scan: the
+    as-of attribution query filters event_type and touches 4 of events' 6
+    columns — the FileScan must show a pushed EqualTo filter and a ReadSchema
+    without the untouched wide columns (props)."""
+    from recsys_pipeline_spark.queries_analytics import q_asof_click_attribution
+
+    plan = _final_plan(q_asof_click_attribution(spark, SF))
+    scans = [l for l in plan.splitlines() if "FileScan" in l or "PushedFilters" in l]
+    txt = "\n".join(scans) or plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type", txt), txt[:500]
+    assert "props" not in txt
