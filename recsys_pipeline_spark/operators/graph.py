@@ -16,8 +16,11 @@ Scale notes:
     are unions of near-cliques (diameter 2-3); for long-chain graphs switch
     to the large-star/small-star contraction variant, which converges in
     O(log n) rounds at higher per-round cost;
-  * each iteration persists its labels and unpersists the previous one, so
-    lineage (and the DAG Catalyst must re-optimize) stays one round deep.
+  * each iteration truncates lineage with an eager localCheckpoint —
+    persist() alone keeps the logical plan growing by one round every
+    iteration and Catalyst re-analyzes the whole chain each time (quadratic
+    driver time; measured minutes on a 60-round chain).  On a real cluster
+    prefer reliable checkpoint(dir) so a lost executor can recompute.
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ def connected_components(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # exact, overflow-proof checksum: labels only ever decrease, so the sum
     # strictly decreases every round until the fixpoint
@@ -59,15 +62,104 @@ def connected_components(
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             return labels.select("id", F.col("lbl").alias("component"))
         prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        "(component diameter exceeds max_iter; use star contraction)"
+        "(component diameter exceeds max_iter; use connected_components_star)"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") -> (id, component).
+
+    Hash-min propagation moves labels ONE hop per round, so a path graph of
+    length d needs d rounds; star contraction rewires the tree itself and
+    converges in O(log n) rounds regardless of diameter — the variant to use
+    when components may be long chains (linked near-dup shingles, session
+    stitching).  Per round it is two map+min-aggregate passes over the edge
+    list (two shuffles), vs one for hash-min: pay double per round to save
+    linearly many rounds.
+
+      large-star: for every vertex u, connect each neighbor v > u to
+                  m = min(u, neighbors(u));
+      small-star: for every vertex u, connect each neighbor v <= u (and u)
+                  to m = min(u, neighbors<=(u)).
+
+    Both preserve connectivity and strictly converge to stars whose centers
+    are component minima.  Convergence is detected by the edge multiset
+    checksum (count + exact decimal sum of canonical pair keys) going stable.
+    """
+    cur = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame):
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("u") * F.lit(1_000_003) + F.col("v")).cast("decimal(38,0)")).alias("s"),
+        ).first()
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods as directed (center u, neighbor v) pairs
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        if large:
+            # large-star(u): m = min(Γ(u) ∪ {u}) over the FULL neighborhood;
+            # connect every strictly larger neighbor to m
+            m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            rewired = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            )
+        else:
+            # small-star(u): m = min({v ∈ Γ(u): v <= u} ∪ {u}); connect those
+            # neighbors AND u itself to m
+            side = sym.filter(F.col("v") <= F.col("u"))
+            m = side.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            rewired = (
+                side.join(m, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .unionByName(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            )
+        return (
+            rewired.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+
+    prev = _checksum(cur)
+    for _ in range(max_rounds):
+        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
+        chk = _checksum(nxt)
+        cur = nxt
+        if (chk["n"], chk["s"]) == (prev["n"], prev["s"]):
+            break
+        prev = chk
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+    # stable state: every edge points a vertex at its component minimum
+    members = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    centers = cur.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(centers).groupBy("id").agg(
+        F.min("component").alias("component")
     )

@@ -37,3 +37,32 @@ def test_min_label_crosses_bridges(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, [(i, i + 1) for i in range(1, 12)], max_iter=2)
+
+
+def test_star_contraction_matches_hashmin(spark):
+    """large-star/small-star must produce exactly the hash-min labeling —
+    on the high-diameter chain it converges in O(log n) rounds where
+    hash-min needs n (the reason it exists)."""
+    import random
+
+    from recsys_pipeline_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(1, 30)]
+    rng = random.Random(11)
+    rand = list(
+        {
+            (a, b)
+            for a, b in (
+                (rng.randrange(1, 200), rng.randrange(1, 200)) for _ in range(220)
+            )
+            if a != b
+        }
+    )
+    for pairs in (chain, rand):
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        star = {
+            r["id"]: r["component"]
+            for r in connected_components_star(edges).collect()
+        }
+        want = _cc(spark, pairs, max_iter=200)
+        assert star == want
