@@ -34,12 +34,16 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    on_nonconverge: str = "raise",
 ) -> DataFrame:
     """-> (id, component) for every vertex appearing in ``edges``; component
     = the minimum vertex id reachable through the undirected pair graph.
 
-    Raises RuntimeError if the propagation has not converged after
-    ``max_iter`` rounds (diameter > max_iter — switch to star contraction).
+    If the propagation has not converged after ``max_iter`` rounds (diameter
+    > max_iter), either raises RuntimeError (``on_nonconverge="raise"``) or
+    restarts with the O(log n)-round star contraction
+    (``on_nonconverge="star"`` — the diameter-robust production default for
+    graphs whose shape isn't known up front).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -69,6 +73,8 @@ def connected_components(
         if cur_sum == prev_sum:
             return labels.select("id", F.col("lbl").alias("component"))
         prev_sum = cur_sum
+    if on_nonconverge == "star":
+        return connected_components_star(edges, src=src, dst=dst)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter; use connected_components_star)"

@@ -275,7 +275,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5, max_df=100)
-    cc = connected_components(pairs.select("id_a", "id_b"))
+    cc = connected_components(pairs.select("id_a", "id_b"), on_nonconverge="star")
     return docs.select("doc_id").join(
         cc, docs["doc_id"] == cc["id"], "left"
     ).select(

@@ -66,3 +66,16 @@ def test_star_contraction_matches_hashmin(spark):
         }
         want = _cc(spark, pairs, max_iter=200)
         assert star == want
+
+
+def test_nonconverge_star_fallback(spark):
+    from recsys_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iter=2, on_nonconverge="star").collect()
+    }
+    assert set(got) == set(range(1, 13)) and set(got.values()) == {1}
