@@ -542,6 +542,31 @@ GROUP BY 1, 2
 # Beyond-reference (SURVEY §2.4 notes grouping sets as absent); free in Spark.
 # ---------------------------------------------------------------------------
 
+def q_pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts, one column per event type
+    — the relational form of the reference's map-cell extraction (P7 pivots
+    the PIT map back to columns the same way).  With the pivot values given
+    explicitly, Spark plans ONE aggregate pass (no distinct-values pre-query)
+    and the output schema is static — the required form at 100 TB."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+SQL_PIVOT_USER_EVENT_COUNTS = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY user_id
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem rollup over (returnflag, linestatus): per-pair, per-flag and
     grand-total rows in ONE pass (Expand + single shuffle — not a UNION of 3
@@ -598,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "range_join_attribution": q_range_join_attribution,
     "rollup_revenue": q_rollup_revenue,
+    "pivot_user_event_counts": q_pivot_user_event_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -621,4 +647,5 @@ ORACLES: dict[str, str] = {
     "json_extract": SQL_JSON_EXTRACT,
     "range_join_attribution": SQL_RANGE_JOIN_ATTRIBUTION,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,
 }
