@@ -105,3 +105,36 @@ def test_exact_corr_matches_builtin_loosely(spark):
     }
     for k, v in builtin.items():
         assert ours[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """Property check: on random co-timed data (duplicate left timestamps,
+    sparse keys) the merge-scan as-of join must equal the brute-force
+    max-prior-match definition, for both strict and inclusive bounds."""
+    import random
+
+    rng = random.Random(99)
+    left = [(rng.randrange(1, 8), rng.randrange(0, 40), i) for i in range(120)]
+    right_map = {}
+    for _ in range(80):
+        k, ts = rng.randrange(1, 8), rng.randrange(0, 40)
+        right_map[(k, ts)] = rng.random()  # unique per (key, ts) by construction
+    ldf = spark.createDataFrame(left, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in right_map.items()], "k int, ts int, v double"
+    )
+    for strict in (True, False):
+        out = {
+            r["lid"]: r["asof_v"]
+            for r in asof.asof_join(
+                ldf, rdf, key_col="k", ts_col="ts", right_cols=["v"], strict=strict
+            ).collect()
+        }
+        for k, ts, lid in left:
+            cands = [
+                (rts, v)
+                for (rk, rts), v in right_map.items()
+                if rk == k and (rts < ts if strict else rts <= ts)
+            ]
+            want = max(cands)[1] if cands else None
+            assert out[lid] == want, (lid, strict, out[lid], want)
