@@ -38,7 +38,11 @@ def _dec_sum(col: Column, scale: int = 6) -> Column:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, sf_dir, "events")
-    return df.withColumn("ts_epoch", F.unix_micros(F.col("ts")))
+    # Parquet timestamps may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on
+    # the writer's isAdjustedToUTC flag; unix_micros only accepts the former.
+    # With the session tz pinned to UTC the cast preserves the wall-clock
+    # digits either way, matching DuckDB's epoch_us on the naive value.
+    return df.withColumn("ts_epoch", F.unix_micros(F.col("ts").cast("timestamp")))
 
 
 # ---------------------------------------------------------------------------

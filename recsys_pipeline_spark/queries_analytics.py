@@ -27,8 +27,9 @@ _I_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cast: parquet ts may be TIMESTAMP_NTZ (writer-dependent); see queries._events
     return read_table(spark, sf_dir, "events").withColumn(
-        "ts_epoch", F.unix_micros(F.col("ts"))
+        "ts_epoch", F.unix_micros(F.col("ts").cast("timestamp"))
     )
 
 
