@@ -15,29 +15,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Parquet stores TIMESTAMP(NANOS): stream-read it as long and convert, exactly
-# like the batch reader (io.read_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.TimestampType())
+
+
+def _ts_stored_as_int64(sf_dir: str) -> bool:
+    """Probe the parquet footer once: TIMESTAMP(NANOS)-era files surface as a
+    raw int64 under nanosAsLong (the batch reader's bigint guard,
+    io.read_table); TIMESTAMP(MICROS) files read natively as timestamp."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    field = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts")
+    return pt.is_integer(field.type) or (
+        pt.is_timestamp(field.type) and field.type.unit == "ns"
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    """readStream over the events table with the same dtype guard as the batch
+    reader (io.read_table): micros-era parquet streams straight into
+    TimestampType; nanos-era files are read as long (nanosAsLong) and
+    truncated to micros so batch and stream see identical event times."""
+    if _ts_stored_as_int64(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_raw_schema(T.LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def windowed_counts(
