@@ -539,6 +539,73 @@ def sketch_planes(dim: int, bits: int = 12, tables: int = 3, seed: int = 11):
     ]
 
 
+def sketch_of_vec(vec, planes) -> list[int]:
+    """Driver-side sketch of ONE vector (e.g. an ANN query) under every
+    table's planes — the identical sequential left-associated fold the
+    distributed kernel (sketch_memberships) and the DuckDB oracle compute,
+    so the query lands in exactly the bucket its neighbors hash to."""
+    import numpy as np
+
+    q = np.asarray(vec, dtype=np.float64)
+    words = []
+    for P in planes:
+        w = 0
+        for b in range(P.shape[0]):
+            p = P[b]
+            acc = q[0] * p[0]
+            for k in range(1, len(q)):
+                acc = acc + q[k] * p[k]
+            if acc >= 0:
+                w |= 1 << b
+        words.append(int(w))
+    return words
+
+
+def sketch_memberships(
+    emb: DataFrame, planes, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(tbl, sketch, _id, _v) bucket memberships of every vector under every
+    table's hyperplane sketch — ONE scan, one Arrow-batched pandas pass for
+    ALL tables (sign(X @ P_t^T) bit-packed; see embedding_near_dup_pairs_sketch
+    for why per-table expression sketches compile combinatorially instead).
+
+    Per-bit dots accumulate SEQUENTIALLY along the dimension axis — the
+    left-associated fold DuckDB's list_sum computes — so the sign pattern
+    (and thus every bucket) is oracle-identical; a matmul's pairwise
+    summation could flip a near-zero sign.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tables, bits = len(planes), planes[0].shape[0]
+    prepared = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def gen_memberships(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            ids = pdf["_id"].to_numpy()
+            for t in range(tables):
+                words = np.zeros(len(ids), dtype=np.int64)
+                for b in range(bits):
+                    p = planes[t][b]
+                    acc = X[:, 0] * p[0]
+                    for k in range(1, X.shape[1]):
+                        acc = acc + X[:, k] * p[k]
+                    words |= (acc >= 0).astype(np.int64) << b
+                yield pd.DataFrame(
+                    {"tbl": t, "sketch": words, "_id": ids, "_v": pdf["_v"]}
+                )
+
+    return prepared.mapInPandas(
+        gen_memberships, schema="tbl int, sketch long, _id long, _v array<double>"
+    )
+
+
 def embedding_near_dup_pairs_sketch(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -577,40 +644,11 @@ def embedding_near_dup_pairs_sketch(
     import numpy as np
     import pandas as pd
 
-    prepared = emb.select(
-        F.col(id_col).cast("long").alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
     if dim is None:
         row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(row["d"])
     planes = sketch_planes(dim, bits=bits, tables=tables, seed=seed)
-
-    def gen_memberships(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            ids = pdf["_id"].to_numpy()
-            for t in range(tables):
-                # per-bit dots accumulated SEQUENTIALLY along dim — the
-                # left-associated fold DuckDB's list_sum computes, so the
-                # sign pattern (and thus every bucket) is oracle-identical;
-                # a matmul's pairwise summation could flip a near-zero sign
-                words = np.zeros(len(ids), dtype=np.int64)
-                for b in range(bits):
-                    p = planes[t][b]
-                    acc = X[:, 0] * p[0]
-                    for k in range(1, X.shape[1]):
-                        acc = acc + X[:, k] * p[k]
-                    words |= (acc >= 0).astype(np.int64) << b
-                yield pd.DataFrame(
-                    {"tbl": t, "sketch": words, "_id": ids, "_v": pdf["_v"]}
-                )
-
-    mem = prepared.mapInPandas(
-        gen_memberships, schema="tbl int, sketch long, _id long, _v array<double>"
-    )
+    mem = sketch_memberships(emb, planes, id_col=id_col, vec_col=vec_col)
     buckets = mem.groupBy("tbl", "sketch").agg(
         F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
     )

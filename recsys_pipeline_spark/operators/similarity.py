@@ -179,18 +179,117 @@ def hyperplane_sketch_col(vec_col: str, dim: int, bits: int = 16, seed: int = 11
 
 
 def random_hyperplane_sketch(
-    emb: DataFrame, vec_col: str = "embedding", bits: int = 16, seed: int = 11, out_col: str = "sketch"
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 16,
+    seed: int = 11,
+    out_col: str = "sketch",
+    dim: int | None = None,
 ) -> DataFrame:
     """SimHash-for-vectors: sign pattern against `bits` random hyperplanes,
     packed into a long — the bucketing key for embedding near-dup at scale.
 
     The dot products are UNROLLED element_at sums against literal plane
-    coefficients (dim is probed once): element_at/*/+ are whole-stage-codegen
-    expressions, unlike the aggregate()/zip_with() higher-order-function form
-    this replaced — that is CodegenFallback (interpreted), the exact pattern
-    PLANS.md measured ~50x slower in the MinHash/SimHash hot path. bits*dim
-    expression terms compile into one codegen stage; no shuffle, no UDF.
+    coefficients: element_at/*/+ are whole-stage-codegen expressions, unlike
+    the aggregate()/zip_with() higher-order-function form this replaced —
+    that is CodegenFallback (interpreted), the exact pattern PLANS.md
+    measured ~50x slower in the MinHash/SimHash hot path. bits*dim expression
+    terms compile into one codegen stage; no shuffle, no UDF.
+
+    Pass ``dim`` when known (callers building the table know its embedding
+    width) — omitting it costs a one-row probe job before the plan exists.
     """
-    dim_probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_probe["d"])
+    if dim is None:
+        dim_probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_probe["d"])
     return emb.withColumn(out_col, hyperplane_sketch_col(vec_col, dim, bits=bits, seed=seed))
+
+
+# ---------------------------------------------------------------------------
+# Scale path 3 — deterministic sketch ANN (oracle-reproducible end to end)
+# ---------------------------------------------------------------------------
+
+def ann_sketch_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 4,
+    tables: int = 6,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane-LSH top-k: candidates = vectors sharing ANY
+    table's bucket with the query, exact cosine rerank inside the candidate
+    set — the same bucketing the near-dup sketch path uses
+    (dedup.sketch_planes / sketch_memberships), so the ENTIRE algorithm
+    (planes -> buckets -> candidates -> rerank) is reproducible in an ANSI
+    SQL oracle with the plane coefficients inlined as literals.
+
+    Unlike MLlib's BucketedRandomProjectionLSH (fit_lsh — kept as the
+    model-object path), nothing here is opaque model state: the sketch is a
+    pure function of (seed, dim), the query's buckets are computed
+    driver-side with the identical fold, and the probe is a literal
+    (tbl, sketch) IN-filter — at scale, a partition-prunable predicate when
+    the corpus is stored partitioned by sketch prefix.
+    """
+    from recsys_pipeline_spark.operators.dedup import (
+        sketch_memberships,
+        sketch_of_vec,
+        sketch_planes,
+    )
+
+    planes = sketch_planes(len(query_vec), bits=bits, tables=tables, seed=seed)
+    qwords = sketch_of_vec(query_vec, planes)
+    mem = sketch_memberships(emb, planes, id_col=id_col, vec_col=vec_col)
+    probe = None
+    for t, w in enumerate(qwords):
+        cond = (F.col("tbl") == t) & (F.col("sketch") == int(w))
+        probe = cond if probe is None else probe | cond
+    cand = mem.filter(probe).select("_id", "_v").dropDuplicates(["_id"])
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = cand.select(
+        F.col("_id").alias(id_col), cosine(F.col("_v"), qcol).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ann_ivf_sketch_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    cell_bits: int = 3,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a DETERMINISTIC coarse quantizer: cell = ``cell_bits``-bit
+    hyperplane sketch (2^cell_bits cells), probe = the ``n_probe`` cells
+    nearest to the query's cell by Hamming distance (ties broken by cell id),
+    exact cosine rerank within the probed cells.
+
+    Same IVF shape as the KMeans path (fit_ivf / ann_ivf_topk — kept for the
+    learned-centroid variant): the cell is the partition key at 100 TB
+    (write partitioned by cell -> probing prunes to n_probe/2^bits of the
+    data). The quantizer being a pure function of (seed, dim) rather than a
+    fitted model makes the probe set derivable by the SQL oracle — and
+    partition-stable across refits, which learned centroids are not.
+    """
+    from recsys_pipeline_spark.operators.dedup import (
+        sketch_memberships,
+        sketch_of_vec,
+        sketch_planes,
+    )
+
+    planes = sketch_planes(len(query_vec), bits=cell_bits, tables=1, seed=seed)
+    qcell = sketch_of_vec(query_vec, planes)[0]
+    cells = sorted(range(1 << cell_bits), key=lambda c: (bin(c ^ qcell).count("1"), c))
+    probe = [int(c) for c in cells[:n_probe]]
+    mem = sketch_memberships(emb, planes, id_col=id_col, vec_col=vec_col)
+    cand = mem.filter(F.col("sketch").isin(probe)).select("_id", "_v")
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = cand.select(
+        F.col("_id").alias(id_col), cosine(F.col("_v"), qcol).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)

@@ -351,8 +351,11 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sketch_near_dup_sql(threshold=0.3, bits=4, tables=6, seed=11, dim=64) -> str:
-    """DuckDB replica of q_embedding_near_dup_lsh (same plane constants)."""
+def _sketch_mem_sql(bits: int, tables: int, seed: int, dim: int = 64) -> str:
+    """(tbl, sketch, vec_id) hyperplane-bucket memberships in DuckDB SQL with
+    the plane coefficients inlined as literals (dedup.sketch_planes is the
+    ONE shared generator) — each dot the same left-associated fold the Spark
+    kernel computes, so buckets are bit-identical across engines."""
     planes = dedup.sketch_planes(dim, bits=bits, tables=tables, seed=seed)
     selects = []
     for t in range(tables):
@@ -367,7 +370,12 @@ def _sketch_near_dup_sql(threshold=0.3, bits=4, tables=6, seed=11, dim=64) -> st
         selects.append(
             f"SELECT {t} AS tbl, CAST({' + '.join(bit_terms)} AS BIGINT) AS sketch, vec_id FROM embeddings"
         )
-    mem = " UNION ALL ".join(selects)
+    return " UNION ALL ".join(selects)
+
+
+def _sketch_near_dup_sql(threshold=0.3, bits=4, tables=6, seed=11, dim=64) -> str:
+    """DuckDB replica of q_embedding_near_dup_lsh (same plane constants)."""
+    mem = _sketch_mem_sql(bits, tables, seed, dim)
     return f"""
 WITH mem AS ({mem}),
 cand AS (
@@ -484,21 +492,53 @@ FROM n GROUP BY label
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse quantizer, probe 4/8 cells) — rows-only check."""
+    """IVF ANN with a deterministic coarse quantizer: cell = 3-bit hyperplane
+    sketch (8 cells), probe the 4 Hamming-nearest cells to the query's cell,
+    exact cosine rerank inside them — value-checked end to end against a
+    DuckDB oracle that derives the SAME cells, probe set and rerank (the
+    quantizer is a pure function of the seed, not fitted model state; the
+    learned-centroid variant, fit_ivf/ann_ivf_topk with KMeans, keeps its
+    recall-gated pytest coverage)."""
     e = _emb(spark, sf_dir)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    model, cells = similarity.fit_ivf(e, n_cells=8)
-    return similarity.ann_ivf_topk(model, cells, q, k=10, n_probe=4)
+    return similarity.ann_ivf_sketch_topk(e, q, k=10, cell_bits=3, n_probe=4, seed=7)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH mem AS ({_sketch_mem_sql(bits=3, tables=1, seed=7)}),
+qc AS (SELECT sketch AS qcell FROM mem WHERE vec_id = 0),
+probe AS (SELECT c AS cell FROM range(8) t(c), qc
+          ORDER BY bit_count(xor(c, qcell)), c LIMIT 4),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_COS_Q} AS cos
+FROM embeddings, q
+WHERE vec_id IN (SELECT m.vec_id FROM mem m JOIN probe ON m.sketch = probe.cell)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: BucketedRandomProjectionLSH over L2-normalized
-    vectors (euclidean order == cosine order on unit vectors), k=10 —
-    rows-only check (bucket boundaries are model state, not ANSI SQL)."""
+    """Multi-table hyperplane-LSH ANN: candidates = vectors sharing ANY of 6
+    tables' 4-bit buckets with the query, exact cosine rerank, top-10 —
+    value-checked end to end against a DuckDB oracle that reproduces the
+    buckets from the same literal plane table (the MLlib
+    BucketedRandomProjectionLSH variant, fit_lsh/ann_lsh_topk, keeps its
+    recall-gated pytest coverage)."""
     e = _emb(spark, sf_dir)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    model, prepared = similarity.fit_lsh(e)
-    return similarity.ann_lsh_topk(model, prepared, q, k=10).select("vec_id", "cos")
+    return similarity.ann_sketch_topk(e, q, k=10, bits=4, tables=6, seed=11)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH mem AS ({_sketch_mem_sql(bits=4, tables=6, seed=11)}),
+qmem AS (SELECT tbl, sketch FROM mem WHERE vec_id = 0),
+cand AS (SELECT DISTINCT m.vec_id FROM mem m JOIN qmem USING (tbl, sketch)),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_COS_Q} AS cos
+FROM embeddings, q
+WHERE vec_id IN (SELECT vec_id FROM cand)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -606,7 +646,6 @@ ORACLES_EXT: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "simhash_fingerprint": SQL_SIMHASH_FINGERPRINT,
-    # ann_ivf_topk / ann_lsh_topk: ML model state (KMeans / LSH bucket
-    # boundaries) -> rows-only; recall@k vs the exact result is asserted in
-    # tests/test_dedup_similarity.py instead.
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
 }
