@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 import __spark_entry__ as entrymod
@@ -60,15 +61,23 @@ def main() -> None:
             except Exception:
                 pass  # a warm-up failure surfaces in the timed run
 
+    # Per-query MEDIAN of REPEATS runs: round 4 -> 5 showed +-20 % wall-time
+    # drift on byte-identical code and data (sandbox noise), which a single
+    # run cannot distinguish from a real regression. The plan is rebuilt each
+    # repeat so no DataFrame-level caching leaks between runs.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
         if name in SKIP_TRAINING:
             continue
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        materialize(df)
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(repeats):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            materialize(df)
+            times.append(time.perf_counter() - t0)
+        dt = statistics.median(times)
         timings[name] = round(dt, 4)
         total += dt
 
