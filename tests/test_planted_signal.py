@@ -2,11 +2,15 @@
 
 The round-1 gates were `> 0.45` (chance) on a uniform-random fixture — they
 proved mechanics, not learning. These gates assert the MLlib stack RECOVERS
-planted structure at the reference's quality bar (readme.md:53,64 — AUC
-0.8081 recall / 0.8206 rank on real ml-1m), and fail on shuffled labels:
+planted structure AT the reference's published quality bar (readme.md:53,64
+— AUC 0.8081 recall / 0.8206 rank on real ml-1m; the round-6 densified
+fixture measures ALS 0.881 / FM 0.885 / DeepFM 0.889), and fail on shuffled
+labels:
 
-  * ALS recall AUC        >= 0.70 (latent dot-product recovery)
-  * FM rank AUC           >= 0.70 (one-hot id embeddings + dense slots)
+  * ALS recall AUC        >= 0.81 (latent dot-product recovery, the
+    reference's recall magnitude)
+  * FM rank AUC           >= 0.82 (one-hot id embeddings + dense slots, the
+    reference's rank magnitude)
   * DeepFM rank AUC       >  FM rank AUC (the MLP branch captures the
     planted nonlinear band that FM's linear+bilinear family cannot)
   * shuffled-label FM AUC <  0.60 (the gates above are signal, not leakage)
@@ -57,11 +61,11 @@ def test_recall_auc_recovers_latent_signal(planted):
         rank=8, max_iter=20, reg=0.01,
     )
     score = vectors.auc(mf, planted["test"].select("userid", "itemid", "label"))
-    assert score >= 0.75, score
+    assert score >= 0.81, score
 
 
 def test_rank_fm_auc_recovers_planted_signal(planted, fm_auc):
-    assert fm_auc >= 0.75, fm_auc
+    assert fm_auc >= 0.82, fm_auc
 
 
 def test_deepfm_beats_fm_baseline(planted, fm_auc):
@@ -73,7 +77,7 @@ def test_deepfm_beats_fm_baseline(planted, fm_auc):
     )
     deepfm_auc = rank_model.auc(dfm, planted["test"])
     assert deepfm_auc > fm_auc, (deepfm_auc, fm_auc)
-    assert deepfm_auc >= 0.75, deepfm_auc
+    assert deepfm_auc >= 0.82, deepfm_auc
 
 
 def test_shuffled_labels_destroy_signal(planted):
