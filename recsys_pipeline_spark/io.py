@@ -60,11 +60,12 @@ def read_delimited_fallback(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of a driver testdata table (predicate/column pushdown free).
 
-    The driver's parquet stores TIMESTAMP(NANOS), which Spark only reads as a
-    raw long (``spark.sql.legacy.parquet.nanosAsLong``); external engines
-    (DuckDB, Arrow) truncate it to microseconds. We do the same truncation and
-    expose a proper ``TimestampType`` column so downstream semantics (and the
-    oracle comparison) are identical: ``timestamp_micros(ns div 1000)``.
+    Timestamp columns are era-guarded: TIMESTAMP(NANOS)-era files surface as a
+    raw long under ``spark.sql.legacy.parquet.nanosAsLong`` and are truncated
+    to microsecond TimestampType (``timestamp_micros(ns div 1000)`` — the same
+    truncation DuckDB/Arrow apply, keeping the oracle comparison identical);
+    TIMESTAMP(MICROS)-era files (the current testdata) already read natively
+    as timestamp and the ``bigint`` dtype check leaves them untouched.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

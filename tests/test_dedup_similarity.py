@@ -204,6 +204,22 @@ def test_hyperplane_sketch_buckets_similar_vectors(emb):
     assert 0 <= row["sketch"] < 2**16
 
 
+def test_sketch_ann_finds_query_and_ranks_by_cosine(emb):
+    """The deterministic sketch-ANN paths: the query vector always lands in
+    its own bucket (identical fold on driver and executors), so it is its own
+    top hit with cos ~= 1.0, and results come back cosine-descending."""
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    for fn in (
+        lambda: similarity.ann_sketch_topk(emb, q, k=5, bits=4, tables=3),
+        lambda: similarity.ann_ivf_sketch_topk(emb, q, k=5, cell_bits=3, n_probe=4),
+    ):
+        rows = fn().collect()
+        assert rows and rows[0]["vec_id"] == 3
+        assert abs(rows[0]["cos"] - 1.0) < 1e-9
+        cosines = [r["cos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_multimodal_extract_and_framesample(spark):
     rows = [
         (1, "image", b"img-bytes-aaaa", (32, 32, None, None, "image/png")),
