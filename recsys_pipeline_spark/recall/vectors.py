@@ -26,7 +26,20 @@ def train_mf(
     implicit: bool = True,
 ) -> ALSModel:
     """Train on (userid, itemid, label). Implicit ALS weights positives
-    (label=1) like the reference's implicit-feedback objective."""
+    (label=1) like the reference's implicit-feedback objective.
+
+    ALS's own lineage truncation (checkpointInterval, default 10) is inert
+    unless a checkpoint dir is set — without one, >~15 iterations build an
+    RDD graph deep enough that DAGScheduler serialization can blow the JVM
+    thread stack (observed: intermittent StackOverflowError at fit()).
+    Same class of fix as the connected-components loops (PLANS.md lesson
+    14); on a cluster point this at reliable storage.
+    """
+    sc = train_df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-als-ckpt-"))
     als = ALS(
         rank=rank,
         maxIter=max_iter,
