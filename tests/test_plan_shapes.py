@@ -93,6 +93,22 @@ def test_hyperplane_sketch_is_codegen_not_hof(spark):
     assert "*(" in plan  # the WholeStageCodegen stage marker in toString()
 
 
+def test_sketch_ann_plans_stay_lean(spark):
+    """The oracle-checked ANN queries must keep the audited round-6 shapes:
+    one corpus scan, one Arrow python stage (the membership kernel), a
+    TakeOrdered top-k — and at most one tiny exchange (LSH candidate-id
+    dedup; the IVF probe filter needs none). A second scan or a join-shaped
+    candidate generation means the membership pipeline regressed."""
+    from recsys_pipeline_spark.queries_ext import q_ann_ivf_topk, q_ann_lsh_topk
+
+    for q, max_exchanges in ((q_ann_ivf_topk, 0), (q_ann_lsh_topk, 1)):
+        plan = _final_plan(q(spark, SF))
+        assert plan.count("FileScan") == 1, q.__name__
+        assert plan.count("InPandas") == 1, q.__name__
+        assert plan.count("Exchange") <= max_exchanges, q.__name__
+        assert "TakeOrderedAndProject" in plan, q.__name__
+
+
 def test_star_join_broadcasts_dims(spark):
     plan = _final_plan(q_star_join_revenue(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
