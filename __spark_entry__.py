@@ -41,6 +41,7 @@ _DEFERRED = [
     "value_percentiles",  # approx-percentile; tolerance-gated in pytest too
     "event_gaps",  # lag window; W4 family also covered by the PIT queries
     "audience_set_ops",  # intersect/except set ops; pytest oracle-parity pinned
+    "doc_repetition",  # r6 addition; text-quality family already has 5 recorded rows
 ]
 
 

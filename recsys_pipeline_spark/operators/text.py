@@ -107,3 +107,54 @@ def fingerprint(col: Column) -> Column:
     text (the exact-dedup key)."""
     normalized = F.concat_ws(" ", tokens(col))
     return F.md5(normalized)
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (expression-only; empty array for
+    docs shorter than n tokens — sequence(1, 0) would count DOWN in Spark,
+    so the guard is explicit)."""
+    toks = tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def dup_ngram_frac(col: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    repeats of an earlier n-gram in the same document (0 for short docs).
+    Pure array expressions — no shuffle; the per-doc n-gram list is bounded
+    by the document length, the same bound tokenization already implies."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, (total - distinct).cast("double") / total).otherwise(
+        F.lit(0.0)
+    )
+
+
+# RE2-safe (no lookahead/backreference) so the SAME patterns run in Spark's
+# Java regex and the DuckDB/RE2 oracle. Order matters: SSN before the general
+# digit-run phone pattern, else phones swallow SSNs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean", token: str = "[PII]"
+) -> DataFrame:
+    """PII scrubbing for training corpora: sequentially redact email / SSN /
+    phone shapes, emitting per-kind match counts (counted on the text as it
+    stood BEFORE that kind's replacement, so overlapping kinds are not
+    double-counted). All regexp_replace/regexp_extract_all — JVM codegen,
+    embarrassingly parallel, no shuffle."""
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias(out_col))

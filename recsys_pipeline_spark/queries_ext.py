@@ -135,6 +135,59 @@ SELECT doc_id,
 FROM documents
 """
 
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate word
+    3-gram fraction (pure array expressions, no shuffle) and top-bigram mass
+    (one explode + grouped max/sum — a single shuffle on doc_id). The stock
+    pretraining filter for 'looping' documents; fractions are single IEEE
+    divisions of exact integer counts, so DuckDB reproduces them bit-exactly."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        text.dup_ngram_frac(F.col("text"), 3).alias("dup_3gram_frac"),
+        F.size(text.word_ngrams(F.col("text"), 3)).cast("long").alias("n_3grams"),
+        text.word_ngrams(F.col("text"), 2).alias("_g2"),
+    )
+    bg = base.select("doc_id", F.explode("_g2").alias("bg")).groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = bg.groupBy("doc_id").agg(
+        F.max("c").alias("_top_c"), F.sum("c").alias("_n_bg")
+    )
+    return (
+        base.drop("_g2")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_3grams",
+            "dup_3gram_frac",
+            F.coalesce(
+                F.col("_top_c").cast("double") / F.col("_n_bg"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g3 AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+       FROM t),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                            i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+       FROM t),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM g2 GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgc GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(g3.grams) AS BIGINT) AS n_3grams,
+       CASE WHEN len(g3.grams) > 0
+            THEN CAST(len(g3.grams) - len(list_distinct(g3.grams)) AS DOUBLE) / len(g3.grams)
+            ELSE 0.0 END AS dup_3gram_frac,
+       COALESCE(CAST(top.top_c AS DOUBLE) / top.n_bg, 0.0) AS top_bigram_frac
+FROM t JOIN g3 USING (doc_id) LEFT JOIN top USING (doc_id)
+"""
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -611,6 +664,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_profile": q_ngram_profile,
+    "doc_repetition": q_doc_repetition,
     "exact_dedup": q_exact_dedup,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
@@ -634,6 +688,7 @@ ORACLES_EXT: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ngram_profile": SQL_NGRAM_PROFILE,
+    "doc_repetition": SQL_DOC_REPETITION,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard_dup": SQL_NGRAM_JACCARD_DUP,
     "ngram_dedup_survivors": SQL_NGRAM_DEDUP_SURVIVORS,

@@ -220,6 +220,43 @@ def test_sketch_ann_finds_query_and_ranks_by_cosine(emb):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_redact_pii_counts_and_scrubs(spark):
+    from recsys_pipeline_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "ssn 123-45-6789 hidden in text"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "@" not in out[1]["clean"] and "555" not in out[1]["clean"]
+    # SSN counted as SSN, not double-counted by the phone pattern
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 0
+    assert "123-45-6789" not in out[2]["clean"]
+    assert out[3]["clean"] == rows[2][1]
+    assert (out[3]["n_email"], out[3]["n_ssn"], out[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_dup_ngram_frac_detects_looping_text(spark):
+    from recsys_pipeline_spark.operators.text import dup_ngram_frac
+
+    rows = [
+        (1, "spam ham " * 50),  # pure loop -> almost all 3-grams repeat
+        (2, "one two three four five six seven eight nine ten"),  # no repeats
+        (3, "ab"),  # shorter than n -> defined 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", dup_ngram_frac(F.col("text"), 3).alias("f")).collect()
+    }
+    assert out[1] > 0.9
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
 def test_multimodal_extract_and_framesample(spark):
     rows = [
         (1, "image", b"img-bytes-aaaa", (32, 32, None, None, "image/png")),
