@@ -112,7 +112,12 @@ def fingerprint(col: Column) -> Column:
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-grams as space-joined strings (expression-only; empty array for
     docs shorter than n tokens — sequence(1, 0) would count DOWN in Spark,
-    so the guard is explicit)."""
+    so the guard is explicit).
+
+    This is the per-row array form (transform/slice higher-order functions —
+    CodegenFallback): right for ad-hoc single-column use, WRONG for corpus
+    hot paths, where the explode + element_at projection shape is ~15x
+    faster (see q_doc_repetition and the MinHash lesson in PLANS.md)."""
     toks = tokens(col)
     cnt = F.size(toks) - (n - 1)
     idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(

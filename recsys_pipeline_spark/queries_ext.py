@@ -138,33 +138,68 @@ FROM documents
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate word
-    3-gram fraction (pure array expressions, no shuffle) and top-bigram mass
-    (one explode + grouped max/sum — a single shuffle on doc_id). The stock
-    pretraining filter for 'looping' documents; fractions are single IEEE
-    divisions of exact integer counts, so DuckDB reproduces them bit-exactly."""
-    d = _docs(spark, sf_dir)
-    base = d.select(
+    3-gram fraction and top-bigram mass — the stock pretraining filter for
+    'looping' documents. Fractions are single IEEE divisions of exact integer
+    counts, so DuckDB reproduces them bit-exactly.
+
+    Plan shape is the MinHash lesson (PLANS.md), not the array-HOF form: the
+    tokens array is materialized ONCE, positions explode through codegen
+    element_at/concat_ws projections (both gram widths from one explode),
+    and the counts are grouped aggregates. The first formulation (nested
+    transform/slice higher-order functions re-evaluating tokenization per
+    expression) measured 14.8 s at sf0.1; this shape runs it in ~1 s."""
+    d = _docs(spark, sf_dir).select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    n_tok = F.size("toks")
+    pos = d.select(
         "doc_id",
-        text.dup_ngram_frac(F.col("text"), 3).alias("dup_3gram_frac"),
-        F.size(text.word_ngrams(F.col("text"), 3)).cast("long").alias("n_3grams"),
-        text.word_ngrams(F.col("text"), 2).alias("_g2"),
+        "toks",
+        n_tok.alias("n_tok"),
+        F.explode(
+            F.when(n_tok >= 2, F.sequence(F.lit(1), n_tok - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
     )
-    bg = base.select("doc_id", F.explode("_g2").alias("bg")).groupBy("doc_id", "bg").agg(
-        F.count(F.lit(1)).alias("c")
+    g = pos.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.element_at("toks", F.col("i")), F.element_at("toks", F.col("i") + 1)
+        ).alias("bg"),
+        F.when(
+            F.col("i") <= F.col("n_tok") - 2,
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("i")),
+                F.element_at("toks", F.col("i") + 1),
+                F.element_at("toks", F.col("i") + 2),
+            ),
+        ).alias("tg"),
     )
-    top = bg.groupBy("doc_id").agg(
-        F.max("c").alias("_top_c"), F.sum("c").alias("_n_bg")
+    tri = g.groupBy("doc_id").agg(
+        F.count("tg").alias("n_3grams"), F.count_distinct("tg").alias("_nd3")
+    )
+    top = (
+        g.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_top_c"), F.sum("c").alias("_n_bg"))
     )
     return (
-        base.drop("_g2")
+        d.select("doc_id")
+        .join(tri, "doc_id", "left")
         .join(top, "doc_id", "left")
         .select(
             "doc_id",
-            "n_3grams",
-            "dup_3gram_frac",
-            F.coalesce(
-                F.col("_top_c").cast("double") / F.col("_n_bg"), F.lit(0.0)
-            ).alias("top_bigram_frac"),
+            F.coalesce(F.col("n_3grams"), F.lit(0).cast("long")).alias("n_3grams"),
+            F.when(
+                F.coalesce(F.col("n_3grams"), F.lit(0)) > 0,
+                (F.col("n_3grams") - F.col("_nd3")).cast("double") / F.col("n_3grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_3gram_frac"),
+            F.coalesce(F.col("_top_c").cast("double") / F.col("_n_bg"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
         )
     )
 
