@@ -51,3 +51,33 @@ def test_ivf_cells_prune_as_partition_key(spark, tmp_path_factory):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
     assert probed.count() == cells.filter(F.col("cell").isin([0, 1])).count()
+
+
+def test_sketch_ivf_cells_prune_as_partition_key(spark, tmp_path_factory):
+    """Same 100 TB story for the DETERMINISTIC quantizer behind the
+    oracle-checked ann_ivf_topk: persist the corpus partitioned by its
+    sketch cell, probe the Hamming-nearest cells — the scan prunes to the
+    probed directories. Because the cell is a pure function of (seed, dim),
+    the layout survives refits (learned KMeans centroids move; a reindex
+    rewrites every partition)."""
+    from recsys_pipeline_spark.operators.dedup import (
+        sketch_memberships,
+        sketch_of_vec,
+        sketch_planes,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    planes = sketch_planes(64, bits=3, tables=1, seed=7)
+    cells = sketch_memberships(emb, planes).select(
+        "_id", F.col("sketch").alias("cell")
+    )
+    out = str(tmp_path_factory.mktemp("sivf") / "emb_by_sketch_cell")
+    write_parquet(cells, out, partition_by=["cell"])
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qcell = sketch_of_vec(q, planes)[0]
+    probe = sorted(range(8), key=lambda c: (bin(c ^ qcell).count("1"), c))[:4]
+    probed = spark.read.parquet(out).filter(F.col("cell").isin(probe))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert probed.count() == cells.filter(F.col("cell").isin(probe)).count()
