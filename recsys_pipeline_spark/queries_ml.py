@@ -31,6 +31,7 @@ from recsys_pipeline_spark.operators import pit, split, topk
 from recsys_pipeline_spark.queries import EVENT_TYPES, LABEL_THRESHOLD
 from recsys_pipeline_spark.rank import model as rank_model
 from recsys_pipeline_spark.recall import retrieve, vectors
+from recsys_pipeline_spark.schemas import RECALL_SIZE
 
 TYPE_ID = {t: i + 1 for i, t in enumerate(EVENT_TYPES)}  # term ids, 0 = empty
 
@@ -211,6 +212,194 @@ def q_recommend_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _type_count_profile(df: DataFrame, key: str) -> DataFrame:
+    """Closed-form embedding: per-key interaction counts over the 5 event
+    types, as an array<double> in EVENT_TYPES order. The deterministic stand-in
+    for the ALS factors (V1/V2) — same vector-table shape, but a pure function
+    of the data, so cosines are reproducible in ANSI SQL."""
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("double").alias(f"_c{j}")
+        for j, t in enumerate(EVENT_TYPES)
+    ]
+    g = df.groupBy(key).agg(*aggs)
+    return g.select(
+        key, F.array(*[F.col(f"_c{j}") for j in range(len(EVENT_TYPES))]).alias("vector")
+    )
+
+
+# Fixed linear-ranker coefficients (det composite). Chosen dyadic (exact in
+# binary floating point) so literal parsing can't introduce cross-engine ULPs.
+DET_RANK_WEIGHTS: list[tuple[str, float]] = [
+    ("i_rate", 0.25),
+    ("u_rate", 0.125),
+    ("i_n", 0.001953125),   # 2^-9
+    ("u_n", 0.0009765625),  # 2^-10
+]
+
+
+def q_recommend_top50_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.10 composite's relational skeleton, hash-match checkable: the
+    SAME serving path as q_recommend_top50 (P13 defaults -> 0.9/0.1 fused
+    recall -> seen anti-join -> entity joins -> zero-fill -> top-50) but with
+    deterministic type-count profile vectors instead of ALS factors and a
+    fixed-coefficient linear scorer instead of the trained ranker — every step
+    closed-form, so the DuckDB oracle reproduces scores bit-for-bit
+    (reference online/main/s1_server.py:24-57, es_caller.py:17-58,
+    triton_caller.py:43-53; the trained variant keeps rows-only coverage)."""
+    from recsys_pipeline_spark.serve import recommend_linear
+
+    inter = _interactions(spark, sf_dir).filter(F.col("itemid").isNotNull())
+    train, _ = _train_test(inter)
+
+    user_vecs = _type_count_profile(train, "userid")
+    item_vecs = _type_count_profile(train, "itemid")
+
+    term_id = F.element_at(
+        F.create_map(*[x for t, i in TYPE_ID.items() for x in (F.lit(t), F.lit(i))]),
+        F.col("event_type"),
+    )
+    with_tid = train.withColumn("tid", term_id)
+    user_terms = (
+        with_tid.groupBy("userid", "tid").agg(F.sum("label").alias("clk"))
+        .filter(F.col("clk") >= 2)
+        .groupBy("userid").agg(F.collect_list("tid").cast("array<int>").alias("terms"))
+    )
+    item_terms = with_tid.groupBy("itemid").agg(
+        F.collect_set("tid").cast("array<int>").alias("genre_ids")
+    )
+    seen = train.groupBy("userid").agg(F.collect_list("itemid").alias("items"))
+
+    # entity features with EXACT rates (integer sum / count, one IEEE divide)
+    user_entity = train.groupBy("userid").agg(
+        F.count(F.lit(1)).cast("double").alias("u_n"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("u_rate"),
+    )
+    item_entity = train.groupBy("itemid").agg(
+        F.count(F.lit(1)).cast("double").alias("i_n"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("i_rate"),
+    )
+
+    request_users = inter.select("userid").distinct()
+    return recommend_linear(
+        request_users,
+        user_vecs,
+        item_vecs,
+        user_terms,
+        item_terms,
+        seen,
+        user_entity,
+        item_entity,
+        weights=DET_RANK_WEIGHTS,
+        emb_dim=len(EVENT_TYPES),
+    )
+
+
+def _det_profile_cols(prefix: str) -> tuple[str, str, str]:
+    """(projection, sq_norm, dot-vs-other) SQL fragments for the 5-slot
+    type-count profile, all LEFT-ASSOCIATED like the numpy/codegen folds."""
+    from recsys_pipeline_spark.queries import EVENT_TYPES as ETS
+
+    proj = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN event_type='{t}' THEN 1 ELSE 0 END) AS DOUBLE) AS {prefix}{j}"
+        for j, t in enumerate(ETS)
+    )
+    sq = " + ".join(f"{prefix}{j}*{prefix}{j}" for j in range(len(ETS)))
+    return proj, sq, ""
+
+
+_UPROJ, _USQ, _ = _det_profile_cols("u")
+_IPROJ, _ISQ, _ = _det_profile_cols("i")
+_UDOT_I = " + ".join(f"u{j}*i{j}" for j in range(len(EVENT_TYPES)))
+_UDEFAULT = ", ".join(f"COALESCE(p.u{j}, 1.0) AS u{j}" for j in range(len(EVENT_TYPES)))
+
+SQL_RECOMMEND_TOP50_DET = f"""
+WITH inter AS (
+  SELECT event_id, ts, CAST(user_id AS INT) AS userid,
+         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS itemid,
+         event_type,
+         CASE WHEN value > {LABEL_THRESHOLD} THEN 1 ELSE 0 END AS label
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY userid ORDER BY ts, event_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY userid) AS u_cnt
+  FROM inter
+),
+train AS (SELECT * FROM ranked WHERE rn < (u_cnt - 10) * 0.8),
+users AS (SELECT DISTINCT userid FROM inter),
+uprof AS (
+  SELECT userid,
+         {_UPROJ}
+  FROM train GROUP BY userid
+),
+iprof AS (
+  SELECT itemid,
+         {_IPROJ}
+  FROM train GROUP BY itemid
+),
+uvec AS (
+  SELECT u.userid, {_UDEFAULT}
+  FROM users u LEFT JOIN uprof p USING (userid)
+),
+cosj AS (
+  SELECT u.userid, i.itemid,
+         ({_UDOT_I}) / (sqrt({_USQ}) * sqrt({_ISQ})) AS cos_score
+  FROM uvec u, iprof i
+),
+uterm AS (
+  SELECT userid, event_type FROM train
+  GROUP BY userid, event_type HAVING SUM(label) >= 2
+),
+iterm AS (SELECT DISTINCT itemid, event_type FROM train),
+termj AS (
+  SELECT u.userid, i.itemid, CAST(COUNT(*) AS DOUBLE) AS term_score
+  FROM uterm u JOIN iterm i USING (event_type)
+  GROUP BY u.userid, i.itemid
+),
+-- LEFT JOIN == the operator's full-outer fusion here: every termj pair is a
+-- (request user x train item) pair, which cosj covers exhaustively
+fused AS (
+  SELECT c.userid, c.itemid,
+         0.9 * COALESCE(c.cos_score, 0.0) + 0.1 * COALESCE(t.term_score, 0.0) AS recall_score
+  FROM cosj c LEFT JOIN termj t ON c.userid = t.userid AND c.itemid = t.itemid
+),
+seen AS (SELECT DISTINCT userid, itemid FROM train),
+recall AS (
+  SELECT userid, itemid, recall_score FROM (
+    SELECT f.userid, f.itemid, f.recall_score,
+           ROW_NUMBER() OVER (PARTITION BY f.userid ORDER BY f.recall_score DESC, f.itemid) AS rk
+    FROM fused f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.userid = f.userid AND s.itemid = f.itemid)
+  ) WHERE rk <= {RECALL_SIZE}
+),
+uent AS (
+  SELECT userid, CAST(COUNT(*) AS DOUBLE) AS u_n,
+         CAST(SUM(label) AS DOUBLE) / COUNT(*) AS u_rate
+  FROM train GROUP BY userid
+),
+ient AS (
+  SELECT itemid, CAST(COUNT(*) AS DOUBLE) AS i_n,
+         CAST(SUM(label) AS DOUBLE) / COUNT(*) AS i_rate
+  FROM train GROUP BY itemid
+),
+scored AS (
+  SELECT r.userid, r.itemid,
+         r.recall_score + 0.25 * COALESCE(i.i_rate, 0.0) + 0.125 * COALESCE(u.u_rate, 0.0)
+           + 0.001953125 * COALESCE(i.i_n, 0.0) + 0.0009765625 * COALESCE(u.u_n, 0.0) AS score
+  FROM recall r
+  LEFT JOIN ient i USING (itemid)
+  LEFT JOIN uent u USING (userid)
+)
+SELECT CAST(userid AS BIGINT) AS userid, CAST(itemid AS BIGINT) AS itemid, score
+FROM (
+  SELECT s.userid, s.itemid, s.score,
+         ROW_NUMBER() OVER (PARTITION BY s.userid ORDER BY s.score DESC, s.itemid) AS rk
+  FROM scored s
+) WHERE rk <= 50
+"""
+
+
 def q_embedding_classifier_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiclass probe over the embeddings table: multinomial logistic
     regression on the raw vector (array -> MLlib vector, no Python in the fit
@@ -247,10 +436,14 @@ QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_auc": q_rank_auc,
     "rank_deepfm_auc": q_rank_deepfm_auc,
     "recommend_top50": q_recommend_top50,
+    "recommend_top50_det": q_recommend_top50_det,
     "embedding_classifier_acc": q_embedding_classifier_acc,
 }
 
-# Iterative model training has no ANSI-SQL equivalent -> no oracle entries
-# (driver records the rows+schema check; quality gates live in
-# tests/test_recall_rank_serve.py as AUC-threshold golden tests).
-ORACLES_ML: dict[str, str] = {}
+# Iterative model training has no ANSI-SQL equivalent -> no oracle entries for
+# the trained variants (driver records the rows+schema check; quality gates
+# live in tests/test_recall_rank_serve.py as AUC-threshold golden tests). The
+# det composite is closed-form end to end, so it DOES carry a value oracle.
+ORACLES_ML: dict[str, str] = {
+    "recommend_top50_det": SQL_RECOMMEND_TOP50_DET,
+}

@@ -84,3 +84,52 @@ def recommend(
         [F.col("score").desc(), F.col("itemid").asc()],
         k=response_k,
     )
+
+
+def recommend_linear(
+    request_users: DataFrame,
+    user_vecs: DataFrame,
+    item_vecs: DataFrame,
+    user_terms: DataFrame,
+    item_terms: DataFrame,
+    seen: DataFrame,
+    user_entity: DataFrame,
+    item_entity: DataFrame,
+    weights: list[tuple[str, float]],
+    recall_k: int = RECALL_SIZE,
+    response_k: int = RESPONSE_SIZE,
+    emb_dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """The §2.10 composite with a CLOSED-FORM ranker: the exact relational
+    skeleton of ``recommend`` (P13 defaults -> fused recall -> J6 anti-join ->
+    J5/J7 entity joins -> missing-feature zero-fill -> W6/W7 top-k), but the
+    model score is ``recall_score + sum(w_c * feature_c)`` with literal
+    coefficients — a fixed linear scorer standing in for the synced model
+    weights (reference online/main/s1_server.py:24-57 + triton_caller.py).
+
+    Every step is deterministic relational algebra, so the WHOLE request path
+    is reproducible by an ANSI-SQL oracle (the trained-model variant,
+    ``recommend``, keeps its rows-only + pytest-parity coverage). The weighted
+    sum is built LEFT-ASSOCIATED in ``weights`` order so a scalar SQL engine
+    computes bit-identical doubles.
+    """
+    vecs, terms, seen_f = default_user_state(
+        request_users, user_vecs, user_terms, seen, emb_dim=emb_dim
+    )
+    candidates = retrieve.fused_recall(
+        vecs, item_vecs, terms, item_terms, seen_f, k=recall_k
+    )
+    enriched = candidates.join(F.broadcast(item_entity), "itemid", "left").join(
+        user_entity, "userid", "left"
+    )
+    enriched = enriched.na.fill(0)
+    score = F.col("recall_score")
+    for col, w in weights:
+        score = score + F.lit(float(w)) * F.col(col)
+    scored = enriched.select("userid", "itemid", score.alias("score"))
+    return topk.top_k_per_group(
+        scored,
+        ["userid"],
+        [F.col("score").desc(), F.col("itemid").asc()],
+        k=response_k,
+    )
