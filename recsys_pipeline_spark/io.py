@@ -76,6 +76,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Small-input parallelization guard for CPU-heavy downstream work.
+
+    A scan of a small file (or a single parquet row-group — the sf0.x
+    testdata shape) yields ONE input split, so everything up to the first
+    exchange — including per-shingle hashing that does ~100-300 expression
+    evaluations per input byte — serializes on one task. When the scan has
+    fewer splits than cores, redistribute the (tiny) input once; the exchange
+    moves kilobytes and unlocks a cores-wide stage. At production scale the
+    scan already yields >= cores splits and this returns the input UNCHANGED —
+    no exchange is ever added to a big-data plan.
+
+    Apply at the START of text/shingle pipelines (work per row is huge);
+    don't apply to probe-style queries (sketch-ANN) whose pinned plans are
+    exchange-free by design.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in schemas.TESTDATA_TABLES}
 

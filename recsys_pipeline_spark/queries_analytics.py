@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.io import read_table, spread
 from recsys_pipeline_spark.operators import asof, stats, windows
 
 # DuckDB tokenizer fragment shared with the text queries (operators/text.py

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.io import read_table, spread
 from recsys_pipeline_spark.operators import dedup, multimodal, similarity, text
 
 # DuckDB fragments mirroring operators/text.py exactly
@@ -23,8 +23,16 @@ _PUNCT = "length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
 _SHINGLES = "list_transform(range(1, greatest(length(text) - 2, 0) + 1), i -> substr(text, i, 3))"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, cpu_heavy: bool = False) -> DataFrame:
+    """``cpu_heavy=True`` wraps the scan in io.spread: for pipelines whose
+    map-side stage does >=100 expression evaluations per input byte BEFORE the
+    first exchange (shingle hashing, n-gram profiling, per-char classification)
+    a single-row-group scan serializes that work on one task — measured 3.65s
+    -> 1.21s (minhash) / 1.71s -> 0.23s (ngram_profile) at sf0.1. Queries that
+    shuffle early gain nothing and only pay the extra stage, so they keep the
+    plain scan."""
+    df = read_table(spark, sf_dir, "documents")
+    return spread(df) if cpu_heavy else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +91,7 @@ FROM t
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, cpu_heavy=True)
     return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_guess"))
 
 
@@ -119,7 +127,7 @@ SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS fp FROM documents
 
 
 def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, cpu_heavy=True)
     sh = text.char_shingles("text", 3)
     return d.select(
         "doc_id",
@@ -251,8 +259,8 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-duplicates" — parameterize for selectivity, not just recall.
     """
     return dedup.minhash_dedup_pairs(
-        _docs(spark, sf_dir), "doc_id", threshold=0.8, shingle_n=5, bands=4, rows=8,
-        portable=True,
+        _docs(spark, sf_dir, cpu_heavy=True), "doc_id", threshold=0.8, shingle_n=5,
+        bands=4, rows=8, portable=True,
     )
 
 
@@ -399,7 +407,7 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document with the portable md5-fold token hash — the
     60-bit fingerprint (bits 60-63 deterministically 0) is value-checked
     against the DuckDB oracle. Production callers use portable=False."""
-    return dedup.simhash(_docs(spark, sf_dir), portable=True).select("doc_id", "simhash")
+    return dedup.simhash(_docs(spark, sf_dir, cpu_heavy=True), portable=True).select("doc_id", "simhash")
 
 
 def _simhash_sql() -> str:
