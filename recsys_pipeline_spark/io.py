@@ -57,6 +57,26 @@ def read_delimited_fallback(
     return raw.select(*cols)
 
 
+def parquet_ts_unit(path: str, col: str) -> str | None:
+    """Probe the parquet footer for a column's temporal unit: ``'ns'``/
+    ``'us'``/``'ms'``/``'s'`` when the column carries a timestamp logical
+    type, ``'int'`` when it is a PLAIN integer with no temporal annotation
+    (epoch unit unknowable from metadata), ``None`` when absent/non-temporal.
+    One footer read — callers probe once per table, never per row."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    schema = pq.ParquetFile(path).schema_arrow
+    if col not in schema.names:
+        return None
+    t = schema.field(col).type
+    if pt.is_timestamp(t):
+        return t.unit
+    if pt.is_integer(t):
+        return "int"
+    return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of a driver testdata table (predicate/column pushdown free).
 
@@ -68,11 +88,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as timestamp and the ``bigint`` dtype check leaves them untouched.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     ts_cols = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
     for c in ts_cols.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            # bigint here means either TIMESTAMP(NANOS) surfaced raw under
+            # nanosAsLong, or a physically-plain INT64. Branch on the footer's
+            # logical type: only certified nanos get the div-1000 truncation —
+            # an unannotated int64's epoch unit is unknowable and silently
+            # guessing nanos would mis-scale a micros-era file by 1000x.
+            unit = parquet_ts_unit(path, c)
+            if unit == "ns":
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            elif unit is not None:
+                raise ValueError(
+                    f"{name}.{c} is stored as plain INT64 with no timestamp "
+                    f"logical type (probe: {unit!r}) — cannot infer the epoch "
+                    "unit; rewrite the file with a TIMESTAMP annotation"
+                )
     return df
 
 

@@ -63,7 +63,11 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
-def extract_features(df: DataFrame, decode: str = "deterministic_fake") -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    decode: str = "deterministic_fake",
+    kinds: tuple[str, ...] = ("image", "audio"),
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     mapInPandas keeps the operator embarrassingly parallel: each task pulls
@@ -74,35 +78,44 @@ def extract_features(df: DataFrame, decode: str = "deterministic_fake") -> DataF
     module's globals): executors may not have this package importable —
     cloudpickle then ships the whole function by value.
 
-    ``decode="real"`` decodes image payloads with PIL when it is importable
-    (8 deterministic stats: w, h, channels, per-channel means, gray std,
-    aspect); audio/video decode still needs ffmpeg/torchaudio and raises at
-    execution. Without PIL the mode raises eagerly, keeping the documented
-    environment limitation loud instead of silently faking.
+    ``decode="real"`` really decodes the payload for the DECLARED ``kinds``:
+      * ``image`` — PIL (8 stats: w, h, channels, per-channel means, gray
+        std, aspect). Requires PIL importable on the DRIVER (checked eagerly
+        here) **and on every executor** — the closure imports it per task.
+      * ``audio`` — PCM WAV via the stdlib ``wave`` module, no external
+        codec (8 stats: channels, sample rate, frames, duration, mean |x|,
+        RMS, peak, zero-crossing rate on the first channel).
+      * ``video`` — no codec in this environment: declaring it raises
+        NotImplementedError EAGERLY (plan time), never mid-job.
+    Rows whose kind is NOT declared get ``features = NULL`` (n_bytes is
+    still real) instead of failing the job after partial work — mixed-media
+    tables route through one pass and the caller filters on feature nullity.
     """
     if decode == "real":
         import importlib.util
 
-        if importlib.util.find_spec("PIL") is None:
+        if "video" in kinds:
             raise NotImplementedError(
-                "real media decode requires PIL/torchaudio/ffmpeg — not available "
-                "in this environment; use decode='deterministic_fake'"
+                "real video decode requires ffmpeg — not available in this "
+                "environment; drop 'video' from kinds (rows yield NULL features)"
             )
+        if "image" in kinds and importlib.util.find_spec("PIL") is None:
+            raise NotImplementedError(
+                "real image decode requires PIL (driver AND executors) — not "
+                "available; drop 'image' from kinds or use "
+                "decode='deterministic_fake'"
+            )
+        want = tuple(kinds)
 
         def real_batches(it):
             import io
 
             import numpy as np
             import pandas as _pd
-            from PIL import Image
 
-            def feats(payload, kind):
-                if kind != "image":
-                    raise NotImplementedError(
-                        f"real decode for kind={kind!r} requires ffmpeg/torchaudio"
-                    )
-                if payload is None:
-                    return None
+            def image_feats(payload):
+                from PIL import Image
+
                 arr = (
                     np.asarray(
                         Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.float64
@@ -120,6 +133,37 @@ def extract_features(df: DataFrame, decode: str = "deterministic_fake") -> DataF
                     float(arr.mean(axis=2).std()),
                     float(w) / float(h),
                 ]
+
+            def audio_feats(payload):
+                import wave
+
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    nch, sw, sr, nf = (
+                        w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+                    )
+                    raw = w.readframes(nf)
+                dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(sw)
+                if dt is None:
+                    return None
+                x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                x = x / float(2 ** (8 * sw - 1))  # full-scale normalize
+                ch0 = x[::nch] if nch > 1 else x
+                zc = float(np.mean(np.signbit(ch0[1:]) != np.signbit(ch0[:-1]))) if len(ch0) > 1 else 0.0
+                return [
+                    float(nch),
+                    float(sr),
+                    float(nf),
+                    float(nf) / sr if sr else 0.0,
+                    float(np.abs(x).mean()) if x.size else 0.0,
+                    float(np.sqrt((x * x).mean())) if x.size else 0.0,
+                    float(np.abs(x).max()) if x.size else 0.0,
+                    zc,
+                ]
+
+            def feats(payload, kind):
+                if payload is None or kind not in want:
+                    return None
+                return image_feats(payload) if kind == "image" else audio_feats(payload)
 
             for pdf in it:
                 yield _pd.DataFrame(

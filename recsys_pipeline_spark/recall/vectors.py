@@ -37,9 +37,15 @@ def train_mf(
     """
     sc = train_df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
+        import shutil
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-als-ckpt-"))
+        ckpt = tempfile.mkdtemp(prefix="spark-als-ckpt-")
+        # the dir outlives fit() (later trainings reuse it via the session's
+        # checkpoint config) but must not outlive the process
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        sc.setCheckpointDir(ckpt)
     als = ALS(
         rank=rank,
         maxIter=max_iter,

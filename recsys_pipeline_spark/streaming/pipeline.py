@@ -32,16 +32,21 @@ EVENTS_RAW_SCHEMA = _events_raw_schema(T.TimestampType())
 
 
 def _ts_stored_as_int64(sf_dir: str) -> bool:
-    """Probe the parquet footer once: TIMESTAMP(NANOS)-era files surface as a
-    raw int64 under nanosAsLong (the batch reader's bigint guard,
-    io.read_table); TIMESTAMP(MICROS) files read natively as timestamp."""
-    import pyarrow.parquet as pq
-    import pyarrow.types as pt
+    """Probe the parquet footer once: only TIMESTAMP(NANOS)-era files take the
+    int64 + div-1000 path (they surface as raw long under nanosAsLong, same
+    as the batch reader's guard). A PLAIN int64 ts with no timestamp logical
+    type has an unknowable epoch unit — raise rather than silently assuming
+    nanos (a micros-era int64 would be mis-scaled 1000x)."""
+    from recsys_pipeline_spark.io import parquet_ts_unit
 
-    field = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts")
-    return pt.is_integer(field.type) or (
-        pt.is_timestamp(field.type) and field.type.unit == "ns"
-    )
+    unit = parquet_ts_unit(f"{sf_dir}/events.parquet", "ts")
+    if unit == "int":
+        raise ValueError(
+            "events.ts is stored as plain INT64 with no timestamp logical "
+            "type — cannot infer the epoch unit; rewrite the file with a "
+            "TIMESTAMP annotation"
+        )
+    return unit == "ns"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -284,6 +284,53 @@ def test_multimodal_extract_and_framesample(spark):
             multimodal.extract_features(media, decode="real")
 
 
+def test_multimodal_real_audio_decode(spark):
+    """decode='real' with kinds=('audio',): PCM WAV decodes through the
+    stdlib wave module — no external codec, runs in THIS container. A 1-kHz
+    int16 square wave at 8 kHz gives exactly known stats; an undeclared kind
+    (video) and a null payload both yield NULL features, never a mid-job
+    raise (ADVICE round 6: mixed-media tables must not fail after partial
+    work)."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    sr, n = 8000, 800
+    # 1 kHz square wave, full scale / 2: alternates every 4 samples
+    x = (np.where((np.arange(n) // 4) % 2 == 0, 16384, -16384)).astype("<i2")
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    wav = buf.getvalue()
+    rows = [
+        (1, "audio", wav, (None, None, sr, None, "audio/wav")),
+        (2, "video", b"mp4-bytes", (64, 48, None, 25, "video/mp4")),
+        (3, "audio", None, (None, None, sr, None, "audio/wav")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, decode="real", kinds=("audio",)).collect()
+    }
+    f = out[1]["features"]
+    assert len(f) == multimodal.FEATURE_DIM
+    assert (f[0], f[1], f[2]) == (1.0, float(sr), float(n))  # nch, rate, frames
+    # features are float32 in the schema — compare at single precision
+    assert abs(f[3] - n / sr) < 1e-6  # duration
+    assert abs(f[4] - 0.5) < 1e-6 and abs(f[5] - 0.5) < 1e-6  # |x| mean == RMS for square
+    assert abs(f[6] - 0.5) < 1e-6  # peak
+    assert abs(f[7] - 0.25) < 1e-2  # zero-crossing every 4th sample
+    assert out[2]["features"] is None  # undeclared kind -> NULL, not a raise
+    assert out[3]["features"] is None  # null payload -> NULL
+    # declaring video eagerly raises at PLAN time (no codec in this env)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decode="real", kinds=("audio", "video"))
+
+
 @pytest.mark.skipif(
     __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
     reason="PIL not installed in this environment",
