@@ -13,6 +13,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale gates (ml-1m-magnitude model fits)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("recsys-pipeline-tests", shuffle_partitions="8")

@@ -5,12 +5,15 @@ half)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
 from recsys_pipeline_spark.io import read_table, write_parquet
 
 SF = "/root/testdata/sf0.001"
+SF_BENCH = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @pytest.fixture(scope="module")
@@ -80,4 +83,46 @@ def test_sketch_ivf_cells_prune_as_partition_key(spark, tmp_path_factory):
     probed = spark.read.parquet(out).filter(F.col("cell").isin(probe))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert probed.count() == cells.filter(F.col("cell").isin(probe)).count()
+
+
+def test_sketch_index_prunes_files_at_bench_scale(spark, tmp_path_factory):
+    """VERDICT r6 item 6: the partition-pruning claim at the scale the driver
+    benches (sf0.1), asserted on FILES ACTUALLY READ, not just on a
+    PartitionFilters line in the plan. Persist the sketch-membership index
+    partitioned by cell, probe the Hamming-nearest half of the cells, and
+    collect ``input_file_name()`` over the executed rows: every file touched
+    must live under a probed cell directory and the touched set must be a
+    strict subset of the index's files — the n_probe/n_cells IO fraction an
+    ANN query pays against a 100 TB corpus."""
+    from recsys_pipeline_spark.operators.dedup import (
+        sketch_memberships,
+        sketch_of_vec,
+        sketch_planes,
+    )
+
+    emb = read_table(spark, SF_BENCH, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planes = sketch_planes(len(q), bits=3, tables=1, seed=7)
+    cells = sketch_memberships(emb, planes).select(
+        "_id", F.col("sketch").alias("cell")
+    )
+    out = str(tmp_path_factory.mktemp("sivf_bench") / "emb_by_cell_sf_bench")
+    write_parquet(cells, out, partition_by=["cell"])
+
+    qcell = sketch_of_vec(q, planes)[0]
+    probe = sorted(range(8), key=lambda c: (bin(c ^ qcell).count("1"), c))[:4]
+    probed = spark.read.parquet(out).filter(F.col("cell").isin(probe))
+    touched = {
+        r["f"] for r in probed.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    all_files = {
+        r["f"]
+        for r in spark.read.parquet(out)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(touched) < len(all_files)
+    assert all(any(f"/cell={c}/" in f for c in probe) for f in touched), touched
     assert probed.count() == cells.filter(F.col("cell").isin(probe)).count()
