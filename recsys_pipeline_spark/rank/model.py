@@ -70,6 +70,7 @@ def train_rank_model(
     shuffle_seed: int | None = None,
     categorical_cols: list[str] | None = None,
     discretize_dense: int | None = None,
+    step_size: float = 0.1,
 ) -> PipelineModel:
     """M2-M7: fit assembler + classifier as one PipelineModel (persistable
     with MLlib-native save/load — the analog of the ONNX export M11).
@@ -90,7 +91,7 @@ def train_rank_model(
     if algo == "fm":
         clf = FMClassifier(
             featuresCol="features", labelCol="label", factorSize=factor_size,
-            stepSize=0.1, maxIter=max_iter, regParam=reg, seed=seed,
+            stepSize=step_size, maxIter=max_iter, regParam=reg, seed=seed,
         )
     elif algo == "lr":
         clf = LogisticRegression(
@@ -240,6 +241,7 @@ def train_deepfm(
     categorical_cols: list[str] | None = None,
     stack_frac: float = 0.15,
     discretize_dense: int | None = 12,
+    step_size: float = 0.1,
 ) -> DeepFMModel:
     """M4+M5: fit the FM branch on the full layout (categoricals one-hot so
     the factor matrix holds per-id embeddings) and the MLP branch on the
@@ -250,6 +252,7 @@ def train_deepfm(
         fm = train_rank_model(
             df, feature_cols, algo="fm", factor_size=factor_size,
             max_iter=max_iter, reg=reg, seed=seed, categorical_cols=categorical_cols,
+            step_size=step_size,
         )
         mlp = train_rank_model(
             df, dense_cols, algo="mlp", max_iter=max_iter, reg=reg, seed=seed,

@@ -1,0 +1,72 @@
+"""Signal-recovery gates at ml-1m MAGNITUDE (VERDICT r6 item 4).
+
+tests/test_planted_signal.py proves the stack recovers planted structure at
+the published AUC bar on a 150x80 world; these gates repeat the claim at the
+reference dataset's cardinality (6,040 users x 3,952 items, ~600k offline
+rows — readme.md:53,64 measures 0.8081 recall / 0.8206 rank AUC there).
+Marked ``slow``: the FM/DeepFM fits dominate (~minutes); run explicitly with
+``pytest -m slow`` or as part of the full default suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from recsys_pipeline_spark.pipeline import feature_engi, preprocess
+from recsys_pipeline_spark.rank import model as rank_model
+from tests import ml1m_scale_fixture as fx
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    r, m, u = fx.gen_world()
+    ratings = spark.createDataFrame(r)
+    movies = spark.createDataFrame(m)
+    users = spark.createDataFrame(u)
+    labeled = preprocess.label_and_split(ratings)
+    offline, _online = preprocess.offline_online(labeled)
+    train, test, _ue, _ie, meta = feature_engi.build_features(offline, users, movies)
+    fc = [f["name"] for f in meta["sparse_id"] + meta["sparse_side"] + meta["dense"]]
+    dc = [f["name"] for f in meta["dense"]]
+    cat = ["userid", "itemid"] + [c for c in ("gender", "age", "occupation") if c in fc]
+    d = dict(train=train.cache(), test=test.cache(), fc=fc, dc=dc, cat=cat)
+    d["train"].count(), d["test"].count()  # materialize once for both tests
+    return d
+
+
+# At 6k/4k ids the factor matrix has ~10k one-hot rows; factor_size=8 with a
+# moderate iteration budget recovers the planted rank-6 affinity (measured on
+# this fixture — see PLANS.md §17 for the settings rationale).
+FM_FACTOR = 8
+FM_ITERS = 120
+
+
+@pytest.fixture(scope="module")
+def fm_auc(world):
+    m = rank_model.train_rank_model(
+        world["train"], world["fc"], algo="fm", factor_size=FM_FACTOR,
+        max_iter=FM_ITERS, categorical_cols=world["cat"],
+    )
+    return rank_model.auc(m, world["test"])
+
+
+def test_rank_fm_auc_at_ml1m_magnitude(world, fm_auc):
+    """M2/M3 at scale: FM >= 0.80 with one embedding row per 6k/4k ids
+    learned from ~80 train rows each (the published-bar regime)."""
+    print(f"\n[ml1m-scale] fm_auc={fm_auc:.4f}")
+    assert fm_auc >= 0.80, fm_auc
+
+
+def test_deepfm_beats_fm_at_ml1m_magnitude(world, fm_auc):
+    """M4/M5 at scale: the deep branch still adds value — the planted band
+    lives outside FM's linear+bilinear family regardless of cardinality."""
+    dfm = rank_model.train_deepfm(
+        world["train"], world["fc"], world["dc"], factor_size=FM_FACTOR,
+        max_iter=FM_ITERS, categorical_cols=world["cat"],
+    )
+    deepfm_auc = rank_model.auc(dfm, world["test"])
+    print(f"\n[ml1m-scale] deepfm_auc={deepfm_auc:.4f} fm_auc={fm_auc:.4f}")
+    assert deepfm_auc > fm_auc, (deepfm_auc, fm_auc)
+    assert deepfm_auc >= 0.80, deepfm_auc
