@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from recsys_pipeline_spark import queries as Q
 from recsys_pipeline_spark import queries_analytics as QA
+from recsys_pipeline_spark import queries_curation as QC
 from recsys_pipeline_spark import queries_ext as QX
 from recsys_pipeline_spark import queries_ml as QM
 
@@ -54,11 +55,20 @@ _DEFERRED = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    merged = {**Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML}
+    # QC (curation) merges AFTER the ML surface: its 4 queries land at
+    # positions 51-54, outside the recorded-50 window but fully inside the
+    # pytest oracle-parity harness (all four carry DuckDB oracles).
+    merged = {
+        **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,
+        **QC.QUERIES_CUR,
+    }
     ordered = {k: v for k, v in merged.items() if k not in _DEFERRED}
     ordered.update({k: merged[k] for k in _DEFERRED if k in merged})
     return ordered
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**Q.ORACLES, **QA.ORACLES_AN, **QX.ORACLES_EXT, **QM.ORACLES_ML}
+    return {
+        **Q.ORACLES, **QA.ORACLES_AN, **QX.ORACLES_EXT, **QM.ORACLES_ML,
+        **QC.ORACLES_CUR,
+    }

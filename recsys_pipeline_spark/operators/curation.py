@@ -1,0 +1,178 @@
+"""Training-data curation operators: deterministic sampling, per-group
+caps, negative sampling, and token-budget sequence packing.
+
+These are the selection/shaping steps a 100 TB pretraining pipeline runs
+between dedup and tokenization (C4/RefinedWeb-style curation: downsample
+over-represented languages, cap documents per domain, pack documents into
+fixed token budgets) plus the recsys counterpart (negative sampling for
+implicit-feedback training — the reference trains FM on rating-thresholded
+labels, offline/preprocess/s1_data_split.py:10; at serving scale the
+standard extension is hash-sampled unseen negatives).
+
+Everything here is a pure function of row content + literal constants —
+no RNG state, no driver-side draws — built on the 60-bit md5-fold
+(operators/dedup.portable_hash64) so every operator has a bit-exact ANSI-SQL
+oracle AND reruns reproducibly across cluster topologies: a hash-sample
+decision never depends on partitioning, task order, or executor count,
+which `rand(seed)` (per-partition stream) cannot guarantee under AQE
+re-planning or speculative execution.
+
+Scale notes per operator are in each docstring; none collects to the
+driver, none uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators.dedup import portable_hash64
+
+
+def hash_bucket(col: Column, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from the salted md5-fold.
+
+    The salt decorrelates independent sampling decisions on the same key
+    (sampling at 10% then re-sampling the survivors at 10% with a different
+    salt yields ~1%, not the same 10%). Non-negative by construction
+    (60-bit), so `%` agrees between Spark and DuckDB.
+    """
+    return portable_hash64(F.concat(F.lit(salt + ":"), col.cast("string"))) % buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_pct: int | None = None,
+    *,
+    stratify_col: str | None = None,
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 0,
+    salt: str = "samp",
+) -> DataFrame:
+    """Deterministic (stratified) Bernoulli sample: keep a row iff its key's
+    hash bucket falls below the stratum's percentage.
+
+    Uniform: ``hash_sample(df, "doc_id", 30)`` keeps ~30% of keys.
+    Stratified: ``rates_pct`` maps ``stratify_col`` values to percentages
+    (unlisted strata get ``default_pct``) — the language-rebalancing /
+    domain-downweighting step of a curation pipeline.
+
+    Scale: a narrow filter on top of the scan — no shuffle, no state; the
+    predicate stays inside whole-stage codegen and the same key always gets
+    the same verdict no matter how the data is split across executors.
+    """
+    bucket = hash_bucket(F.col(key_col), salt)
+    if rates_pct is None:
+        if rate_pct is None:
+            raise ValueError("pass rate_pct or rates_pct")
+        return df.filter(bucket < rate_pct)
+    if stratify_col is None:
+        raise ValueError("rates_pct requires stratify_col")
+    rate = F.lit(default_pct)
+    for value, pct in rates_pct.items():
+        rate = F.when(F.col(stratify_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen uniformly-at-random but
+    deterministically: rank rows within the group by their salted hash
+    (key as tiebreak) and keep rank <= k.
+
+    This is the "cap documents per domain" step (a handful of giant domains
+    would otherwise dominate a crawl corpus) and the distributed analog of
+    per-group reservoir sampling — same uniform-without-replacement
+    guarantee, but stateless and rerun-stable.
+
+    Scale: one hash-partitioned shuffle on ``group_col`` + a per-group
+    sort; no group's rows ever gather beyond one task, and skewed groups
+    degrade to a single task's sort (k is small, so a pre-filter via
+    approximate per-partition top-k would be the next lever if a group
+    outgrew a task — not needed while groups fit the shuffle block).
+    """
+    h = portable_hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def negative_sample(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    event_id_col: str,
+    n_items: int,
+    salt: str = "neg",
+) -> DataFrame:
+    """One candidate negative per positive interaction: item =
+    salted-hash(event id) % n_items, dropped if the user has EVER seen that
+    item (anti-join against the full seen set — J6 semantics, the same
+    exclusion the serving path applies, online/main/s1_server.py:24-33).
+
+    Emits (event_id, user, item) with label 0 implied; ratio <= 1:1 (hash
+    collisions with seen items are dropped, not redrawn — at corpus scale
+    the seen set is ~1e2 of ~1e6 items so the loss is ~0.01%, and redraw
+    loops would make the oracle iterative).
+
+    Scale: one shuffle for the distinct seen set, one hash anti-join on
+    (user, item); both partition on the same key pair, no broadcast of the
+    (large) positives side needed.
+    """
+    seen = interactions.select(
+        F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+    ).distinct()
+    cand = interactions.select(
+        F.col(event_id_col),
+        F.col(user_col),
+        (hash_bucket(F.col(event_id_col), salt, n_items)).alias(item_col),
+    )
+    return cand.join(
+        seen,
+        (cand[user_col] == seen["_u"]) & (cand[item_col] == seen["_i"]),
+        "left_anti",
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Sequence packing: concatenate each partition's documents in
+    ``order_col`` order and cut the stream every ``budget`` size units; a
+    document's bin is the bin its START offset falls in (concat-and-split
+    packing, the standard pretraining batch-shaping step — documents may
+    straddle a boundary, bins fill to >= budget utilization).
+
+    Adds ``bin_id`` (0-based within partition) and ``bin_offset`` (start
+    offset within the stream).
+
+    Scale: packing is inherently sequential WITHIN a stream, so the stream
+    is the partition key (source/shard/date) — one shuffle, then a
+    running-sum window per partition; partitions pack in parallel and no
+    global sort exists. At 100 TB you pick ``part_col`` so each stream's
+    documents fit one task (a crawl shard, not the whole corpus).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(size_col).over(w) - size_col).alias("bin_offset")
+    # floor-div, not cast: offsets are non-negative but a double->bigint cast
+    # rounds in some engines (DuckDB) and truncates in others (Spark)
+    return df.withColumn("bin_offset", start).withColumn(
+        "bin_id", F.floor(F.col("bin_offset") / budget).cast("bigint")
+    )

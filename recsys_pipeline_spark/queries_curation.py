@@ -1,0 +1,152 @@
+"""Data-curation queries: the selection/shaping stage of a training-data
+pipeline (language rebalancing, per-domain caps, negative sampling, token
+budget packing) over the driver's testdata, each with a bit-exact DuckDB
+oracle via the engine-portable md5-fold hash (operators/dedup.portable_hash64
+— see operators/curation.py for why hash-derived randomness, not rand(seed),
+is the only kind that survives AQE re-planning / speculative execution).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.operators import curation, text
+
+# DuckDB twin of operators/dedup.portable_hash64 over a salted key
+_H = "('0x' || substr(md5({salt} || ':' || CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# Language rebalance: downsample the over-represented languages, keep the
+# rare ones whole (the C4/mC4-style sampling temperature, as fixed rates).
+LANG_RATES_PCT = {"en": 50, "de": 60, "zh": 80}
+LANG_DEFAULT_PCT = 100
+DOMAIN_CAP = 15
+PACK_BUDGET = 400  # whitespace tokens per packed sequence
+N_ITEMS = 100  # events item vocabulary: props.$.k in [0, 99] at every sf
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of documents by language — no
+    shuffle, pure codegen filter; the same doc keeps/drops on any cluster."""
+    d = read_table(spark, sf_dir, "documents")
+    out = curation.hash_sample(
+        d, "doc_id", stratify_col="lang",
+        rates_pct=LANG_RATES_PCT, default_pct=LANG_DEFAULT_PCT,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in LANG_RATES_PCT.items()
+) + f" ELSE {LANG_DEFAULT_PCT} END"
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_H.format(salt="'samp'", col="doc_id")} % 100 < {_RATE_CASE}
+"""
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most DOMAIN_CAP docs per source, hash-uniform without replacement
+    — one shuffle on source, per-group top-k by salted hash rank."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.cap_per_group(d, "source", "doc_id", DOMAIN_CAP).select(
+        "doc_id", "source", "lang"
+    )
+
+
+SQL_CAP_PER_SOURCE = f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_H.format(salt="'cap'", col="doc_id")} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP}
+"""
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash-drawn unseen negative item per event (collisions with the
+    user's seen set dropped via anti-join — J6 semantics on the training
+    side; cites online/main/s1_server.py:24-33 for the serving twin)."""
+    ev = read_table(spark, sf_dir, "events")
+    inter = ev.select(
+        "event_id",
+        F.col("user_id").alias("userid"),
+        F.get_json_object("props", "$.k").cast("int").alias("itemid"),
+    )
+    neg = curation.negative_sample(inter, "userid", "itemid", "event_id", N_ITEMS)
+    return neg.select("event_id", "userid", "itemid")
+
+
+SQL_NEGATIVE_SAMPLE = f"""
+WITH inter AS (
+  SELECT event_id, user_id AS userid,
+         CAST(json_extract_string(props, '$.k') AS INT) AS itemid
+  FROM events
+),
+seen AS (SELECT DISTINCT userid, itemid FROM inter),
+cand AS (
+  SELECT event_id, userid,
+         CAST({_H.format(salt="'neg'", col="event_id")} % {N_ITEMS} AS INT) AS itemid
+  FROM inter
+)
+SELECT c.event_id, c.userid, c.itemid FROM cand c
+ANTI JOIN seen s ON c.userid = s.userid AND c.itemid = s.itemid
+"""
+
+
+def q_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing per source stream: bin = the
+    PACK_BUDGET-token window the document's start offset lands in; returns
+    per-bin shape stats (docs, tokens) — the batch-geometry report a
+    pretraining run reads before tokenization."""
+    d = read_table(spark, sf_dir, "documents")
+    packed = curation.pack_greedy(
+        d, "source", "doc_id", text.token_count(F.col("text")), PACK_BUDGET
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+SQL_PACK_TOKEN_BINS = f"""
+WITH sized AS (
+  SELECT source, doc_id, len({_TOKENS}) AS tok FROM documents
+),
+offs AS (
+  SELECT source, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS bin_offset
+  FROM sized
+)
+SELECT source, CAST(floor(bin_offset / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+FROM offs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_stratified": q_sample_stratified,
+    "cap_per_source": q_cap_per_source,
+    "negative_sample": q_negative_sample,
+    "pack_token_bins": q_pack_token_bins,
+}
+
+ORACLES_CUR: dict[str, str] = {
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "cap_per_source": SQL_CAP_PER_SOURCE,
+    "negative_sample": SQL_NEGATIVE_SAMPLE,
+    "pack_token_bins": SQL_PACK_TOKEN_BINS,
+}

@@ -1,0 +1,98 @@
+"""Semantic gates for the curation operators (value-level parity with the
+DuckDB oracles is covered by tests/test_oracle_parity.py, which picks the
+four queries up from the entry registry automatically)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.operators import curation
+from recsys_pipeline_spark import queries_curation as QC
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents").cache()
+
+
+def test_hash_sample_rate_and_determinism(spark, docs):
+    n = docs.count()
+    s = curation.hash_sample(docs, "doc_id", 30)
+    k = s.count()
+    # Bernoulli(0.3) over 500 keys: 5 sigma ~ +-51
+    assert abs(k - 0.3 * n) < 0.105 * n, (k, n)
+    assert s.count() == k  # rerun-stable
+    # different salt -> a genuinely different (but same-rate) subset
+    s2 = curation.hash_sample(docs, "doc_id", 30, salt="other")
+    ids, ids2 = (set(r[0] for r in x.select("doc_id").collect()) for x in (s, s2))
+    assert ids != ids2 and len(ids) == k
+
+
+def test_hash_sample_no_shuffle(docs):
+    plan = curation.hash_sample(docs, "doc_id", 30)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_respects_per_stratum_rates(spark, docs):
+    out = curation.hash_sample(
+        docs, "doc_id", stratify_col="lang", rates_pct={"en": 0}, default_pct=100
+    )
+    per = dict(out.groupBy("lang").count().collect())
+    assert "en" not in per
+    base = dict(docs.groupBy("lang").count().collect())
+    for lang, cnt in per.items():
+        assert cnt == base[lang], (lang, cnt, base[lang])
+
+
+def test_cap_per_group_enforces_k_and_keeps_small_groups(spark, docs):
+    capped = curation.cap_per_group(docs, "source", "doc_id", 15)
+    sizes = dict(capped.groupBy("source").count().collect())
+    base = dict(docs.groupBy("source").count().collect())
+    for src, n in base.items():
+        assert sizes[src] == min(n, 15), (src, n, sizes[src])
+    # survivors are a subset, not rewritten rows
+    assert capped.join(docs, ["doc_id"], "left_anti").count() == 0
+
+
+def test_negative_sample_is_unseen_and_in_vocab(spark):
+    ev = read_table(spark, SF, "events")
+    inter = ev.select(
+        "event_id",
+        F.col("user_id").alias("userid"),
+        F.get_json_object("props", "$.k").cast("int").alias("itemid"),
+    )
+    neg = curation.negative_sample(inter, "userid", "itemid", "event_id", 100).cache()
+    assert neg.filter((F.col("itemid") < 0) | (F.col("itemid") >= 100)).count() == 0
+    # no emitted (user, item) may appear in the seen set
+    seen = inter.select("userid", "itemid").distinct()
+    assert neg.join(seen, ["userid", "itemid"], "left_semi").count() == 0
+    # deterministic: at most one negative per source event
+    assert neg.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_pack_bins_are_contiguous_and_filled(spark, docs):
+    from recsys_pipeline_spark.operators import text
+
+    packed = curation.pack_greedy(
+        docs, "source", "doc_id", text.token_count(F.col("text")), QC.PACK_BUDGET
+    ).cache()
+    # bin ids per source are 0..max with no holes
+    agg = packed.groupBy("source").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.countDistinct("bin_id").alias("n"),
+    )
+    bad = agg.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1))
+    assert bad.count() == 0
+    # every non-final bin starts within budget of the previous one's start:
+    # a doc's start offset always lands in bin floor(offset/budget)
+    assert (
+        packed.filter(
+            F.floor(F.col("bin_offset") / QC.PACK_BUDGET) != F.col("bin_id")
+        ).count()
+        == 0
+    )
