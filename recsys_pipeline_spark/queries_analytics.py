@@ -271,7 +271,8 @@ FROM p ASOF LEFT JOIN c
 # ---------------------------------------------------------------------------
 
 def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    # moment accumulation is map-side-heavy (6 decimal products/row) -> spread
+    li = spread(read_table(spark, sf_dir, "lineitem"))
     return stats.exact_bivariate_stats(
         li, group_col="l_returnflag", x_col="l_quantity", y_col="l_extendedprice"
     )
