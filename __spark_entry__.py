@@ -49,14 +49,18 @@ _DEFERRED = [
     "pit_value_sum",  # A4 sliding-window family recorded via pit_sliding_features
     "ngram_dedup_survivors",  # n-gram Jaccard recorded via ngram_jaccard_dup;
     # survivor resolution recorded via exact_dedup + dup_clusters
+    "doc_fingerprint",  # md5 fingerprinting recorded via simhash_fingerprint
+    # + exact_dedup (same md5-key family); freed slot goes to the curation
+    # family's recorded representative (sample_stratified)
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) returns to the recorded window in its place.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # QC (curation) merges AFTER the ML surface: its 4 queries land at
-    # positions 51-54, outside the recorded-50 window but fully inside the
+    # QC (curation) merges AFTER the ML surface: sample_stratified (the
+    # family's representative) takes the recorded slot doc_fingerprint
+    # freed; the other three land just past the window but fully inside the
     # pytest oracle-parity harness (all four carry DuckDB oracles).
     merged = {
         **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,
