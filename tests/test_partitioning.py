@@ -126,3 +126,20 @@ def test_sketch_index_prunes_files_at_bench_scale(spark, tmp_path_factory):
     assert 0 < len(touched) < len(all_files)
     assert all(any(f"/cell={c}/" in f for c in probe) for f in touched), touched
     assert probed.count() == cells.filter(F.col("cell").isin(probe)).count()
+
+
+def test_spread_is_identity_at_production_split_counts(spark):
+    """io.spread exists ONLY to rescue split-starved small scans (single
+    parquet row-group -> one task). On input that already has >= cores
+    partitions — the production shape — it must return the SAME DataFrame,
+    adding no exchange to a big-data plan."""
+    from recsys_pipeline_spark.io import spread
+
+    wide = spark.range(0, 10_000, 1, numPartitions=64)
+    assert spread(wide) is wide
+    narrow = spark.range(0, 10_000, 1, numPartitions=1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    # and the rescue preserves the rows exactly
+    assert out.count() == 10_000
