@@ -589,7 +589,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions are evaluated on the replicas — pre-projecting computes the
     multiply once per source row instead of once per copy (measured 2.8x on
     the 4-level cube)."""
-    li = spread(read_table(spark, sf_dir, "lineitem"))  # Expand is map-side work
+    li = read_table(spark, sf_dir, "lineitem")  # quiet-machine A/B: spread
+    # is neutral here (grouping cols are low-cardinality, partial agg keeps
+    # the exchange tiny either way) -- keep the plain scan
     pre = li.select(
         "l_returnflag",
         "l_linestatus",
