@@ -156,6 +156,9 @@ def q_recommend_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = _interactions(spark, sf_dir)
     train, _ = _train_test(inter)
+    # same multi-branch reuse as the det twin: ALS + terms + seen + entity +
+    # ranker-features all consume this split — materialize it once
+    train = train.localCheckpoint(eager=True)
     # rank must equal EMBEDDING_DIM: missing users get the reference's
     # default [1.0]*16 vector (P13) and cosine needs matching lengths
     # rank 4 + reg 0.1 keep the normal equations positive-definite on
@@ -250,6 +253,13 @@ def q_recommend_top50_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = _interactions(spark, sf_dir).filter(F.col("itemid").isNotNull())
     train, _ = _train_test(inter)
+    # Eight downstream branches (profiles/terms/seen/entity x user/item) hang
+    # off this split; without materialization Catalyst re-executes the
+    # scan+window subtree once PER BRANCH (measured 9 FileScans / 14 Windows,
+    # ~3x wall). Materialize the split once — the offline pipeline's "write
+    # the split table" step, kept in executor memory (cluster: checkpoint to
+    # storage, same effect).
+    train = train.localCheckpoint(eager=True)
 
     user_vecs = _type_count_profile(train, "userid")
     item_vecs = _type_count_profile(train, "itemid")
