@@ -209,3 +209,23 @@ def test_stream_stream_interval_join_matches_batch(spark, batch_events):
     }
     assert got == want
     assert len(want) > 0  # fixture actually exercises the join
+
+
+def test_streaming_hash_sample_matches_batch(spark, batch_events):
+    """Curation composes with streams: hash-deterministic sampling is a
+    stateless codegen filter, so the SAME operator call works on a readStream
+    and keeps exactly the batch-chosen rows (rand(seed) sampling cannot — the
+    draw stream depends on micro-batch boundaries)."""
+    from recsys_pipeline_spark.operators import curation
+
+    stream = sp.stream_events(spark, SF)
+    sp.run_to_memory(
+        curation.hash_sample(stream, "event_id", 30), "sampled_stream", "append"
+    )
+    got = {r["event_id"] for r in spark.table("sampled_stream").select("event_id").collect()}
+    want = {
+        r["event_id"]
+        for r in curation.hash_sample(batch_events, "event_id", 30)
+        .select("event_id").collect()
+    }
+    assert got == want and 0 < len(got) < batch_events.count()
