@@ -261,32 +261,53 @@ def q_recommend_top50_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage, same effect).
     train = train.localCheckpoint(eager=True)
 
-    user_vecs = _type_count_profile(train, "userid")
-    item_vecs = _type_count_profile(train, "itemid")
-
+    # ONE aggregation pass per side: profile counts + seen/terms + entity
+    # stats share a groupBy key, so they share a shuffle (5 exchanges of the
+    # full split collapse to 2 — the shape a 100 TB feature build wants).
+    # The per-entity results are tiny (|users| / |items| rows); materializing
+    # them keeps Catalyst from re-running the combined agg once per slice.
     term_id = F.element_at(
         F.create_map(*[x for t, i in TYPE_ID.items() for x in (F.lit(t), F.lit(i))]),
         F.col("event_type"),
     )
     with_tid = train.withColumn("tid", term_id)
+    n_types = len(EVENT_TYPES)
+
+    def _type_counts():
+        return [
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("double").alias(f"_c{j}")
+            for j, t in enumerate(EVENT_TYPES)
+        ]
+
+    def _vec():
+        return F.array(*[F.col(f"_c{j}") for j in range(n_types)]).alias("vector")
+
+    user_agg = train.groupBy("userid").agg(
+        *_type_counts(),
+        F.collect_list("itemid").alias("items"),
+        F.count(F.lit(1)).cast("double").alias("u_n"),
+        # EXACT rate: integer sum / count, one IEEE divide
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("u_rate"),
+    ).localCheckpoint(eager=False)  # lazy: cached at first use, no barrier
+    user_vecs = user_agg.select("userid", _vec())
+    seen = user_agg.select("userid", "items")
+    user_entity = user_agg.select("userid", "u_n", "u_rate")
+
+    item_agg = with_tid.groupBy("itemid").agg(
+        *_type_counts(),
+        F.collect_set("tid").cast("array<int>").alias("genre_ids"),
+        F.count(F.lit(1)).cast("double").alias("i_n"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("i_rate"),
+    ).localCheckpoint(eager=False)
+    item_vecs = item_agg.select("itemid", _vec())
+    item_terms = item_agg.select("itemid", "genre_ids")
+    item_entity = item_agg.select("itemid", "i_n", "i_rate")
+
     user_terms = (
         with_tid.groupBy("userid", "tid").agg(F.sum("label").alias("clk"))
         .filter(F.col("clk") >= 2)
         .groupBy("userid").agg(F.collect_list("tid").cast("array<int>").alias("terms"))
-    )
-    item_terms = with_tid.groupBy("itemid").agg(
-        F.collect_set("tid").cast("array<int>").alias("genre_ids")
-    )
-    seen = train.groupBy("userid").agg(F.collect_list("itemid").alias("items"))
-
-    # entity features with EXACT rates (integer sum / count, one IEEE divide)
-    user_entity = train.groupBy("userid").agg(
-        F.count(F.lit(1)).cast("double").alias("u_n"),
-        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("u_rate"),
-    )
-    item_entity = train.groupBy("itemid").agg(
-        F.count(F.lit(1)).cast("double").alias("i_n"),
-        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("i_rate"),
     )
 
     request_users = inter.select("userid").distinct()
