@@ -1,0 +1,76 @@
+"""Property-based checks for the curation operators: on arbitrary corpora
+(random groups, sizes, budgets) each operator must equal a direct sequential
+simulation of its contract. Randomized generalization of the fixed-world
+assertions in test_curation.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators import curation
+
+doc = st.tuples(
+    st.integers(min_value=0, max_value=500),  # doc_id (dupes possible pre-distinct)
+    st.sampled_from(["s0", "s1", "s2"]),      # group
+    st.integers(min_value=0, max_value=30),   # size (0-token docs allowed)
+)
+corpora = st.lists(doc, min_size=1, max_size=40)
+
+
+def _h(salt: str, key) -> int:
+    """Python twin of dedup.portable_hash64 over the salted key."""
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16)
+
+
+def _df(spark, data):
+    uniq = {d[0]: d for d in data}.values()  # ids must be unique keys
+    return spark.createDataFrame(
+        [(i, g, n) for i, g, n in uniq], "doc_id long, grp string, n long"
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpora, st.integers(min_value=0, max_value=100))
+def test_hash_sample_equals_bucket_rule(spark, data, rate):
+    df = _df(spark, data)
+    got = {r["doc_id"] for r in curation.hash_sample(df, "doc_id", rate).collect()}
+    want = {r["doc_id"] for r in df.collect() if _h("samp", r["doc_id"]) % 100 < rate}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpora, st.integers(min_value=1, max_value=6))
+def test_cap_per_group_equals_hash_rank_simulation(spark, data, k):
+    df = _df(spark, data)
+    got = {r["doc_id"] for r in curation.cap_per_group(df, "grp", "doc_id", k).collect()}
+    by_grp: dict[str, list] = {}
+    for r in df.collect():
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    want = set()
+    for ids in by_grp.values():
+        want |= set(sorted(ids, key=lambda i: (_h("cap", i), i))[:k])
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpora, st.integers(min_value=1, max_value=50))
+def test_pack_greedy_equals_running_sum_simulation(spark, data, budget):
+    df = _df(spark, data)
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in curation.pack_greedy(df, "grp", "doc_id", F.col("n"), budget).collect()
+    }
+    by_grp: dict[str, list] = {}
+    for r in df.collect():
+        by_grp.setdefault(r["grp"], []).append((r["doc_id"], r["n"]))
+    want = {}
+    for items in by_grp.values():
+        off = 0
+        for i, n in sorted(items):
+            want[i] = (off // budget, off)
+            off += n
+    assert got == want
