@@ -176,3 +176,56 @@ def pack_greedy(
     return df.withColumn("bin_offset", start).withColumn(
         "bin_id", F.floor(F.col("bin_offset") / budget).cast("bigint")
     )
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pct: int,
+    n: int = 8,
+    salt: str = "eval",
+) -> DataFrame:
+    """Benchmark decontamination: flag every non-eval document that shares at
+    least one word n-gram with the (hash-designated) eval set — the standard
+    pre-training hygiene step that keeps test data out of the training
+    corpus. Emits (id, n_hits) with n_hits = count of distinct shared grams.
+
+    The eval set here is hash-sampled from the corpus itself (``eval_pct`` %
+    by salted key) so the whole check is a pure function of the data; in
+    production the eval side is the benchmark suite — swap the sample for
+    ``eval_ids`` and nothing else changes.
+
+    Scale: tokenization is materialized ONCE and positions explode through
+    codegen projections (the MinHash/doc_repetition plan shape, PLANS.md —
+    not per-row HOF transforms); the eval gram set is benchmark-sized, so
+    the contamination join broadcasts it and the corpus side never shuffles
+    until the per-doc count (one exchange on the id).
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    n_tok = F.size("toks")
+    pos = t.select(
+        id_col,
+        "toks",
+        F.explode(
+            F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    grams = pos.select(
+        id_col,
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+        ).alias("gram"),
+    )
+    is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    return (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )

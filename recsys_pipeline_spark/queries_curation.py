@@ -137,14 +137,49 @@ FROM offs GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+DECON_EVAL_PCT = 5
+DECON_N = 4  # word-gram width: 8-13 in production; 4 on the short synthetic
+# docs so the flagged set is non-trivial (37 of ~475 at sf0.01)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: non-eval docs sharing a word 4-gram with
+    the hash-designated eval slice, with the count of distinct shared grams
+    — the keep-test-data-out-of-training hygiene pass."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.decontaminate_flags(
+        d, "doc_id", "text", eval_pct=DECON_EVAL_PCT, n=DECON_N
+    )
+
+
+_GRAMS_N = (
+    f"list_transform(range(1, greatest(len(toks) - {DECON_N - 1}, 0) + 1), "
+    f"i -> array_to_string(toks[i:i+{DECON_N - 1}], ' '))"
+)
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_GRAMS_N}) AS gram FROM t),
+ev AS (SELECT doc_id FROM t
+       WHERE {_H.format(salt="'eval'", col="doc_id")} % 100 < {DECON_EVAL_PCT}),
+eg AS (SELECT DISTINCT gram FROM g JOIN ev USING (doc_id))
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+FROM g ANTI JOIN ev ON g.doc_id = ev.doc_id
+JOIN eg ON g.gram = eg.gram
+GROUP BY 1
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "cap_per_source": q_cap_per_source,
     "negative_sample": q_negative_sample,
     "pack_token_bins": q_pack_token_bins,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES_CUR: dict[str, str] = {
+    "decontaminate": SQL_DECONTAMINATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "cap_per_source": SQL_CAP_PER_SOURCE,
     "negative_sample": SQL_NEGATIVE_SAMPLE,

@@ -96,3 +96,31 @@ def test_pack_bins_are_contiguous_and_filled(spark, docs):
         ).count()
         == 0
     )
+
+
+def test_decontaminate_flags_only_noneval_docs_with_real_overlap(spark, docs):
+    from recsys_pipeline_spark.operators.text import tokens as tok_col
+
+    flagged = curation.decontaminate_flags(docs, "doc_id", "text", eval_pct=5, n=4)
+    rows = {r["doc_id"]: r["n_hits"] for r in flagged.collect()}
+    assert rows and all(n >= 1 for n in rows.values())
+    # python recompute: eval membership + 4-gram overlap must agree exactly
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", tok_col(F.col("text")).alias("t")).collect()
+    }
+    import hashlib
+
+    def is_eval(i):
+        return int(hashlib.md5(f"eval:{i}".encode()).hexdigest()[:15], 16) % 100 < 5
+
+    def grams(ts):
+        return {" ".join(ts[i : i + 4]) for i in range(len(ts) - 3)}
+
+    eval_grams = set().union(*(grams(t) for i, t in toks.items() if is_eval(i)))
+    want = {
+        i: len(grams(t) & eval_grams)
+        for i, t in toks.items()
+        if not is_eval(i) and grams(t) & eval_grams
+    }
+    assert rows == want
