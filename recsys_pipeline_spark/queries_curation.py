@@ -170,16 +170,63 @@ GROUP BY 1
 """
 
 
+MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source token mass raised to temperature
+    alpha=0.5 and normalized — the up-weight-the-tail mixing step a
+    multi-source pretraining corpus applies before sampling (feeds
+    hash_sample's per-stratum rates). sqrt is correctly-rounded IEEE in both
+    engines; the 20-term normalizing sum is order-dependent in its last ulp,
+    so the weight is rounded to 9 dp (~7 orders above that noise — the
+    tfidf_doc_terms discipline).
+
+    Scale: one shuffle to the per-source token counts (tiny), then a scalar
+    broadcast of the normalizer — no second pass over the corpus.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens")
+    )
+    norm = per_src.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("_z")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double")) / F.col("_z"), 9
+            ).alias("weight"),
+        )
+    )
+
+
+SQL_MIXTURE_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source, SUM(len({_TOKENS})) AS n_tokens FROM documents GROUP BY 1
+),
+norm AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS _z FROM per_src)
+SELECT source, n_tokens,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / _z, 9) AS weight
+FROM per_src, norm
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "cap_per_source": q_cap_per_source,
     "negative_sample": q_negative_sample,
     "pack_token_bins": q_pack_token_bins,
     "decontaminate": q_decontaminate,
+    "mixture_weights": q_mixture_weights,
 }
 
 ORACLES_CUR: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "cap_per_source": SQL_CAP_PER_SOURCE,
     "negative_sample": SQL_NEGATIVE_SAMPLE,

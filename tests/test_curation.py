@@ -124,3 +124,14 @@ def test_decontaminate_flags_only_noneval_docs_with_real_overlap(spark, docs):
         if not is_eval(i) and grams(t) & eval_grams
     }
     assert rows == want
+
+
+def test_mixture_weights_sum_to_one_and_flatten_the_distribution(spark):
+    rows = QC.q_mixture_weights(spark, SF).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    # temperature < 1 flattens: the weight ratio between the largest and
+    # smallest source must be strictly smaller than their token-mass ratio
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["n_tokens"] > small["n_tokens"]
+    assert big["weight"] / small["weight"] < big["n_tokens"] / small["n_tokens"]
