@@ -7,6 +7,7 @@ collected to the driver.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -77,6 +78,12 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(df)
             times.append(time.perf_counter() - t0)
+            # queries that localCheckpoint intermediates (the serving
+            # composites) hold executor blocks until the Python refs die;
+            # collect promptly so block-manager pressure never bleeds into
+            # the NEXT query's timing
+            del df
+            gc.collect()
         dt = statistics.median(times)
         timings[name] = round(dt, 4)
         total += dt
