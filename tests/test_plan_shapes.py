@@ -150,3 +150,18 @@ def test_scan_pushdown_and_column_pruning(spark):
     txt = "\n".join(scans) or plan
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type", txt), txt[:500]
     assert "props" not in txt
+
+
+def test_det_composite_materializes_the_split_once(spark):
+    """Round-7 lesson (PLANS.md 20): 8 branches hang off the temporal split;
+    without the localCheckpoint the executed plan showed 9 FileScans and 14
+    Window passes (the subtree re-ran per branch). Pin the materialized
+    shape: the events file is scanned for the split + request-users only,
+    and the split's two window passes appear once."""
+    import re
+
+    from recsys_pipeline_spark.queries_ml import q_recommend_top50_det
+
+    plan = _final_plan(q_recommend_top50_det(spark, SF))
+    assert plan.count("FileScan") <= 3, plan.count("FileScan")
+    assert len(re.findall(r"\bWindow\b", plan)) <= 2
