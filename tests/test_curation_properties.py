@@ -74,3 +74,28 @@ def test_pack_greedy_equals_running_sum_simulation(spark, data, budget):
             want[i] = (off // budget, off)
             off += n
     assert got == want
+
+
+interaction = st.tuples(
+    st.integers(min_value=0, max_value=5),   # user
+    st.integers(min_value=0, max_value=9),   # item
+)
+interaction_logs = st.lists(interaction, min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(interaction_logs)
+def test_negative_sample_equals_hash_draw_simulation(spark, data):
+    rows = [(eid, u, i) for eid, (u, i) in enumerate(data)]
+    df = spark.createDataFrame(rows, "event_id long, userid long, itemid long")
+    got = {
+        (r["event_id"], r["userid"], r["itemid"])
+        for r in curation.negative_sample(df, "userid", "itemid", "event_id", 10).collect()
+    }
+    seen = {(u, i) for _, u, i in rows}
+    want = set()
+    for eid, u, _ in rows:
+        cand = _h("neg", eid) % 10
+        if (u, cand) not in seen:
+            want.add((eid, u, cand))
+    assert got == want
