@@ -48,20 +48,30 @@ _DEFERRED = [
     "doc_repetition",  # text-quality family already has 5 recorded rows
     "pit_value_sum",  # A4 sliding-window family recorded via pit_sliding_features
     "ngram_dedup_survivors",  # n-gram Jaccard recorded via ngram_jaccard_dup;
-    # survivor resolution recorded via exact_dedup + dup_clusters
+    # survivor resolution recorded via dup_clusters
     "doc_fingerprint",  # md5 fingerprinting recorded via simhash_fingerprint
-    # + exact_dedup (same md5-key family); freed slot goes to the curation
-    # family's recorded representative (sample_stratified)
+    # (same md5-key family)
+    # Round-8 swaps (per the r7 verdict's recorded-50 audit): two in-window
+    # redundancies move here so the curation family gains driver-recorded
+    # rows beyond sample_stratified —
+    "exact_dedup",  # md5-key family triple-covered; simhash_fingerprint +
+    # dup_clusters keep the recorded representation (dup_clusters subsumes
+    # the exact-dup grouping), streaming twin + pytest oracle still pin it
+    "embedding_near_dup",  # the documented exact twin; the family's scale
+    # path embedding_near_dup_lsh stays recorded
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
-# bivariate-stats family) returns to the recorded window in its place.
+# bivariate-stats family) stays in the recorded window; the two slots the
+# round-8 swap frees go to negative_sample (J6's training-side twin) and
+# decontaminate (the every-round hygiene pass).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # QC (curation) merges AFTER the ML surface: sample_stratified (the
-    # family's representative) takes the recorded slot doc_fingerprint
-    # freed; the other three land just past the window but fully inside the
-    # pytest oracle-parity harness (all four carry DuckDB oracles).
+    # QC (curation) merges AFTER the ML surface. Of its six queries (all
+    # with DuckDB oracles), three are driver-recorded — sample_stratified,
+    # negative_sample, decontaminate — and three land past the window
+    # (cap_per_source, pack_token_bins, mixture_weights), fully inside the
+    # pytest oracle-parity harness.
     merged = {
         **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,
         **QC.QUERIES_CUR,

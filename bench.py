@@ -74,8 +74,11 @@ def main() -> None:
             continue
         times = []
         for _ in range(repeats):
-            df = fn(spark, sf_dir)
+            # Timer starts BEFORE construction: queries that eagerly
+            # materialize intermediates (localCheckpoint(eager=True)) would
+            # otherwise do real scan/shuffle work outside the timed region.
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             materialize(df)
             times.append(time.perf_counter() - t0)
             # queries that localCheckpoint intermediates (the serving

@@ -182,25 +182,31 @@ def decontaminate_flags(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    eval_pct: int,
+    eval_pct: int = 0,
     n: int = 8,
     salt: str = "eval",
+    eval_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag every non-eval document that shares at
-    least one word n-gram with the (hash-designated) eval set — the standard
-    pre-training hygiene step that keeps test data out of the training
-    corpus. Emits (id, n_hits) with n_hits = count of distinct shared grams.
+    least one word n-gram with the eval set — the standard pre-training
+    hygiene step that keeps test data out of the training corpus. Emits
+    (id, n_hits) with n_hits = count of distinct shared grams.
 
-    The eval set here is hash-sampled from the corpus itself (``eval_pct`` %
-    by salted key) so the whole check is a pure function of the data; in
-    production the eval side is the benchmark suite — swap the sample for
-    ``eval_ids`` and nothing else changes.
+    The eval side is either ``eval_ids`` (a one-column frame of doc ids —
+    the production shape, where the benchmark suite is a known-small
+    external set) or, when ``eval_ids`` is None, a hash-designated
+    ``eval_pct`` % slice of the corpus itself (a pure function of the data,
+    which is what the bit-exact oracle checks).
 
     Scale: tokenization is materialized ONCE and positions explode through
     codegen projections (the MinHash/doc_repetition plan shape, PLANS.md —
-    not per-row HOF transforms); the eval gram set is benchmark-sized, so
-    the contamination join broadcasts it and the corpus side never shuffles
-    until the per-doc count (one exchange on the id).
+    not per-row HOF transforms). The contamination join gets an explicit
+    broadcast hint ONLY in the ``eval_ids`` path, where the eval side is a
+    benchmark suite and known-small by contract; the self-designated slice
+    is eval_pct % of the CORPUS's grams — at 100 TB a forced broadcast of
+    that is an OOM, so its sizing is left to AQE (small inputs still
+    broadcast at runtime, big ones shuffle). Either way the corpus side
+    never shuffles until the per-doc count (one exchange on the id).
     """
     from recsys_pipeline_spark.operators.text import tokens
 
@@ -221,11 +227,22 @@ def decontaminate_flags(
             " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
         ).alias("gram"),
     )
-    is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
-    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    if eval_ids is not None:
+        key = eval_ids.columns[0]
+        ids = eval_ids.select(F.col(key).alias(id_col)).distinct()
+        eval_grams = (
+            grams.join(F.broadcast(ids), id_col).select("gram").distinct()
+        )
+        train_grams = grams.join(F.broadcast(ids), id_col, "left_anti")
+        eval_grams = F.broadcast(eval_grams)
+    else:
+        if eval_pct <= 0:
+            raise ValueError("pass eval_ids or a positive eval_pct")
+        is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
+        eval_grams = grams.filter(is_eval).select("gram").distinct()
+        train_grams = grams.filter(~is_eval)
     return (
-        grams.filter(~is_eval)
-        .join(F.broadcast(eval_grams), "gram")
+        train_grams.join(eval_grams, "gram")
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_hits"))
     )

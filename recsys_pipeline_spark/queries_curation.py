@@ -76,11 +76,17 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's seen set dropped via anti-join — J6 semantics on the training
     side; cites online/main/s1_server.py:24-33 for the serving twin)."""
     ev = read_table(spark, sf_dir, "events")
+    # Both the seen set and the candidate side derive from this frame;
+    # materialize the parsed projection ONCE (lazy: cached at first use) so
+    # the events scan runs once instead of twice — the "write the
+    # interactions table" step of an offline pipeline, kept in executor
+    # memory here (cluster: checkpoint to storage, same effect). Quiet A/B
+    # at sf0.1: 1.33 s -> 0.93 s median (PLANS.md §20).
     inter = ev.select(
         "event_id",
         F.col("user_id").alias("userid"),
         F.get_json_object("props", "$.k").cast("int").alias("itemid"),
-    )
+    ).localCheckpoint(eager=False)
     neg = curation.negative_sample(inter, "userid", "itemid", "event_id", N_ITEMS)
     return neg.select("event_id", "userid", "itemid")
 
@@ -215,12 +221,16 @@ FROM per_src, norm
 """
 
 
+# Order encodes recorded-window priority (see __spark_entry__.queries()):
+# the first three are the family's driver-recorded representatives
+# (stratified sampling / negative sampling / decontamination); the last
+# three sit past the window, pinned by tests/test_oracle_parity.py.
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
-    "cap_per_source": q_cap_per_source,
     "negative_sample": q_negative_sample,
-    "pack_token_bins": q_pack_token_bins,
     "decontaminate": q_decontaminate,
+    "cap_per_source": q_cap_per_source,
+    "pack_token_bins": q_pack_token_bins,
     "mixture_weights": q_mixture_weights,
 }
 

@@ -126,6 +126,73 @@ def test_decontaminate_flags_only_noneval_docs_with_real_overlap(spark, docs):
     assert rows == want
 
 
+def test_decontaminate_self_designated_join_is_aqe_sized(spark, docs):
+    """The self-designated path must carry NO forced broadcast hint: with
+    broadcasting disabled it has to plan (and run) as a shuffle join — the
+    shape that survives an eval side that is 5% of a 100 TB corpus — and
+    still produce identical flags."""
+    baseline = {
+        (r["doc_id"], r["n_hits"])
+        for r in curation.decontaminate_flags(
+            docs, "doc_id", "text", eval_pct=5, n=4
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = curation.decontaminate_flags(docs, "doc_id", "text", eval_pct=5, n=4)
+        got = {(r["doc_id"], r["n_hits"]) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert got == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_decontaminate_external_eval_ids_matches_and_broadcasts(spark, docs):
+    """Passing the hash-designated slice explicitly as eval_ids must flag the
+    same documents, and — being the known-small benchmark-suite path — keep
+    its broadcast hint even when auto-broadcast is disabled."""
+    import hashlib
+
+    ids = [
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if int(hashlib.md5(f"eval:{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        % 100
+        < 5
+    ]
+    eval_ids = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    baseline = {
+        (r["doc_id"], r["n_hits"])
+        for r in curation.decontaminate_flags(
+            docs, "doc_id", "text", eval_pct=5, n=4
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = curation.decontaminate_flags(
+            docs, "doc_id", "text", n=4, eval_ids=eval_ids
+        )
+        got = {(r["doc_id"], r["n_hits"]) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert got == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_mixture_weights_sum_to_one_and_flatten_the_distribution(spark):
     rows = QC.q_mixture_weights(spark, SF).collect()
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
