@@ -6,8 +6,10 @@ transforms) is real and tested; ``decode="deterministic_fake"`` produces
 reproducible pseudo-features from the bytes and is the oracle-checked
 default. ``decode="real"`` decodes IMAGE payloads through PIL when that
 library is importable (gated behind the import — not installed in this
-container, where it raises NotImplementedError loudly); audio/video decode
-still awaits ffmpeg/torchaudio. The Spark shape is identical either way.
+container, where it raises NotImplementedError loudly); WAV audio decodes
+through the stdlib ``wave`` module; VIDEO decodes through imageio when that
+library (plus an ffmpeg/pyav plugin) is importable — probed eagerly, the
+same gate pattern as PIL. The Spark shape is identical either way.
 """
 
 from __future__ import annotations
@@ -85,8 +87,11 @@ def extract_features(
       * ``audio`` — PCM WAV via the stdlib ``wave`` module, no external
         codec (8 stats: channels, sample rate, frames, duration, mean |x|,
         RMS, peak, zero-crossing rate on the first channel).
-      * ``video`` — no codec in this environment: declaring it raises
-        NotImplementedError EAGERLY (plan time), never mid-job.
+      * ``video`` — imageio (+ an ffmpeg/pyav plugin) when importable,
+        probed EAGERLY at plan time like PIL (8 stats: n_frames, w, h,
+        channels, mean/std luminance, mean |first−last| frame delta,
+        aspect); absent codecs raise NotImplementedError at plan time,
+        never mid-job.
     Rows whose kind is NOT declared get ``features = NULL`` (n_bytes is
     still real) instead of failing the job after partial work — mixed-media
     tables route through one pass and the caller filters on feature nullity.
@@ -94,10 +99,12 @@ def extract_features(
     if decode == "real":
         import importlib.util
 
-        if "video" in kinds:
+        if "video" in kinds and importlib.util.find_spec("imageio") is None:
             raise NotImplementedError(
-                "real video decode requires ffmpeg — not available in this "
-                "environment; drop 'video' from kinds (rows yield NULL features)"
+                "real video decode requires imageio + an ffmpeg/pyav plugin "
+                "(driver AND executors) — not available; drop 'video' from "
+                "kinds (rows yield NULL features) or use "
+                "decode='deterministic_fake'"
             )
         if "image" in kinds and importlib.util.find_spec("PIL") is None:
             raise NotImplementedError(
@@ -160,10 +167,35 @@ def extract_features(
                     zc,
                 ]
 
+            def video_feats(payload):
+                import imageio.v3 as iio
+
+                arr = np.asarray(iio.imread(payload, index=None))
+                if arr.ndim == 2:  # single gray frame
+                    arr = arr[None, ..., None]
+                elif arr.ndim == 3:  # single frame HxWxC or gray NxHxW
+                    arr = arr[None] if arr.shape[-1] in (1, 3, 4) else arr[..., None]
+                nf, h, w, c = arr.shape
+                gray = arr[..., : min(c, 3)].mean(axis=-1) / 255.0
+                return [
+                    float(nf),
+                    float(w),
+                    float(h),
+                    float(c),
+                    float(gray.mean()),
+                    float(gray.std()),
+                    float(np.abs(gray[-1] - gray[0]).mean()),
+                    float(w) / float(h),
+                ]
+
             def feats(payload, kind):
                 if payload is None or kind not in want:
                     return None
-                return image_feats(payload) if kind == "image" else audio_feats(payload)
+                if kind == "image":
+                    return image_feats(payload)
+                if kind == "video":
+                    return video_feats(payload)
+                return audio_feats(payload)
 
             for pdf in it:
                 yield _pd.DataFrame(

@@ -326,9 +326,40 @@ def test_multimodal_real_audio_decode(spark):
     assert abs(f[7] - 0.25) < 1e-2  # zero-crossing every 4th sample
     assert out[2]["features"] is None  # undeclared kind -> NULL, not a raise
     assert out[3]["features"] is None  # null payload -> NULL
-    # declaring video eagerly raises at PLAN time (no codec in this env)
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, decode="real", kinds=("audio", "video"))
+    import importlib.util
+
+    if importlib.util.find_spec("imageio") is None:
+        # declaring video eagerly raises at PLAN time (no codec in this env)
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_features(media, decode="real", kinds=("audio", "video"))
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("imageio") is None,
+    reason="imageio not installed in this environment",
+)
+def test_multimodal_real_video_decode(spark):
+    """decode='real' with kinds=('video',) on a tiny generated clip: runs
+    only when imageio (+ a codec plugin) is present — skipped in this
+    container; the deterministic-fake path stays the oracle-checked
+    default. Mirrors the PIL/wave gate pattern."""
+    import io
+
+    import imageio.v3 as iio
+    import numpy as np
+
+    frames = np.zeros((3, 4, 6, 3), dtype=np.uint8)
+    frames[-1, :, :, :] = 255  # black, black, white
+    buf = io.BytesIO()
+    iio.imwrite(buf, frames, extension=".gif")
+    rows = [(1, "video", buf.getvalue(), (6, 4, None, 3, "video/gif"))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(media, decode="real", kinds=("video",)).collect()
+    assert len(out) == 1
+    f = out[0]["features"]
+    assert len(f) == multimodal.FEATURE_DIM
+    assert (f[0], f[1], f[2]) == (3.0, 6.0, 4.0)  # n_frames, w, h
+    assert abs(f[6] - 1.0) < 1e-6  # |last - first| luminance delta
 
 
 @pytest.mark.skipif(
