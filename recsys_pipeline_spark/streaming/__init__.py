@@ -4,5 +4,7 @@ The reference has no streaming operators — its online path is request/response
 — but the engine exposes the streaming re-expression of the same semantics:
 the per-user ordered stateful scan (s2_term_trans.py:42-61) as a stateful
 streaming aggregation, plus the standard event-time toolkit (watermarked
-tumbling/sliding windows, session windows, foreachBatch sinks).
+tumbling/sliding windows, session windows, foreachBatch sinks) and the
+curation stage online (curation_stream: state-table per-group admission
+caps and prefix-seen negative sampling, batch-parity tested).
 """

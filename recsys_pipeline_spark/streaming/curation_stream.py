@@ -1,0 +1,123 @@
+"""Streaming twins of the curation operators (foreachBatch + state tables).
+
+Batch curation decides from the WHOLE corpus; a stream can only know its
+prefix. Two of the operators need per-key state to run online, and both get
+it the way the reference's online stages do (state tables maintained by the
+sync path, sync.py): a foreachBatch step that reads the accumulated state,
+decides for the micro-batch, and appends the delta — idempotent per epoch,
+swappable for Redis/Delta in production.
+
+Semantics vs the batch twins (documented, asserted in tests):
+
+* ``cap_per_group_stream`` admits the FIRST ``k`` rows per group in arrival
+  order (admission control — the online meaning of a cap). The batch
+  ``curation.cap_per_group`` picks a hash-uniform k instead: uniformity
+  needs the whole group, which a stream never has. On a single micro-batch
+  the stream equals the batch row_number-by-arrival selection exactly.
+* ``negative_sample_stream`` anti-joins each batch's hash-drawn candidates
+  against every interaction seen SO FAR (prefix-seen, the serving-time
+  truth — online/main/s1_server.py:24-33 filters against the user state
+  table the same way). Full-seen ⊇ prefix-seen, so the streaming output is
+  a superset of the batch operator's; on a single micro-batch they are
+  identical.
+
+Scale: state lives in partitioned parquet keyed by the join key — the
+per-batch work is one broadcast-or-shuffle join against it; nothing
+collects to the driver. The availableNow harness (run via
+pipeline.foreach_batch_sink) is the test rig; a production run points the
+same functions at a real checkpointed sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators.curation import hash_bucket
+
+
+def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
+    """Accumulated state, or an empty frame with the same schema on the
+    first epoch (the state table does not exist yet)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], like.schema)
+
+
+def cap_per_group_stream(
+    stream: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    out_dir: str,
+) -> None:
+    """Admit at most ``k`` rows per group across the whole stream, first-come
+    in ``order_cols`` order within each micro-batch. The admitted output IS
+    the state: prior per-group admission counts are re-derived from the sink,
+    so replaying an epoch cannot double-admit past the cap."""
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = (
+            _read_or_empty(spark, out_dir, batch)
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_prior"))
+        )
+        w = Window.partitionBy(group_col).orderBy(*order_cols)
+        admitted = (
+            batch.withColumn("_rk", F.row_number().over(w))
+            .join(prior, group_col, "left")
+            .filter(F.coalesce(F.col("_prior"), F.lit(0)) + F.col("_rk") <= k)
+            .drop("_rk", "_prior")
+        )
+        admitted.write.mode("append").parquet(out_dir)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
+def negative_sample_stream(
+    stream: DataFrame,
+    user_col: str,
+    item_col: str,
+    event_id_col: str,
+    n_items: int,
+    out_dir: str,
+    seen_dir: str,
+    salt: str = "neg",
+) -> None:
+    """One hash-drawn negative per arriving interaction, anti-joined against
+    the seen-set STATE TABLE (all positives up to and including this batch).
+    The draw is the same salted-hash bucket as the batch operator, so a
+    given event always proposes the same item no matter how the stream is
+    micro-batched — only the seen horizon differs."""
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch_seen = batch.select(
+            F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+        ).distinct()
+        seen = (
+            _read_or_empty(spark, seen_dir, batch_seen)
+            .union(batch_seen)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cand = batch.select(
+            F.col(event_id_col),
+            F.col(user_col),
+            hash_bucket(F.col(event_id_col), salt, n_items).alias(item_col),
+        )
+        neg = cand.join(
+            seen,
+            (cand[user_col] == seen["_u"]) & (cand[item_col] == seen["_i"]),
+            "left_anti",
+        )
+        neg.write.mode("append").parquet(out_dir)
+        batch_seen.write.mode("append").parquet(seen_dir)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

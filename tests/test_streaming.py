@@ -229,3 +229,167 @@ def test_streaming_hash_sample_matches_batch(spark, batch_events):
         .select("event_id").collect()
     }
     assert got == want and 0 < len(got) < batch_events.count()
+
+
+def test_streaming_cap_per_group_single_epoch_matches_batch_prefix(
+    spark, batch_events, tmp_path
+):
+    """foreachBatch cap twin, one micro-batch: admits exactly the first k
+    rows per group in (ts, event_id) order — the admission-control meaning
+    of a cap online (the batch cap_per_group picks hash-uniformly instead,
+    which needs the whole group; semantics difference documented in
+    streaming/curation_stream.py)."""
+    from pyspark.sql import Window
+
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    out = str(tmp_path / "cap_out")
+    cs.cap_per_group_stream(
+        sp.stream_events(spark, SF), "event_type", ["ts", "event_id"], 7, out
+    )
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    want = {
+        r["event_id"]
+        for r in batch_events.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 7)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_cap_per_group_multi_epoch_respects_cap(
+    spark, batch_events, tmp_path
+):
+    """Across micro-batches the sink-derived state must keep every group at
+    min(k, group size) — replays/late batches cannot double-admit."""
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    src = str(tmp_path / "src")
+    batch_events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    batch_events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "cap_out2")
+    cs.cap_per_group_stream(stream, "event_type", ["ts", "event_id"], 7, out)
+    sizes = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    base = {
+        r["event_type"]: r["n"]
+        for r in batch_events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sizes == {t: min(n, 7) for t, n in base.items()}
+    # survivors are input rows, not rewrites
+    assert (
+        spark.read.parquet(out)
+        .join(batch_events, ["event_id"], "left_anti")
+        .count()
+        == 0
+    )
+
+
+def _inter(df):
+    return df.select(
+        "event_id",
+        F.col("user_id").alias("userid"),
+        F.get_json_object("props", "$.k").cast("int").alias("itemid"),
+    )
+
+
+def test_streaming_negative_sample_single_epoch_matches_batch(
+    spark, batch_events, tmp_path
+):
+    """One micro-batch holds the whole log, so prefix-seen == full-seen and
+    the foreachBatch twin must reproduce the batch operator exactly."""
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    out, seen = str(tmp_path / "neg_out"), str(tmp_path / "neg_seen")
+    cs.negative_sample_stream(
+        _inter(sp.stream_events(spark, SF)),
+        "userid", "itemid", "event_id", 100, out, seen,
+    )
+    got = {
+        (r["event_id"], r["userid"], r["itemid"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["event_id"], r["userid"], r["itemid"])
+        for r in curation.negative_sample(
+            _inter(batch_events), "userid", "itemid", "event_id", 100
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_negative_sample_multi_epoch_prefix_semantics(
+    spark, batch_events, tmp_path
+):
+    """Two micro-batches: the draw for an event never depends on batching
+    (same salted hash), and the prefix-seen output is a superset of the
+    batch full-seen output — the extra emissions are exactly pairs whose
+    disqualifying positive had not arrived yet."""
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.operators.curation import hash_bucket
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    src = str(tmp_path / "src")
+    batch_events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    batch_events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, seen = str(tmp_path / "neg_out2"), str(tmp_path / "neg_seen2")
+    cs.negative_sample_stream(
+        _inter(stream), "userid", "itemid", "event_id", 100, out, seen
+    )
+    got = {
+        (r["event_id"], r["userid"], r["itemid"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["event_id"], r["userid"], r["itemid"])
+        for r in curation.negative_sample(
+            _inter(batch_events), "userid", "itemid", "event_id", 100
+        ).collect()
+    }
+    cand = {
+        (r["event_id"], r["userid"], r["itemid"])
+        for r in _inter(batch_events)
+        .select(
+            "event_id", "userid",
+            hash_bucket(F.col("event_id"), "neg", 100).alias("itemid"),
+        )
+        .collect()
+    }
+    full_seen = {
+        (r["userid"], r["itemid"])
+        for r in _inter(batch_events).select("userid", "itemid").distinct().collect()
+    }
+    assert want <= got <= cand
+    # one negative per source event, always in vocab
+    assert len({e for e, _, _ in got}) == len(got)
+    assert all(0 <= i < 100 for _, _, i in got)
+    # anything beyond the batch output was blocked only by a not-yet-seen
+    # positive: its (user, item) IS in the full seen set
+    assert {(u, i) for _, u, i in got - want} <= full_seen
