@@ -92,10 +92,18 @@ def cap_per_group(
     guarantee, but stateless and rerun-stable.
 
     Scale: one hash-partitioned shuffle on ``group_col`` + a per-group
-    sort; no group's rows ever gather beyond one task, and skewed groups
-    degrade to a single task's sort (k is small, so a pre-filter via
-    approximate per-partition top-k would be the next lever if a group
-    outgrew a task — not needed while groups fit the shuffle block).
+    sort — and the giant-group lever is ALREADY in the plan: because the
+    rank filter is a ``row_number() <= k`` over a deterministic ordering,
+    Catalyst's InferWindowGroupLimit (Spark 3.5+) inserts a
+    ``WindowGroupLimit ... Partial`` BELOW the exchange — each input
+    partition forwards only its own k smallest (hash, key) rows per group,
+    so shuffle volume for a group is bounded by k * n_input_partitions no
+    matter how large the domain is, and the post-shuffle sort runs over
+    that bound, not the raw group. Pinned by a plan-shape test
+    (tests/test_curation_properties.py) so a refactor that breaks the
+    rewrite (e.g. a non-deterministic order key) is caught. A hand-rolled
+    Arrow pre-filter was measured strictly worse — it re-implements the
+    same bound with a Python round-trip (PLANS.md round 8).
     """
     h = portable_hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
