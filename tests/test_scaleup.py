@@ -1,0 +1,111 @@
+"""Slow-marked scale-up gate: replicate sf0.1 8x with shifted ids and assert
+the wall-time ratios stay inside the bands measured in PLANS.md ("Empirical
+scale-up") — the pinned form of the hand-run protocol. The point is catching
+hidden quadratics (a regressed plan shows up as ~64x, far outside any band),
+so the caps are the measured ratio x ~1.5 noise headroom, lower bounds none.
+
+Deselected by default (-m "not slow"); run explicitly before claiming a plan
+scales: python -m pytest tests/test_scaleup.py -m slow -q
+"""
+
+from __future__ import annotations
+
+import time
+from functools import reduce
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.io import read_table
+
+SF1 = "/root/testdata/sf0.1"
+REPLICAS = 8
+OFF = 10**12  # id shift per replica: new entities, same per-entity history
+
+# table -> id columns to shift (group sizes stay constant; group COUNT scales)
+SHIFT = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "documents": ["doc_id"],
+}
+
+# query name -> wall-time ratio cap at 8x (PLANS.md measured ratio x ~1.5)
+CAPS = {
+    "temporal_split": 4.0,   # measured 1.0 (shuffle-bound)
+    "sessionize": 12.0,      # measured 7.6 (linear)
+    "topk_orders_per_customer": 8.0,  # measured 3.8
+    "pricing_summary": 6.0,  # measured 1.8 (sublinear, warm cache)
+    "sample_stratified": 4.0,  # codegen filter, flat
+    "negative_sample": 6.0,  # measured 1.3 (co-partitioned anti-join)
+}
+
+
+def _replicate(df: DataFrame, shift_cols: list[str]) -> DataFrame:
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            df.select(
+                *[
+                    (F.col(c) + F.lit(i * OFF)).alias(c)
+                    if c in shift_cols
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+@pytest.fixture(scope="module")
+def sf8_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sf0.1x8")
+    for name, cols in SHIFT.items():
+        _replicate(read_table(spark, SF1, name), cols).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(str(root / f"{name}.parquet"))
+    return str(root)
+
+
+def _queries():
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    return {name: q[name] for name in CAPS}
+
+
+def _wall(spark, fn, sf_dir: str) -> float:
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+@pytest.mark.slow
+def test_8x_ratios_within_measured_bands(spark, sf8_dir):
+    failures = []
+    for name, fn in _queries().items():
+        fn(spark, SF1).write.format("noop").mode("overwrite").save()  # warm 1x
+        fn(spark, sf8_dir).write.format("noop").mode("overwrite").save()  # warm 8x
+        t1 = _wall(spark, fn, SF1)
+        t8 = _wall(spark, fn, sf8_dir)
+        # sub-100ms 1x walls are dominated by fixed overhead; floor the base
+        ratio = t8 / max(t1, 0.1)
+        print(f"[scaleup] {name}: 1x={t1:.2f}s 8x={t8:.2f}s ratio={ratio:.1f}")
+        if ratio > CAPS[name]:
+            failures.append((name, round(t1, 2), round(t8, 2), round(ratio, 1)))
+    assert not failures, failures
+
+
+@pytest.mark.slow
+def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
+    """Replicated inputs must give ~8x outputs for the per-row queries — a
+    quadratic blow-up (or a silently dropped replica) fails loudly."""
+    q = _queries()
+    for name in ["temporal_split", "sessionize"]:
+        n1 = q[name](spark, SF1).count()
+        n8 = q[name](spark, sf8_dir).count()
+        assert n8 == REPLICAS * n1, (name, n1, n8)
