@@ -186,6 +186,179 @@ def pack_greedy(
     )
 
 
+def boilerplate_flags(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 2,
+    share_pct: int = 15,
+) -> DataFrame:
+    """Template/boilerplate detection within a group (source/domain): a word
+    n-gram is boilerplate for its group when it appears in >= ``share_pct`` %
+    of the group's documents (nav bars, footers, license blurbs — the
+    RefinedWeb/C4 line-dedup step, expressed over n-grams because the unit
+    of repetition is an argument, not a newline). Emits one row per document
+    that contains at least one boilerplate gram:
+    (id, group, n_grams, n_boiler) with n_grams = the doc's distinct gram
+    count and n_boiler = how many of those are group-boilerplate — the
+    caller thresholds n_boiler/n_grams to drop template-dominated docs.
+
+    All comparisons are integer (df * 100 >= share_pct * group_size), so the
+    DuckDB oracle is bit-exact with no float discipline needed.
+
+    Scale: one tokenization pass, grams explode through codegen projections
+    (the MinHash plan shape); doc-frequency and group-size are two grouped
+    aggregations; the boilerplate set re-joins on (group, gram) with sizing
+    left to AQE — per the decontaminate lesson, a forced broadcast of a
+    corpus-derived set is an OOM at 100 TB even though at benchmark scale
+    AQE will broadcast it anyway.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    t = docs.select(
+        F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("toks")
+    )
+    n_tok = F.size("toks")
+    pos = t.select(
+        id_col,
+        group_col,
+        "toks",
+        F.explode(
+            F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    # Three consumers (per-doc gram counts, doc-frequency -> boilerplate
+    # set, per-doc boilerplate hits) hang off the distinct gram frame;
+    # without materialization each re-runs the tokenize+explode+distinct
+    # (measured 4 FileScans, no ReusedExchange — the wide-fan-out lesson,
+    # PLANS.md §20, eager barrier like the serving composite's split).
+    grams = (
+        pos.select(
+            id_col,
+            group_col,
+            F.concat_ws(
+                " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    group_sizes = t.groupBy(group_col).agg(
+        F.count_distinct(id_col).alias("_n_docs")
+    )
+    boiler = (
+        grams.groupBy(group_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .join(group_sizes, group_col)
+        .filter(F.col("_df") * 100 >= F.lit(share_pct) * F.col("_n_docs"))
+        .select(group_col, "gram")
+    )
+    per_doc = grams.groupBy(id_col, group_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        grams.join(boiler, [group_col, "gram"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return per_doc.join(hits, id_col).select(
+        id_col, group_col, "n_grams", "n_boiler"
+    )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_pct: int,
+    salt: str = "sel",
+) -> DataFrame:
+    """Quality-ranked data selection under a token budget: order documents
+    by a lexical-diversity quality score (descending; salted hash + id as
+    the tiebreak) and keep the maximal prefix whose cumulative token count
+    stays within ``budget_pct`` % of the corpus's tokens — the
+    "select the best N tokens" step of a data-constrained pretraining run.
+    Zero-token documents are excluded up front (they carry no signal and
+    their quality ratio is undefined).
+
+    Every quantity is integer (qscore = distinct_tokens*1000 div tokens;
+    budget = total_tokens*budget_pct div 100), so the DuckDB oracle — a
+    single global window cumsum — matches bit-for-bit.
+
+    Scale: the oracle's global sort-and-scan is NOT the plan. The corpus is
+    never globally sorted: per-doc scores bucket into <=1001 integer cells,
+    a window over the TINY bucket frame finds the cutoff cell, docs in
+    cells strictly inside the budget pass with a join, and only the single
+    boundary cell (~1/1000 of the corpus) runs a per-doc ordered cumsum —
+    partitioned by its cell, one task. Same selected set, no global sort.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    sized = (
+        t.select(
+            id_col,
+            F.size("toks").cast("long").alias("_tok"),
+            F.size(F.array_distinct("toks")).cast("long").alias("_dis"),
+        )
+        .filter(F.col("_tok") > 0)
+        .withColumn("_q", F.expr("(_dis * 1000) div _tok"))
+        .withColumn(
+            "_h",
+            portable_hash64(
+                F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds buckets, total, and both passes
+    )
+    budget = sized.agg(
+        F.expr(f"(sum(_tok) * {int(budget_pct)}) div 100").alias("_budget")
+    )
+    wb = (
+        Window.orderBy(F.col("_q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = (
+        sized.groupBy("_q")
+        .agg(F.sum("_tok").alias("_cell_tok"))
+        .withColumn("_cum_through", F.sum("_cell_tok").over(wb))
+        .withColumn("_cum_before", F.col("_cum_through") - F.col("_cell_tok"))
+        .crossJoin(F.broadcast(budget))
+        .localCheckpoint(eager=False)  # tiny (<=1001 rows); feeds two filters
+    )
+    full_cells = cells.filter(F.col("_cum_through") <= F.col("_budget")).select(
+        "_q"
+    )
+    full_in = sized.join(full_cells, "_q")
+    boundary = cells.filter(
+        (F.col("_cum_before") <= F.col("_budget"))
+        & (F.col("_cum_through") > F.col("_budget"))
+    ).select("_q", "_cum_before", "_budget")
+    wd = (
+        Window.partitionBy("_q")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_in = (
+        sized.join(boundary, "_q")
+        .withColumn("_run", F.sum("_tok").over(wd))
+        .filter(F.col("_cum_before") + F.col("_run") <= F.col("_budget"))
+        .select(sized.columns)
+    )
+    return (
+        full_in.select(sized.columns)
+        .unionByName(boundary_in)
+        .select(
+            id_col,
+            F.col("_q").alias("qscore"),
+            F.col("_tok").alias("n_tokens"),
+        )
+    )
+
+
 def decontaminate_flags(
     docs: DataFrame,
     id_col: str,

@@ -176,6 +176,76 @@ GROUP BY 1
 """
 
 
+BOILER_N = 2  # word-gram width for template detection (docs here are short;
+# production uses whole lines — same relational shape, different unit)
+BOILER_SHARE_PCT = 15  # gram in >= 15% of a source's docs => boilerplate
+BUDGET_PCT = 60  # token-budget selection keeps the best 60% of corpus tokens
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template detection: flag documents carrying word 2-grams
+    that appear in >= 15% of their source's documents (the line-dedup /
+    boilerplate-removal hygiene step, gram-unit on this corpus)."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.boilerplate_flags(
+        d, "doc_id", "text", "source", n=BOILER_N, share_pct=BOILER_SHARE_PCT
+    )
+
+
+_GRAMS_2 = (
+    f"list_transform(range(1, greatest(len(toks) - {BOILER_N - 1}, 0) + 1), "
+    f"i -> array_to_string(toks[i:i+{BOILER_N - 1}], ' '))"
+)
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS} AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id, source, unnest({_GRAMS_2}) AS gram FROM t),
+sz AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM t GROUP BY 1),
+dfq AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2),
+boiler AS (
+  SELECT source, gram FROM dfq JOIN sz USING (source)
+  WHERE df * 100 >= {BOILER_SHARE_PCT} * n_docs
+),
+per_doc AS (SELECT doc_id, source, count(*) AS n_grams FROM g GROUP BY 1, 2),
+hits AS (
+  SELECT doc_id, count(*) AS n_boiler
+  FROM g JOIN boiler USING (source, gram) GROUP BY 1
+)
+SELECT doc_id, source, n_grams, n_boiler FROM per_doc JOIN hits USING (doc_id)
+"""
+
+
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection of the best BUDGET_PCT% of corpus tokens
+    (lexical-diversity score, deterministic hash tiebreak) — computed with
+    the bucket-cutoff plan, no global sort (operators/curation.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.select_token_budget(d, "doc_id", "text", BUDGET_PCT)
+
+
+SQL_SELECT_TOKEN_BUDGET = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+sized AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS dis
+  FROM t WHERE len(toks) > 0
+),
+q AS (
+  SELECT doc_id, tok, (dis * 1000) // tok AS qscore,
+         {_H.format(salt="'sel'", col="doc_id")} AS h
+  FROM sized
+),
+tot AS (SELECT (SUM(tok) * {BUDGET_PCT}) // 100 AS b FROM q),
+o AS (
+  SELECT doc_id, tok, qscore,
+         SUM(tok) OVER (ORDER BY qscore DESC, h ASC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM q
+)
+SELECT doc_id, qscore, tok AS n_tokens FROM o, tot WHERE run <= b
+"""
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -232,6 +302,8 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_per_source": q_cap_per_source,
     "pack_token_bins": q_pack_token_bins,
     "mixture_weights": q_mixture_weights,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "select_token_budget": q_select_token_budget,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -241,4 +313,6 @@ ORACLES_CUR: dict[str, str] = {
     "cap_per_source": SQL_CAP_PER_SOURCE,
     "negative_sample": SQL_NEGATIVE_SAMPLE,
     "pack_token_bins": SQL_PACK_TOKEN_BINS,
+    "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
+    "select_token_budget": SQL_SELECT_TOKEN_BUDGET,
 }

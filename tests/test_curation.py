@@ -202,3 +202,54 @@ def test_mixture_weights_sum_to_one_and_flatten_the_distribution(spark):
     small = min(rows, key=lambda r: r["n_tokens"])
     assert big["n_tokens"] > small["n_tokens"]
     assert big["weight"] / small["weight"] < big["n_tokens"] / small["n_tokens"]
+
+
+def test_boilerplate_flags_planted_template(spark):
+    """A 2-gram planted across most of a source's docs must be flagged for
+    exactly the docs that carry it; a gram unique to one doc must not."""
+    rows = [
+        (i, "s0", f"unique{i} token{i} click here now")  # template tail
+        for i in range(8)
+    ] + [(8, "s0", "totally fresh words"), (9, "s1", "click here now too")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"])
+        for r in curation.boilerplate_flags(
+            df, "doc_id", "text", "source", n=2, share_pct=50
+        ).collect()
+    }
+    # docs 0-7 share 'click here'/'here now' (8/9 of s0 >= 50%); doc 8 has
+    # no boilerplate gram; s1 is a single-doc source where every gram is
+    # trivially >= 50% of the source
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7, 9}
+    assert all(out[i][1] == 2 for i in range(8))
+
+
+def test_select_token_budget_is_maximal_quality_prefix(spark, docs):
+    """The selected set must be exactly the maximal prefix of the
+    (qscore desc, hash, id) order fitting the budget: verified against a
+    direct python replay of the contract on the collected corpus."""
+    import hashlib
+
+    out = {
+        r["doc_id"]: (r["qscore"], r["n_tokens"])
+        for r in curation.select_token_budget(docs, "doc_id", "text", 60).collect()
+    }
+    corpus = []
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in r["text"].lower().split() if t]
+        if not toks:
+            continue
+        q = (len(set(toks)) * 1000) // len(toks)
+        h = int(hashlib.md5(f"sel:{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        corpus.append((q, h, r["doc_id"], len(toks)))
+    budget = sum(t for *_, t in corpus) * 60 // 100
+    corpus.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want, run = {}, 0
+    for q, _, i, tok in corpus:
+        if run + tok > budget:
+            break
+        run += tok
+        want[i] = (q, tok)
+    assert out == want
+    assert 0 < len(want) < len(corpus)  # the budget actually bites
