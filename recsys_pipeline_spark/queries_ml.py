@@ -157,8 +157,12 @@ def q_recommend_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = _interactions(spark, sf_dir)
     train, _ = _train_test(inter)
     # same multi-branch reuse as the det twin: ALS + terms + seen + entity +
-    # ranker-features all consume this split — materialize it once
-    train = train.localCheckpoint(eager=True)
+    # ranker-features all consume this split — materialize it once, pruned
+    # to the four columns those consumers read (less checkpointed state,
+    # same results; see the det twin's measurement)
+    train = train.select("userid", "itemid", "event_type", "label").localCheckpoint(
+        eager=True
+    )
     # rank must equal EMBEDDING_DIM: missing users get the reference's
     # default [1.0]*16 vector (P13) and cosine needs matching lengths
     # rank 4 + reg 0.1 keep the normal equations positive-definite on
@@ -258,8 +262,13 @@ def q_recommend_top50_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan+window subtree once PER BRANCH (measured 9 FileScans / 14 Windows,
     # ~3x wall). Materialize the split once — the offline pipeline's "write
     # the split table" step, kept in executor memory (cluster: checkpoint to
-    # storage, same effect).
-    train = train.localCheckpoint(eager=True)
+    # storage, same effect). Project down to the four columns the branches
+    # read BEFORE the checkpoint: materializing 4 cols instead of 9 is
+    # another ~12% wall at sf0.1 (quiet A/B, value-identical) and 2x less
+    # state at any scale.
+    train = train.select("userid", "itemid", "event_type", "label").localCheckpoint(
+        eager=True
+    )
 
     # ONE aggregation pass per side: profile counts + seen/terms + entity
     # stats share a groupBy key, so they share a shuffle (5 exchanges of the
