@@ -298,10 +298,31 @@ def q_recommend_top50_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("u_n"),
         # EXACT rate: integer sum / count, one IEEE divide
         (F.sum("label").cast("double") / F.count(F.lit(1))).alias("u_rate"),
+        # user terms fused into the SAME groupBy as 5 conditional click
+        # sums (was a separate groupBy(userid, tid) + regroup = 2 more
+        # exchanges over the full split); terms are consumed as a set by
+        # the explode+intersect term channel, so the array form is
+        # equivalent to the collect_list of qualifying tids
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("label")).otherwise(0))
+            .alias(f"_clk{j}")
+            for j, t in enumerate(EVENT_TYPES)
+        ],
     ).localCheckpoint(eager=False)  # lazy: cached at first use, no barrier
     user_vecs = user_agg.select("userid", _vec())
     seen = user_agg.select("userid", "items")
     user_entity = user_agg.select("userid", "u_n", "u_rate")
+    user_terms = user_agg.select(
+        "userid",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(F.col(f"_clk{j}") >= 2, F.lit(TYPE_ID[t]))
+                    for j, t in enumerate(EVENT_TYPES)
+                ]
+            )
+        ).cast("array<int>").alias("terms"),
+    )
 
     item_agg = with_tid.groupBy("itemid").agg(
         *_type_counts(),
@@ -312,12 +333,6 @@ def q_recommend_top50_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_vecs = item_agg.select("itemid", _vec())
     item_terms = item_agg.select("itemid", "genre_ids")
     item_entity = item_agg.select("itemid", "i_n", "i_rate")
-
-    user_terms = (
-        with_tid.groupBy("userid", "tid").agg(F.sum("label").alias("clk"))
-        .filter(F.col("clk") >= 2)
-        .groupBy("userid").agg(F.collect_list("tid").cast("array<int>").alias("terms"))
-    )
 
     request_users = inter.select("userid").distinct()
     return recommend_linear(
