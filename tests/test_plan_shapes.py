@@ -165,3 +165,29 @@ def test_det_composite_materializes_the_split_once(spark):
     plan = _final_plan(q_recommend_top50_det(spark, SF))
     assert plan.count("FileScan") <= 3, plan.count("FileScan")
     assert len(re.findall(r"\bWindow\b", plan)) <= 2
+
+
+def test_boilerplate_gram_mining_materialized_once(spark):
+    """The distinct gram frame fans out to three consumers; without the
+    checkpoint each re-mined the corpus (4 FileScans). Pinned: the final
+    plan scans parquet exactly once (group sizes) — the gram branches read
+    the materialized RDD."""
+    from recsys_pipeline_spark.queries_curation import q_boilerplate_ngrams
+
+    plan = _final_plan(q_boilerplate_ngrams(spark, SF))
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_select_token_budget_never_sorts_the_corpus(spark):
+    """The budget cutoff must come from the <=1001-cell bucket frame, not a
+    global sort of the documents: the only single-partition exchange in the
+    final plan feeds the cell-level window (tiny), the corpus-side frame is
+    read from the one materialized projection (no FileScan re-mining), and
+    no corpus-wide global Sort exists."""
+    from recsys_pipeline_spark.queries_curation import q_select_token_budget
+
+    plan = _final_plan(q_select_token_budget(spark, SF))
+    assert plan.count("FileScan") == 0, plan  # sized projection materialized once
+    # windows run over the cell frame / boundary cell only: every Window's
+    # required sort is partition-local (no global ordering of all docs)
+    assert "rangepartitioning" not in plan, plan
