@@ -1,6 +1,6 @@
 """Semantic gates for the curation operators (value-level parity with the
-DuckDB oracles is covered by tests/test_oracle_parity.py, which picks the
-four queries up from the entry registry automatically)."""
+DuckDB oracles is covered by tests/test_oracle_parity.py, which picks every
+curation query up from the entry registry automatically)."""
 
 from __future__ import annotations
 
