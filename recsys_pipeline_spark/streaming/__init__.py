@@ -6,5 +6,6 @@ the per-user ordered stateful scan (s2_term_trans.py:42-61) as a stateful
 streaming aggregation, plus the standard event-time toolkit (watermarked
 tumbling/sliding windows, session windows, foreachBatch sinks) and the
 curation stage online (curation_stream: state-table per-group admission
-caps and prefix-seen negative sampling, batch-parity tested).
+caps, prefix-seen negative sampling, and prefix-eval decontamination,
+batch-parity tested).
 """

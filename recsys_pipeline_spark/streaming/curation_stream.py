@@ -20,6 +20,11 @@ Semantics vs the batch twins (documented, asserted in tests):
   table the same way). Full-seen ⊇ prefix-seen, so the streaming output is
   a superset of the batch operator's; on a single micro-batch they are
   identical.
+* ``decontaminate_stream`` flags each batch's non-eval documents against
+  the eval n-grams accumulated SO FAR (prefix-eval). The batch operator
+  sees the full eval set, so streaming per-doc hit counts are <= the batch
+  counts and the flagged set is a subset; on a single micro-batch they are
+  identical.
 
 Scale: state lives in partitioned parquet keyed by the join key — the
 per-batch work is one broadcast-or-shuffle join against it; nothing
@@ -117,6 +122,65 @@ def negative_sample_stream(
         )
         neg.write.mode("append").parquet(out_dir)
         batch_seen.write.mode("append").parquet(seen_dir)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pct: int,
+    n: int,
+    out_dir: str,
+    gram_dir: str,
+    salt: str = "eval",
+) -> None:
+    """Benchmark decontamination online: hash-designated eval documents feed
+    their word n-grams into a state table as they arrive; every non-eval
+    document is flagged against the grams accumulated so far (prefix-eval —
+    the truth available at ingestion time). Emits (id, n_hits) per flagged
+    doc. The gram extraction, eval designation, and hit counting are the
+    batch operator's expressions, so one micro-batch == the batch result.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        t = batch.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        n_tok = F.size("toks")
+        pos = t.select(
+            id_col,
+            "toks",
+            F.explode(
+                F.when(
+                    n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        grams = pos.select(
+            id_col,
+            F.concat_ws(
+                " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+            ).alias("gram"),
+        ).localCheckpoint(eager=False)  # feeds the eval append AND the flag join
+        is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
+        batch_eval = grams.filter(is_eval).select("gram").distinct()
+        eval_grams = (
+            _read_or_empty(spark, gram_dir, batch_eval)
+            .union(batch_eval)
+            .distinct()
+        )
+        flags = (
+            grams.filter(~is_eval)
+            .join(eval_grams, "gram")
+            .groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("n_hits"))
+        )
+        flags.write.mode("append").parquet(out_dir)
+        batch_eval.write.mode("append").parquet(gram_dir)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 

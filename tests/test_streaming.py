@@ -393,3 +393,62 @@ def test_streaming_negative_sample_multi_epoch_prefix_semantics(
     # anything beyond the batch output was blocked only by a not-yet-seen
     # positive: its (user, item) IS in the full seen set
     assert {(u, i) for _, u, i in got - want} <= full_seen
+
+
+def test_streaming_decontaminate_single_epoch_matches_batch(spark, tmp_path):
+    """One micro-batch holds the whole corpus, so prefix-eval == full-eval
+    and the foreachBatch twin must reproduce decontaminate_flags exactly."""
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    out, gd = str(tmp_path / "dec_out"), str(tmp_path / "dec_grams")
+    cs.decontaminate_stream(stream, "doc_id", "text", 5, 4, out, gd)
+    got = {
+        (r["doc_id"], r["n_hits"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_hits"])
+        for r in curation.decontaminate_flags(
+            docs, "doc_id", "text", eval_pct=5, n=4
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_decontaminate_multi_epoch_prefix_semantics(spark, tmp_path):
+    """Two micro-batches: a doc is only checked against eval grams that had
+    arrived by its batch, so per-doc hit counts are <= the batch operator's
+    and the flagged set is a subset — never a false positive."""
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").cache()
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, gd = str(tmp_path / "dec_out2"), str(tmp_path / "dec_grams2")
+    cs.decontaminate_stream(stream, "doc_id", "text", 5, 4, out, gd)
+    got = {
+        r["doc_id"]: r["n_hits"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_hits"]
+        for r in curation.decontaminate_flags(
+            docs, "doc_id", "text", eval_pct=5, n=4
+        ).collect()
+    }
+    assert set(got) <= set(want)
+    assert all(got[i] <= want[i] for i in got)
+    assert len(got) > 0
