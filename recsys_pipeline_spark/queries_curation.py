@@ -248,6 +248,50 @@ SELECT doc_id, qscore, tok AS n_tokens FROM o, tot WHERE run <= b
 """
 
 
+BAL_BITS = 4  # 2^4 sketch cells — the deterministic IVF coarse quantizer
+BAL_SEED = 13
+BAL_K = 20  # survivors per cell (500 vectors / 16 cells => the cap bites)
+EMB_DIM = 64  # embeddings table width (TESTDATA.md)
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling over the embedding space: a deterministic
+    hyperplane sketch assigns each vector one of 2^BAL_BITS cells (the same
+    coarse quantizer the sketch-IVF ANN uses), then at most BAL_K vectors
+    per cell survive, hash-uniform — the diversity-preserving selection
+    step (SemDeDup-flavored: cap dense regions instead of sampling every
+    region proportionally). Scale: the sketch is one Arrow pass, the cap is
+    one shuffle on the cell key with the engine's map-side WindowGroupLimit
+    bounding what dense cells ship."""
+    from recsys_pipeline_spark.operators.dedup import (
+        sketch_memberships,
+        sketch_planes,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    planes = sketch_planes(EMB_DIM, bits=BAL_BITS, tables=1, seed=BAL_SEED)
+    mem = sketch_memberships(e, planes).select(
+        F.col("_id").alias("vec_id"), F.col("sketch").cast("long").alias("cell")
+    )
+    return curation.cap_per_group(mem, "cell", "vec_id", BAL_K, salt="bal").select(
+        "vec_id", "cell"
+    )
+
+
+def _sql_cluster_balanced_sample() -> str:
+    from recsys_pipeline_spark.queries_ext import _sketch_mem_sql
+
+    return f"""
+WITH mem AS ({_sketch_mem_sql(bits=BAL_BITS, tables=1, seed=BAL_SEED, dim=EMB_DIM)})
+SELECT vec_id, cell FROM (
+  SELECT vec_id, sketch AS cell,
+         row_number() OVER (PARTITION BY sketch
+           ORDER BY {_H.format(salt="'bal'", col="vec_id")} ASC, vec_id ASC) AS rk
+  FROM mem
+) WHERE rk <= {BAL_K}
+"""
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -306,6 +350,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "select_token_budget": q_select_token_budget,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -317,4 +362,5 @@ ORACLES_CUR: dict[str, str] = {
     "pack_token_bins": SQL_PACK_TOKEN_BINS,
     "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
     "select_token_budget": SQL_SELECT_TOKEN_BUDGET,
+    "cluster_balanced_sample": _sql_cluster_balanced_sample(),
 }

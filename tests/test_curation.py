@@ -253,3 +253,22 @@ def test_select_token_budget_is_maximal_quality_prefix(spark, docs):
         want[i] = (q, tok)
     assert out == want
     assert 0 < len(want) < len(corpus)  # the budget actually bites
+
+
+def test_cluster_balanced_sample_caps_cells_and_keeps_sparse_cells(spark):
+    """Per-cell survivor counts = min(cell size, BAL_K); sparse cells pass
+    through whole — the diversity-preserving property."""
+    out = QC.q_cluster_balanced_sample(spark, SF).cache()
+    sizes = {r["cell"]: r["n"] for r in out.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from recsys_pipeline_spark.operators.dedup import sketch_memberships, sketch_planes
+
+    e = read_table(spark, SF, "embeddings")
+    planes = sketch_planes(QC.EMB_DIM, bits=QC.BAL_BITS, tables=1, seed=QC.BAL_SEED)
+    base = {
+        r["sketch"]: r["n"]
+        for r in sketch_memberships(e, planes)
+        .groupBy("sketch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {c: min(n, QC.BAL_K) for c, n in base.items()}
+    assert any(n > QC.BAL_K for n in base.values())  # the cap actually bites
+    assert any(n < QC.BAL_K for n in base.values())  # and sparse cells exist
