@@ -1,8 +1,9 @@
 """Data-curation queries: the selection/shaping stage of a training-data
 pipeline (language rebalancing, per-domain caps, negative sampling, token
 budget packing, benchmark decontamination, domain-mixing weights,
-per-source boilerplate detection, quality-ranked token-budget selection)
-over the driver's testdata, each with a bit-exact DuckDB oracle via the
+per-source boilerplate detection, quality-ranked token-budget selection,
+cluster-balanced embedding sampling) over the driver's testdata, each
+with a bit-exact DuckDB oracle via the
 engine-portable md5-fold hash (operators/dedup.portable_hash64 — see
 operators/curation.py for why hash-derived randomness, not rand(seed), is
 the only kind that survives AQE re-planning / speculative execution).
