@@ -137,3 +137,82 @@ def test_cap_map_side_group_limit_is_in_the_plan(spark):
     exch = plan.find("Exchange hashpartitioning(source")
     part_line = plan.find(", Partial")
     assert exch != -1 and part_line > exch, plan
+
+
+texted = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300),  # doc_id
+        st.sampled_from(["s0", "s1"]),            # source
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=12,
+        ),
+    ),
+    min_size=1, max_size=30,
+)
+
+
+def _text_df(spark, data):
+    uniq = {d[0]: d for d in data}.values()
+    return spark.createDataFrame(
+        [(i, g, " ".join(ws)) for i, g, ws in uniq],
+        "doc_id long, source string, text string",
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texted, st.integers(min_value=10, max_value=90))
+def test_select_token_budget_equals_prefix_simulation(spark, data, pct):
+    df = _text_df(spark, data)
+    got = {
+        r["doc_id"]: (r["qscore"], r["n_tokens"])
+        for r in curation.select_token_budget(df, "doc_id", "text", pct).collect()
+    }
+    corpus = []
+    for r in df.collect():
+        toks = [t for t in r["text"].lower().split() if t]
+        if not toks:
+            continue
+        q = (len(set(toks)) * 1000) // len(toks)
+        corpus.append((q, _h("sel", r["doc_id"]), r["doc_id"], len(toks)))
+    budget = sum(t for *_, t in corpus) * pct // 100
+    corpus.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want, run = {}, 0
+    for q, _hh, i, tok in corpus:
+        if run + tok > budget:
+            break
+        run += tok
+        want[i] = (q, tok)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texted, st.integers(min_value=10, max_value=80), st.integers(min_value=2, max_value=3))
+def test_boilerplate_flags_equals_df_simulation(spark, data, share_pct, n):
+    df = _text_df(spark, data)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"])
+        for r in curation.boilerplate_flags(
+            df, "doc_id", "text", "source", n=n, share_pct=share_pct
+        ).collect()
+    }
+    by_src: dict[str, dict[int, set]] = {}
+    for r in df.collect():
+        toks = [t for t in r["text"].lower().split() if t]
+        grams = {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+        by_src.setdefault(r["source"], {})[r["doc_id"]] = grams
+    want = {}
+    for src, docs_g in by_src.items():
+        n_docs = len(docs_g)
+        df_counts: dict[str, int] = {}
+        for grams in docs_g.values():
+            for g in grams:
+                df_counts[g] = df_counts.get(g, 0) + 1
+        boiler = {g for g, c in df_counts.items() if c * 100 >= share_pct * n_docs}
+        for i, grams in docs_g.items():
+            hits = len(grams & boiler)
+            if grams and hits:
+                want[i] = (len(grams), hits)
+    assert got == want
