@@ -304,10 +304,18 @@ def q_tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_rows = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = term_rows.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    # tf is materialized once and df DERIVED from it: tf holds one row per
+    # (doc, term), so document frequency is a plain count over the already-
+    # aggregated pairs — one tokenize+explode pass over the corpus instead
+    # of two, and no countDistinct over the raw token stream (wall-neutral
+    # at sf0.1, value-identical; the single-pass shape is what matters at
+    # corpus scale).
+    tf = (
+        term_rows.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(F.broadcast(df_), "term").select(
         "doc_id",
         "term",
