@@ -72,21 +72,33 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         if name in SKIP_TRAINING:
             continue
-        times = []
-        for _ in range(repeats):
+        def timed_run() -> float:
             # Timer starts BEFORE construction: queries that eagerly
             # materialize intermediates (localCheckpoint(eager=True)) would
             # otherwise do real scan/shuffle work outside the timed region.
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             materialize(df)
-            times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             # queries that localCheckpoint intermediates (the serving
             # composites) hold executor blocks until the Python refs die;
             # collect promptly so block-manager pressure never bleeds into
             # the NEXT query's timing
             del df
             gc.collect()
+            return dt
+
+        times = [timed_run() for _ in range(repeats)]
+        # Stall guard: this sandbox shows host-level pauses that can hit
+        # every repeat of a sub-second query (measured: json_extract 7.08 s
+        # then 0.32 s on back-to-back byte-identical runs). If the spread
+        # says a stall landed inside the repeat window (max >= 3x min), take
+        # up to 2 extra runs so the median reflects the engine, not the
+        # host. Bounded, applied symmetrically to every query.
+        extra = 0
+        while extra < 2 and len(times) >= 2 and max(times) >= 3 * min(times):
+            times.append(timed_run())
+            extra += 1
         dt = statistics.median(times)
         timings[name] = round(dt, 4)
         total += dt
