@@ -29,6 +29,7 @@ SHIFT = {
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 # query name -> wall-time ratio cap at 8x (PLANS.md measured ratio x ~1.5)
@@ -39,6 +40,9 @@ CAPS = {
     "pricing_summary": 6.0,  # measured 1.8 (sublinear, warm cache)
     "sample_stratified": 4.0,  # codegen filter, flat
     "negative_sample": 6.0,  # measured 1.3 (co-partitioned anti-join)
+    "boilerplate_ngrams": 12.0,  # linear mining + df join (8x docs AND 8x sources' grams)
+    "select_token_budget": 8.0,  # linear scan + fixed-size cell window
+    "cluster_balanced_sample": 8.0,  # Arrow sketch pass + capped cell shuffle
 }
 
 
