@@ -175,22 +175,38 @@ def q_recommend_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     )
     with_tid = train.withColumn("tid", term_id)
-    # user terms: event types with >=2 clicks over the user's train history
-    # (the reference's click-threshold recall terms, s1_user_to_redis.py:27-29)
-    user_terms = (
-        with_tid.groupBy("userid", "tid").agg(F.sum("label").alias("clk"))
-        .filter(F.col("clk") >= 2)
-        .groupBy("userid").agg(F.collect_list("tid").cast("array<int>").alias("terms"))
-    )
     item_terms = with_tid.groupBy("itemid").agg(
         F.collect_set("tid").cast("array<int>").alias("genre_ids")
     )
-    seen = train.groupBy("userid").agg(F.collect_list("itemid").alias("items"))
-
-    user_entity = train.groupBy("userid").agg(
+    # user terms: event types with >=2 clicks over the user's train history
+    # (the reference's click-threshold recall terms, s1_user_to_redis.py:27-29)
+    # — fused into the per-user aggregation as conditional click sums, the
+    # same one-pass-per-entity shape as the det twin (terms are consumed as
+    # a set by the explode+intersect term channel)
+    user_agg = train.groupBy("userid").agg(
+        F.collect_list("itemid").alias("items"),
         F.count(F.lit(1)).cast("double").alias("u_n"),
         F.avg("label").alias("u_rate"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("label")).otherwise(0))
+            .alias(f"_clk{j}")
+            for j, t in enumerate(EVENT_TYPES)
+        ],
     )
+    user_terms = user_agg.select(
+        "userid",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(F.col(f"_clk{j}") >= 2, F.lit(TYPE_ID[t]))
+                    for j, t in enumerate(EVENT_TYPES)
+                ]
+            )
+        ).cast("array<int>").alias("terms"),
+    )
+    seen = user_agg.select("userid", "items")
+
+    user_entity = user_agg.select("userid", "u_n", "u_rate")
     item_entity = train.groupBy("itemid").agg(
         F.count(F.lit(1)).cast("double").alias("i_n"),
         F.avg("label").alias("i_rate"),
