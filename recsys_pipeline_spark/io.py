@@ -57,6 +57,47 @@ def read_delimited_fallback(
     return raw.select(*cols)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Line-delimited JSON scan with an explicit schema and a corrupt-record
+    policy — the ingestion format of most crawl/interaction dumps (the
+    reference ingests only CSV/pickle; JSONL is the missing production
+    front door).
+
+    * ``mode="PERMISSIVE"`` (default): malformed lines land whole in
+      ``corrupt_col`` with every schema field NULL — quarantine them with
+      ``df.filter(col(corrupt_col).isNotNull())`` and keep the pipeline
+      running (the at-scale posture: one bad line must not kill a 100 TB
+      backfill).
+    * ``mode="DROPMALFORMED"`` / ``mode="FAILFAST"`` pass through to Spark.
+
+    The explicit schema is REQUIRED by design: schema inference reads the
+    data twice and silently widens types between runs — both unacceptable
+    in a pinned production plan.
+    """
+    out_schema = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in [f.name for f in schema.fields]:
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+    return (
+        spark.read.schema(out_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink (one JSON object per line, Spark's native json writer)."""
+    df.write.mode("overwrite").json(path)
+
+
 def parquet_ts_unit(path: str, col: str) -> str | None:
     """Probe the parquet footer for a column's temporal unit: ``'ns'``/
     ``'us'``/``'ms'``/``'s'`` when the column carries a timestamp logical

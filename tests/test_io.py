@@ -91,3 +91,61 @@ def test_parquet_ts_unit_probe_and_plain_int64_guard(spark, tmp_path):
     assert _ts_stored_as_int64(str(ns_dir)) is True
     with pytest.raises(ValueError, match="plain INT64"):
         _ts_stored_as_int64(str(int_dir))
+
+
+def test_jsonl_round_trip_and_corrupt_record_quarantine(spark, tmp_path):
+    """JSONL scan with explicit schema: good lines parse, malformed lines
+    land whole in the corrupt column with fields NULL (PERMISSIVE — the one
+    bad line must not kill the backfill), DROPMALFORMED removes them, and
+    the writer round-trips."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from recsys_pipeline_spark.io import read_jsonl, write_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "a"}\n'
+        'NOT JSON AT ALL\n'
+        '{"id": 2, "txt": "b"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("txt", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {(r["id"], r["txt"]) for r in good.collect()} == {(1, "a"), (2, "b")}
+    assert bad.count() == 1 and bad.first()["id"] is None
+    assert "NOT JSON" in bad.first()["_corrupt_record"]
+    dropped = read_jsonl(spark, str(p), schema, mode="DROPMALFORMED")
+    assert dropped.count() == 2
+    out = tmp_path / "out"
+    write_jsonl(good.select("id", "txt"), str(out))
+    back = read_jsonl(spark, str(out), schema)
+    assert {(r["id"], r["txt"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_compressed_csv_reads_transparently(spark, tmp_path):
+    """S1/S2 ingestion also covers compressed drops: Spark decompresses by
+    file extension, so a .csv.gz scan needs no option changes (each gzip
+    file is one non-splittable task — fine for landing files, repartition
+    after the scan for heavy downstream work)."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from recsys_pipeline_spark.io import read_delimited
+
+    p = tmp_path / "ratings.csv.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("1::10::5\n2::20::3\n")
+    schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("item", T.LongType()),
+            T.StructField("rating", T.IntegerType()),
+        ]
+    )
+    rows = {tuple(r) for r in read_delimited(spark, str(p), schema).collect()}
+    assert rows == {(1, 10, 5), (2, 20, 3)}
