@@ -359,6 +359,70 @@ def select_token_budget(
     )
 
 
+def importance_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter: Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR-flavored importance scoring: per-document average token
+    log-likelihood ratio between a TARGET slice's unigram distribution
+    (``target_filter`` marks the high-quality reference docs) and the whole
+    corpus's — the data-selection signal that up-weights documents that
+    "look like" the reference (Xie et al., Data Selection for Language
+    Models via Importance Resampling; hashed-unigram variant).
+
+    score(d) = (1/|d|) * Σ_t [ ln(c_tgt(t)+1) − ln(C_tgt+V)
+                             − ln(c_all(t)+1) + ln(C_all+V) ]
+    with add-1 smoothing; every count is an exact integer, each ln() is one
+    libm call on an integer-valued double, and the per-doc sum is rounded
+    to ``round_dp`` — the tfidf float discipline, so the DuckDB oracle
+    matches despite ln() not being IEEE-correctly-rounded.
+
+    Scale: one tokenize+explode pass (materialized once — three consumers);
+    the token-stats table is vocabulary-sized, built by one grouped agg with
+    conditional target counts, and joins back broadcast-or-AQE-sized; one
+    final exchange on the doc id. No pass is quadratic and nothing collects.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    toks = (
+        docs.select(
+            F.col(id_col),
+            target_filter.alias("_is_tgt"),
+            F.explode(tokens(F.col(text_col))).alias("_t"),
+        )
+        .localCheckpoint(eager=True)  # feeds vocab stats, totals, and the join
+    )
+    stats = toks.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_c_all"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_c_tgt"),
+    ).localCheckpoint(eager=False)
+    totals = stats.agg(
+        F.sum("_c_all").alias("_tot_all"),
+        F.sum("_c_tgt").alias("_tot_tgt"),
+        F.count(F.lit(1)).alias("_vocab"),
+    )
+    scored = (
+        toks.join(stats, "_t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                F.log(F.col("_c_tgt") + 1.0)
+                - F.log(F.col("_tot_tgt") + F.col("_vocab"))
+                - F.log(F.col("_c_all") + 1.0)
+                + F.log(F.col("_tot_all") + F.col("_vocab"))
+            ).alias("_llr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("_llr") / F.count(F.lit(1)), round_dp).alias("weight"),
+    )
+
+
 def decontaminate_flags(
     docs: DataFrame,
     id_col: str,

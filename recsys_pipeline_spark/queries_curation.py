@@ -2,7 +2,8 @@
 pipeline (language rebalancing, per-domain caps, negative sampling, token
 budget packing, benchmark decontamination, domain-mixing weights,
 per-source boilerplate detection, quality-ranked token-budget selection,
-cluster-balanced embedding sampling) over the driver's testdata, each
+cluster-balanced embedding sampling, DSIR-style importance weighting)
+over the driver's testdata, each
 with a bit-exact DuckDB oracle via the
 engine-portable md5-fold hash (operators/dedup.portable_hash64 — see
 operators/curation.py for why hash-derived randomness, not rand(seed), is
@@ -293,6 +294,40 @@ SELECT vec_id, cell FROM (
 """
 
 
+IW_TARGET_LANG = "en"  # the high-quality reference slice for importance scoring
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored importance scores: per-doc average token log-likelihood
+    ratio between the English slice's unigram distribution (the reference
+    corpus stand-in) and the whole corpus — the up-weight-what-looks-like-
+    the-target data-selection signal (feeds hash_sample rates the same way
+    mixture_weights does)."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.importance_weights(
+        d, "doc_id", "text", F.col("lang") == IW_TARGET_LANG
+    )
+
+
+SQL_IMPORTANCE_WEIGHTS = f"""
+WITH t AS (
+  SELECT doc_id, lang = '{IW_TARGET_LANG}' AS is_tgt, unnest({_TOKENS}) AS tok
+  FROM documents
+),
+stats AS (
+  SELECT tok, count(*) AS c_all,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM t GROUP BY 1
+),
+tot AS (SELECT SUM(c_all) AS c_all_t, SUM(c_tgt) AS c_tgt_t, COUNT(*) AS v FROM stats)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(SUM(ln(c_tgt + 1.0) - ln(c_tgt_t + v) - ln(c_all + 1.0) + ln(c_all_t + v))
+             / COUNT(*), 6) AS weight
+FROM t JOIN stats USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -352,6 +387,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "select_token_budget": q_select_token_budget,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "importance_weights": q_importance_weights,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -364,4 +400,5 @@ ORACLES_CUR: dict[str, str] = {
     "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
     "select_token_budget": SQL_SELECT_TOKEN_BUDGET,
     "cluster_balanced_sample": _sql_cluster_balanced_sample(),
+    "importance_weights": SQL_IMPORTANCE_WEIGHTS,
 }

@@ -272,3 +272,20 @@ def test_cluster_balanced_sample_caps_cells_and_keeps_sparse_cells(spark):
     assert sizes == {c: min(n, QC.BAL_K) for c, n in base.items()}
     assert any(n > QC.BAL_K for n in base.values())  # the cap actually bites
     assert any(n < QC.BAL_K for n in base.values())  # and sparse cells exist
+
+
+def test_importance_weights_favor_the_target_slice(spark, docs):
+    """DSIR sanity: documents FROM the target (English) slice must score
+    higher on average than the rest — the distribution ratio has to point
+    toward the reference corpus; and weights must be rerun-stable."""
+    out = curation.importance_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id").cache()
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+    again = curation.importance_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
