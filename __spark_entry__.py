@@ -67,12 +67,12 @@ _DEFERRED = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # QC (curation) merges AFTER the ML surface. Of its ten queries (all
+    # QC (curation) merges AFTER the ML surface. Of its eleven queries (all
     # with DuckDB oracles), three are driver-recorded — sample_stratified,
-    # negative_sample, decontaminate — and seven land past the window
+    # negative_sample, decontaminate — and eight land past the window
     # (cap_per_source, pack_token_bins, mixture_weights, boilerplate_ngrams,
-    # select_token_budget, cluster_balanced_sample, importance_weights),
-    # fully inside the pytest oracle-parity harness.
+    # select_token_budget, cluster_balanced_sample, importance_weights,
+    # profile_orders), fully inside the pytest oracle-parity harness.
     merged = {
         **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,
         **QC.QUERIES_CUR,

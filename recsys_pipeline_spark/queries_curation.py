@@ -328,6 +328,53 @@ GROUP BY doc_id
 """
 
 
+PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (row count, null count, exact
+    distinct count) — the ingestion health report every pipeline run
+    records before training reads the data. One scan + one aggregate
+    (multiple exact distincts share a single Expand pass); the 1-row
+    result unpivots to long form without leaving the executors.
+
+    Scale: exact count_distinct is the oracle-checkable form; at 100 TB a
+    profiling job swaps it for the HLL++ sketch (operators/stats.py,
+    `salted_group_sum`/approx family) at a documented error bound — the
+    query shape is otherwise identical. (Registered in this module so it
+    merges after the recorded window; see __spark_entry__.queries().)
+    """
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+            for c in PROFILE_COLS
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"_dist_{c}") for c in PROFILE_COLS],
+    )
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return agg.select(F.explode(cols).alias("s")).select("s.*")
+
+
+SQL_PROFILE_ORDERS = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in PROFILE_COLS
+)
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -388,6 +435,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_token_budget": q_select_token_budget,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "importance_weights": q_importance_weights,
+    "profile_orders": q_profile_orders,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -401,4 +449,5 @@ ORACLES_CUR: dict[str, str] = {
     "select_token_budget": SQL_SELECT_TOKEN_BUDGET,
     "cluster_balanced_sample": _sql_cluster_balanced_sample(),
     "importance_weights": SQL_IMPORTANCE_WEIGHTS,
+    "profile_orders": SQL_PROFILE_ORDERS,
 }
