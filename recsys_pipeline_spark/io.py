@@ -73,7 +73,10 @@ def read_jsonl(
       ``corrupt_col`` with every schema field NULL — quarantine them with
       ``df.filter(col(corrupt_col).isNotNull())`` and keep the pipeline
       running (the at-scale posture: one bad line must not kill a 100 TB
-      backfill).
+      backfill). Spark refuses a query that references ONLY the corrupt
+      column ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]):
+      ``.cache()``/persist the frame first — as the round-trip test does —
+      or include a data column in the same query.
     * ``mode="DROPMALFORMED"`` / ``mode="FAILFAST"`` pass through to Spark.
 
     The explicit schema is REQUIRED by design: schema inference reads the

@@ -466,12 +466,16 @@ def decontaminate_flags(
             )
         ).alias("i"),
     )
+    # Both the eval side and the train side consume this frame; materialize
+    # it once (lazy — two consumers) or the full tokenize+explode gram
+    # mining runs twice per execution, the same fan-out the boilerplate
+    # operator pins with a plan test.
     grams = pos.select(
         id_col,
         F.concat_ws(
             " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     if eval_ids is not None:
         key = eval_ids.columns[0]
         ids = eval_ids.select(F.col(key).alias(id_col)).distinct()

@@ -99,13 +99,23 @@ def extract_features(
     if decode == "real":
         import importlib.util
 
-        if "video" in kinds and importlib.util.find_spec("imageio") is None:
-            raise NotImplementedError(
-                "real video decode requires imageio + an ffmpeg/pyav plugin "
-                "(driver AND executors) — not available; drop 'video' from "
-                "kinds (rows yield NULL features) or use "
-                "decode='deterministic_fake'"
+        if "video" in kinds:
+            # imageio alone cannot decode anything: a plugin backend must
+            # also be importable (imageio-ffmpeg / pyav for mp4/webm, PIL
+            # for the pillow plugin's GIF path) — probe BOTH here so absent
+            # codecs fail at plan time, never mid-job.
+            has_backend = any(
+                importlib.util.find_spec(p) is not None
+                for p in ("imageio_ffmpeg", "av", "PIL")
             )
+            if importlib.util.find_spec("imageio") is None or not has_backend:
+                raise NotImplementedError(
+                    "real video decode requires imageio plus a plugin "
+                    "backend (imageio-ffmpeg, av, or PIL) on driver AND "
+                    "executors — not available; drop 'video' from kinds "
+                    "(rows yield NULL features) or use "
+                    "decode='deterministic_fake'"
+                )
         if "image" in kinds and importlib.util.find_spec("PIL") is None:
             raise NotImplementedError(
                 "real image decode requires PIL (driver AND executors) — not "
@@ -170,11 +180,13 @@ def extract_features(
             def video_feats(payload):
                 import imageio.v3 as iio
 
-                arr = np.asarray(iio.imread(payload, index=None))
-                if arr.ndim == 2:  # single gray frame
-                    arr = arr[None, ..., None]
-                elif arr.ndim == 3:  # single frame HxWxC or gray NxHxW
-                    arr = arr[None] if arr.shape[-1] in (1, 3, 4) else arr[..., None]
+                # imiter yields one HxW[xC] array per frame — no ambiguity
+                # between "N gray frames" and "one HxWxC color frame" that
+                # a stacked imread(index=None) array would have
+                frames = [np.asarray(f) for f in iio.imiter(payload)]
+                arr = np.stack(
+                    [f[..., None] if f.ndim == 2 else f for f in frames]
+                )
                 nf, h, w, c = arr.shape
                 gray = arr[..., : min(c, 3)].mean(axis=-1) / 255.0
                 return [

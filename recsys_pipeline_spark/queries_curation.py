@@ -422,8 +422,8 @@ FROM per_src, norm
 
 # Order encodes recorded-window priority (see __spark_entry__.queries()):
 # the first three are the family's driver-recorded representatives
-# (stratified sampling / negative sampling / decontamination); the last
-# three sit past the window, pinned by tests/test_oracle_parity.py.
+# (stratified sampling / negative sampling / decontamination); the other
+# eight sit past the window, pinned by tests/test_oracle_parity.py.
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "negative_sample": q_negative_sample,

@@ -41,13 +41,38 @@ from pyspark.sql import functions as F
 from recsys_pipeline_spark.operators.curation import hash_bucket
 
 
-def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
-    """Accumulated state, or an empty frame with the same schema on the
-    first epoch (the state table does not exist yet)."""
+def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Epoch-idempotent sink: rows land in an ``_epoch=<id>`` partition via
+    DYNAMIC partition overwrite, so a foreachBatch replay (at-least-once
+    delivery) overwrites its own epoch instead of appending duplicates."""
+    (
+        df.withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(path)
+    )
+
+
+def _read_state(
+    spark, path: str, like: DataFrame, before_epoch: int
+) -> DataFrame:
+    """Accumulated state from every epoch BEFORE the current one (a replayed
+    epoch must not see its own first attempt), or an empty frame with
+    ``like``'s schema when the table does not exist yet. Only the two
+    expected first-epoch errors (missing path / no parquet files to infer
+    from) are swallowed — a corrupt or unreadable state table raises, it
+    does not silently become an empty seen-set."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
-        return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], like.schema)
+        df = spark.read.parquet(path)
+    except AnalysisException as ex:
+        msg = str(ex)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return spark.createDataFrame([], like.schema)
+        raise
+    return df.filter(F.col("_epoch") < before_epoch).drop("_epoch")
 
 
 def cap_per_group_stream(
@@ -65,7 +90,7 @@ def cap_per_group_stream(
     def step(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         prior = (
-            _read_or_empty(spark, out_dir, batch)
+            _read_state(spark, out_dir, batch, epoch_id)
             .groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("_prior"))
         )
@@ -76,7 +101,7 @@ def cap_per_group_stream(
             .filter(F.coalesce(F.col("_prior"), F.lit(0)) + F.col("_rk") <= k)
             .drop("_rk", "_prior")
         )
-        admitted.write.mode("append").parquet(out_dir)
+        _write_epoch(admitted, out_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
@@ -105,7 +130,7 @@ def negative_sample_stream(
             F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
         ).distinct()
         seen = (
-            _read_or_empty(spark, seen_dir, batch_seen)
+            _read_state(spark, seen_dir, batch_seen, epoch_id)
             .union(batch_seen)
             .distinct()
             .localCheckpoint(eager=False)
@@ -120,8 +145,8 @@ def negative_sample_stream(
             (cand[user_col] == seen["_u"]) & (cand[item_col] == seen["_i"]),
             "left_anti",
         )
-        neg.write.mode("append").parquet(out_dir)
-        batch_seen.write.mode("append").parquet(seen_dir)
+        _write_epoch(neg, out_dir, epoch_id)
+        _write_epoch(batch_seen, seen_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
@@ -169,7 +194,7 @@ def decontaminate_stream(
         is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
         batch_eval = grams.filter(is_eval).select("gram").distinct()
         eval_grams = (
-            _read_or_empty(spark, gram_dir, batch_eval)
+            _read_state(spark, gram_dir, batch_eval, epoch_id)
             .union(batch_eval)
             .distinct()
         )
@@ -179,8 +204,8 @@ def decontaminate_stream(
             .groupBy(id_col)
             .agg(F.count_distinct("gram").alias("n_hits"))
         )
-        flags.write.mode("append").parquet(out_dir)
-        batch_eval.write.mode("append").parquet(gram_dir)
+        _write_epoch(flags, out_dir, epoch_id)
+        _write_epoch(batch_eval, gram_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 

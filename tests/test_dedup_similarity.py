@@ -328,15 +328,22 @@ def test_multimodal_real_audio_decode(spark):
     assert out[3]["features"] is None  # null payload -> NULL
     import importlib.util
 
-    if importlib.util.find_spec("imageio") is None:
+    _video_ok = importlib.util.find_spec("imageio") is not None and any(
+        importlib.util.find_spec(p) is not None for p in ("imageio_ffmpeg", "av", "PIL")
+    )
+    if not _video_ok:
         # declaring video eagerly raises at PLAN time (no codec in this env)
         with pytest.raises(NotImplementedError):
             multimodal.extract_features(media, decode="real", kinds=("audio", "video"))
 
 
 @pytest.mark.skipif(
-    __import__("importlib.util", fromlist=["util"]).find_spec("imageio") is None,
-    reason="imageio not installed in this environment",
+    __import__("importlib.util", fromlist=["util"]).find_spec("imageio") is None
+    or all(
+        __import__("importlib.util", fromlist=["util"]).find_spec(p) is None
+        for p in ("imageio_ffmpeg", "av", "PIL")
+    ),
+    reason="imageio + a plugin backend not installed in this environment",
 )
 def test_multimodal_real_video_decode(spark):
     """decode='real' with kinds=('video',) on a tiny generated clip: runs

@@ -452,3 +452,48 @@ def test_streaming_decontaminate_multi_epoch_prefix_semantics(spark, tmp_path):
     assert set(got) <= set(want)
     assert all(got[i] <= want[i] for i in got)
     assert len(got) > 0
+
+
+def test_streaming_curation_replay_is_idempotent(spark, batch_events, tmp_path):
+    """foreachBatch is at-least-once: re-running the whole stream against
+    the same sink dirs (a full replay — without a checkpoint the epochs
+    re-fire with the same ids) must leave the output byte-identical, not
+    doubled; the epoch-partitioned dynamic-overwrite sink guarantees it."""
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    out = str(tmp_path / "cap_out")
+
+    def run():
+        cs.cap_per_group_stream(
+            sp.stream_events(spark, SF), "event_type", ["ts", "event_id"], 7, out
+        )
+
+    run()
+    first = sorted(
+        (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    run()  # replay
+    second = sorted(
+        (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == second and len(first) > 0
+
+    nout, seen = str(tmp_path / "neg_out"), str(tmp_path / "neg_seen")
+
+    def run_neg():
+        cs.negative_sample_stream(
+            _inter(sp.stream_events(spark, SF)),
+            "userid", "itemid", "event_id", 100, nout, seen,
+        )
+
+    run_neg()
+    n1 = sorted(
+        (r["event_id"], r["itemid"]) for r in spark.read.parquet(nout).collect()
+    )
+    run_neg()
+    n2 = sorted(
+        (r["event_id"], r["itemid"]) for r in spark.read.parquet(nout).collect()
+    )
+    assert n1 == n2 and len(n1) > 0
