@@ -59,11 +59,24 @@ _DEFERRED = [
     # the exact-dup grouping), streaming twin + pytest oracle still pin it
     "embedding_near_dup",  # the documented exact twin; the family's scale
     # path embedding_near_dup_lsh stays recorded
+    # Round-9 swaps (per the r8 verdict's recorded-50 audit): three more
+    # in-window redundancies move here so boilerplate_ngrams /
+    # select_token_budget / importance_weights — the pipeline-critical
+    # round-8 curation operators — gain driver-recorded rows —
+    "ngram_profile",  # text-quality family keeps 4 recorded rows
+    # (doc_token_stats, doc_quality, lang_id, tfidf_doc_terms)
+    "cube_revenue",  # Expand-plan family keeps rollup_revenue recorded;
+    # CUBE is the same one-pass grouping-sets machinery
+    "embedding_avg_norm",  # embedding-column family keeps cosine_topk +
+    # both ANN queries recorded; the exact-decimal-sum discipline keeps
+    # corr_qty_price recorded
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the
-# round-8 swap frees go to negative_sample (J6's training-side twin) and
-# decontaminate (the every-round hygiene pass).
+# round-8 swap freed went to negative_sample (J6's training-side twin) and
+# decontaminate (the every-round hygiene pass); the three round-9 slots go
+# to the promoted curation trio (QUERIES_CUR order puts them directly after
+# decontaminate, closing the window at importance_weights = entry 50).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

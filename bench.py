@@ -12,6 +12,7 @@ import json
 import os
 import re
 import statistics
+import sys
 import time
 
 import __spark_entry__ as entrymod
@@ -67,6 +68,27 @@ def main() -> None:
     # run cannot distinguish from a real regression. The plan is rebuilt each
     # repeat so no DataFrame-level caching leaks between runs.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # Best-known-quiet per-query medians from previous runs: the second
+    # stall-guard layer. The intra-repeat guard below catches a pause that
+    # hits SOME repeats (spread >= 3x); a host stall covering the WHOLE
+    # repeat window passes it (observed: doc_repetition recorded 3.82 s in
+    # r8, quiet A/B 1.09 s — every repeat was inflated, spread was small).
+    # Comparing against the persisted quiet median catches exactly that.
+    # The file ratchets DOWNWARD (min of stored/current), so one stalled
+    # run cannot poison the reference; a deliberate >=3x regression will
+    # cost a few extra repeats per run until the file is deleted — delete
+    # .bench_medians.json after intentional slowdowns.
+    hist_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_HISTORY",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_medians.json"),
+    )
+    # keyed by sf: quiet medians at sf0.001 would read as "stall" at sf0.1
+    try:
+        with open(hist_path) as fh:
+            hist_all = json.load(fh)
+    except (OSError, ValueError):
+        hist_all = {}
+    quiet_medians: dict[str, float] = hist_all.get(str(sf), {})
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
@@ -97,12 +119,36 @@ def main() -> None:
         # host. Bounded, applied symmetrically to every query.
         extra = 0
         while extra < 2 and len(times) >= 2 and max(times) >= 3 * min(times):
+            print(f"[bench] stall guard (spread): {name} {times}", file=sys.stderr)
             times.append(timed_run())
             extra += 1
         dt = statistics.median(times)
+        # Full-window stall guard (layer 2): every repeat inflated, small
+        # spread — invisible to the intra-repeat check. Retry while the
+        # median sits >= 3x the best-known-quiet median, bounded.
+        prev = quiet_medians.get(name)
+        full_extra = 0
+        while prev and full_extra < 3 and dt >= 3 * prev:
+            print(
+                f"[bench] stall guard (full-window): {name} median {dt:.3f}s"
+                f" >= 3x quiet {prev:.3f}s, retrying",
+                file=sys.stderr,
+            )
+            times.append(timed_run())
+            full_extra += 1
+            dt = statistics.median(times)
         timings[name] = round(dt, 4)
         total += dt
 
+    # Ratchet the quiet reference downward; never store an inflated number.
+    hist_all[str(sf)] = {
+        q: round(min(t, quiet_medians.get(q, t)), 4) for q, t in timings.items()
+    }
+    try:
+        with open(hist_path, "w") as fh:
+            json.dump(hist_all, fh, indent=0, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: guard simply stays single-layer
     print(
         json.dumps(
             {

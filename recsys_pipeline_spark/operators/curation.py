@@ -234,7 +234,13 @@ def boilerplate_flags(
     # set, per-doc boilerplate hits) hang off the distinct gram frame;
     # without materialization each re-runs the tokenize+explode+distinct
     # (measured 4 FileScans, no ReusedExchange — the wide-fan-out lesson,
-    # PLANS.md §20, eager barrier like the serving composite's split).
+    # PLANS.md §20). LAZY checkpoint: first use materializes and the other
+    # consumers read the cached blocks (3 consumers is inside the lazy-safe
+    # band, PLANS.md §20 round 8 — the 8-branch serving composite needs
+    # eager), so merely CONSTRUCTING this DataFrame runs no job and pins no
+    # executor memory. At corpus scale the exploded gram frame should
+    # checkpoint to storage (reliable checkpoint / a staging table), not
+    # executor block storage.
     grams = (
         pos.select(
             id_col,
@@ -244,7 +250,7 @@ def boilerplate_flags(
             ).alias("gram"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     group_sizes = t.groupBy(group_col).agg(
         F.count_distinct(id_col).alias("_n_docs")
@@ -375,10 +381,16 @@ def importance_weights(
 
     score(d) = (1/|d|) * Σ_t [ ln(c_tgt(t)+1) − ln(C_tgt+V)
                              − ln(c_all(t)+1) + ln(C_all+V) ]
-    with add-1 smoothing; every count is an exact integer, each ln() is one
-    libm call on an integer-valued double, and the per-doc sum is rounded
-    to ``round_dp`` — the tfidf float discipline, so the DuckDB oracle
-    matches despite ln() not being IEEE-correctly-rounded.
+    with add-1 smoothing; every count is an exact integer and each ln() is
+    one libm call on an integer-valued double. The per-doc sum is made
+    ORDER-INDEPENDENT by pre-rounding each token's LLR to a scaled 1e-12
+    integer and summing longs: double summation order is nondeterministic
+    under Spark partitioning (and differs from DuckDB's scan order), so a
+    float Σ could flip the final ``round_dp`` rounding between runs —
+    integer summation is exact and associative, so the same corpus always
+    produces the same bits on both engines. (Long capacity: |LLR| ≲ 40 →
+    ≤4e13 per token, overflow needs ≳2e5-token documents × 1e12 scale; a
+    corpus with book-length docs would widen the sum to decimal(38,0).)
 
     Scale: one tokenize+explode pass (materialized once — three consumers);
     the token-stats table is vocabulary-sized, built by one grouped agg with
@@ -393,7 +405,11 @@ def importance_weights(
             target_filter.alias("_is_tgt"),
             F.explode(tokens(F.col(text_col))).alias("_t"),
         )
-        .localCheckpoint(eager=True)  # feeds vocab stats, totals, and the join
+        # feeds vocab stats (-> totals) and the scoring join; lazy so
+        # construction runs no job (2 direct consumers — lazy-safe band,
+        # PLANS.md §20); at corpus scale checkpoint the token frame to
+        # storage rather than executor blocks
+        .localCheckpoint(eager=False)
     )
     stats = toks.groupBy("_t").agg(
         F.count(F.lit(1)).alias("_c_all"),
@@ -404,22 +420,22 @@ def importance_weights(
         F.sum("_c_tgt").alias("_tot_tgt"),
         F.count(F.lit(1)).alias("_vocab"),
     )
+    llr = (
+        F.log(F.col("_c_tgt") + 1.0)
+        - F.log(F.col("_tot_tgt") + F.col("_vocab"))
+        - F.log(F.col("_c_all") + 1.0)
+        + F.log(F.col("_tot_all") + F.col("_vocab"))
+    )
     scored = (
         toks.join(stats, "_t")
         .crossJoin(F.broadcast(totals))
-        .select(
-            id_col,
-            (
-                F.log(F.col("_c_tgt") + 1.0)
-                - F.log(F.col("_tot_tgt") + F.col("_vocab"))
-                - F.log(F.col("_c_all") + 1.0)
-                + F.log(F.col("_tot_all") + F.col("_vocab"))
-            ).alias("_llr"),
-        )
+        .select(id_col, F.round(llr * 1e12).cast("long").alias("_llr_fp"))
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum("_llr") / F.count(F.lit(1)), round_dp).alias("weight"),
+        F.round(
+            F.sum("_llr_fp").cast("double") / 1e12 / F.count(F.lit(1)), round_dp
+        ).alias("weight"),
     )
 
 

@@ -95,6 +95,12 @@ def extract_features(
     Rows whose kind is NOT declared get ``features = NULL`` (n_bytes is
     still real) instead of failing the job after partial work — mixed-media
     tables route through one pass and the caller filters on feature nullity.
+    The same posture applies to UNDECODABLE payloads: corrupt bytes, a
+    zero-frame video, or a video with heterogeneous frame sizes yield
+    ``features = NULL`` rather than raising mid-job (at 100 TB a handful of
+    broken cells per billion is a certainty, and one must not kill a stage);
+    the caller separates "undeclared kind" from "broken payload" by whether
+    the kind was in ``kinds``.
     """
     if decode == "real":
         import importlib.util
@@ -184,11 +190,23 @@ def extract_features(
                 # between "N gray frames" and "one HxWxC color frame" that
                 # a stacked imread(index=None) array would have
                 frames = [np.asarray(f) for f in iio.imiter(payload)]
-                arr = np.stack(
-                    [f[..., None] if f.ndim == 2 else f for f in frames]
-                )
+                if not frames:  # zero-frame container: NULL, not np.stack([])
+                    return None
+                shaped = [f[..., None] if f.ndim == 2 else f for f in frames]
+                if len({f.shape for f in shaped}) != 1:
+                    return None  # heterogeneous frame sizes: unstackable
+                arr = np.stack(shaped)
                 nf, h, w, c = arr.shape
-                gray = arr[..., : min(c, 3)].mean(axis=-1) / 255.0
+                if h == 0 or w == 0:
+                    return None
+                # normalize by the DECODED dtype's full scale, not a
+                # hard-coded 255 (16-bit sources decode to uint16)
+                scale = (
+                    float(np.iinfo(arr.dtype).max)
+                    if np.issubdtype(arr.dtype, np.integer)
+                    else 1.0
+                )
+                gray = arr[..., : min(c, 3)].mean(axis=-1) / scale
                 return [
                     float(nf),
                     float(w),
@@ -203,11 +221,16 @@ def extract_features(
             def feats(payload, kind):
                 if payload is None or kind not in want:
                     return None
-                if kind == "image":
-                    return image_feats(payload)
-                if kind == "video":
-                    return video_feats(payload)
-                return audio_feats(payload)
+                try:
+                    if kind == "image":
+                        return image_feats(payload)
+                    if kind == "video":
+                        return video_feats(payload)
+                    return audio_feats(payload)
+                except Exception:
+                    # corrupt/truncated payload: NULL features, never a
+                    # stage failure after partial work (module posture)
+                    return None
 
             for pdf in it:
                 yield _pd.DataFrame(

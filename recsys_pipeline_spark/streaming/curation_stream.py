@@ -25,12 +25,33 @@ Semantics vs the batch twins (documented, asserted in tests):
   sees the full eval set, so streaming per-doc hit counts are <= the batch
   counts and the flagged set is a subset; on a single micro-batch they are
   identical.
+* ``boilerplate_stream`` scores each batch's documents against gram
+  doc-frequencies over the prefix: every epoch's output equals the batch
+  operator on the prefix corpus restricted to that epoch's docs (exact on
+  a single micro-batch). No cross-epoch subset relation exists — a df
+  threshold moves both ways as the corpus grows.
 
 Scale: state lives in partitioned parquet keyed by the join key — the
 per-batch work is one broadcast-or-shuffle join against it; nothing
 collects to the driver. The availableNow harness (run via
-pipeline.foreach_batch_sink) is the test rig; a production run points the
-same functions at a real checkpointed sink.
+pipeline.foreach_batch_sink) is the test rig; a production run needs two
+things the rig deliberately omits:
+
+* **State compaction.** ``_read_state`` unions every prior ``_epoch=``
+  partition, so per-batch read cost grows linearly with stream age
+  (quadratic cumulative I/O over the stream's life). Production runs a
+  periodic compaction — rewrite the accumulated partitions into one
+  snapshot partition (``_epoch=-1`` base + recent deltas, the
+  standard base+delta state-table layout) — so each batch reads
+  O(state), not O(epochs). The epoch-partitioned layout is exactly what
+  makes that rewrite safe: compaction replaces only partitions strictly
+  below the live epoch horizon.
+* **A real ``checkpointLocation``.** The rig relies on availableNow
+  epoch ids restarting from 0 so ``_write_epoch``'s dynamic partition
+  overwrite is replay-idempotent; a long-lived query must set
+  ``checkpointLocation`` on ``writeStream`` so epoch ids are durable
+  across restarts and a replayed epoch overwrites its own partition
+  rather than a fresh id appending a duplicate.
 """
 
 from __future__ import annotations
@@ -147,6 +168,99 @@ def negative_sample_stream(
         )
         _write_epoch(neg, out_dir, epoch_id)
         _write_epoch(batch_seen, seen_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
+def boilerplate_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int,
+    share_pct: int,
+    out_dir: str,
+    gram_dir: str,
+    docs_dir: str,
+) -> None:
+    """Boilerplate detection online: each micro-batch's documents are flagged
+    against the gram doc-frequencies accumulated over the PREFIX (state =
+    the distinct (id, group, gram) triples plus the (id, group) roster —
+    the roster is separate because gramless docs still count toward a
+    group's size). An epoch's output equals the batch operator run on the
+    prefix corpus, restricted to that epoch's documents (asserted in
+    tests); on a single micro-batch that IS the batch result. Unlike the
+    decontaminate twin there is no subset guarantee across epochs — a
+    gram's df ratio moves both ways as the corpus grows, which is the
+    honest online semantics of a threshold on corpus statistics.
+
+    Production note: the triple state here is the exploded raw form for
+    parity-testability; a long-lived stream compacts it to (group, gram,
+    doc_count) + (group, doc_count) delta counters (sum-mergeable), an
+    order-of-magnitude smaller state table with the same join shape.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        t = batch.select(
+            F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("toks")
+        )
+        n_tok = F.size("toks")
+        pos = t.select(
+            id_col,
+            group_col,
+            "toks",
+            F.explode(
+                F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+        )
+        batch_triples = (
+            pos.select(
+                id_col,
+                group_col,
+                F.concat_ws(
+                    " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+                ).alias("gram"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # feeds state append + both joins
+        )
+        batch_docs = t.select(id_col, group_col).distinct()
+        triples = _read_state(spark, gram_dir, batch_triples, epoch_id).union(
+            batch_triples
+        )
+        docs_all = _read_state(spark, docs_dir, batch_docs, epoch_id).union(
+            batch_docs
+        )
+        group_sizes = docs_all.groupBy(group_col).agg(
+            F.count_distinct(id_col).alias("_n_docs")
+        )
+        boiler = (
+            triples.groupBy(group_col, "gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .join(group_sizes, group_col)
+            .filter(F.col("_df") * 100 >= F.lit(share_pct) * F.col("_n_docs"))
+            .select(group_col, "gram")
+        )
+        per_doc = batch_triples.groupBy(id_col, group_col).agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+        hits = (
+            batch_triples.join(boiler, [group_col, "gram"])
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_boiler"))
+        )
+        flags = per_doc.join(hits, id_col).select(
+            id_col, group_col, "n_grams", "n_boiler"
+        )
+        _write_epoch(flags, out_dir, epoch_id)
+        _write_epoch(batch_triples, gram_dir, epoch_id)
+        _write_epoch(batch_docs, docs_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 

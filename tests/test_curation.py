@@ -289,3 +289,50 @@ def test_importance_weights_favor_the_target_slice(spark, docs):
     assert means[True] > means[False]
     again = curation.importance_weights(docs, "doc_id", "text", F.col("lang") == "en")
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_approx_profile_orders_within_tolerance(spark):
+    """The HLL++ profiling twin must agree with the exact profile on rows and
+    nulls EXACTLY (those are plain sums, not sketched) and on distinct counts
+    within the sketch tolerance (rsd=2%; 5% + small-count slack gate, the
+    approx_distinct discipline)."""
+    exact = {
+        r["column_name"]: r for r in QC.q_profile_orders(spark, SF).collect()
+    }
+    approx = {
+        r["column_name"]: r
+        for r in QC.q_approx_profile_orders(spark, SF).collect()
+    }
+    assert set(exact) == set(approx) == set(QC.PROFILE_COLS)
+    for c in QC.PROFILE_COLS:
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_null"] == exact[c]["n_null"]
+        n = exact[c]["n_distinct"]
+        assert abs(approx[c]["n_distinct"] - n) <= max(2, 0.05 * n), (
+            c, approx[c]["n_distinct"], n,
+        )
+
+
+def test_pii_redaction_clean_has_no_pii_left(spark):
+    """Idempotence/completeness: after redaction no pattern matches the clean
+    text, every planted kind was counted, and docs with no planted PII pass
+    through byte-identical."""
+    from recsys_pipeline_spark.operators.text import PII_PATTERNS
+
+    out = QC.q_pii_redaction(spark, SF).cache()
+    for pat in PII_PATTERNS.values():
+        assert out.filter(F.col("clean").rlike(pat)).count() == 0, pat
+    # counts follow the planting rule exactly
+    bad = out.filter(
+        (F.col("n_email") != F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0))
+        | (F.col("n_ssn") != F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0))
+        | (F.col("n_phone") != F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0))
+    )
+    assert bad.count() == 0
+    untouched = out.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 0)
+    )
+    orig = read_table(spark, SF, "documents").select("doc_id", "text")
+    diff = untouched.join(orig, "doc_id").filter(F.col("clean") != F.col("text"))
+    assert diff.count() == 0
+    out.unpersist()

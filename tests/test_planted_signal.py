@@ -85,6 +85,11 @@ def test_deepfm_beats_fm_baseline(planted, fm_auc):
         max_iter=200, categorical_cols=planted["cat"],
     )
     deepfm_auc = rank_model.auc(dfm, planted["test"])
+    # TODO(noise-floored gate): this fast assert tolerates DeepFM landing up
+    # to 0.003 BELOW FM (the fixture's measured reduction-order noise); the
+    # STRICT DeepFM > FM ordering is pinned by the slow ml-1m-magnitude gate
+    # (test_planted_ml1m_scale.py, 0.8773 > 0.8562) — run `-m slow` before
+    # trusting a refactor that could regress the deep branch.
     assert deepfm_auc > fm_auc - 0.003, (deepfm_auc, fm_auc)
     assert deepfm_auc >= 0.82, deepfm_auc
 

@@ -497,3 +497,84 @@ def test_streaming_curation_replay_is_idempotent(spark, batch_events, tmp_path):
         (r["event_id"], r["itemid"]) for r in spark.read.parquet(nout).collect()
     )
     assert n1 == n2 and len(n1) > 0
+
+
+def test_streaming_boilerplate_single_epoch_matches_batch(spark, tmp_path):
+    """One micro-batch holds the whole corpus, so prefix stats == corpus
+    stats and the foreachBatch twin must reproduce boilerplate_flags
+    exactly (same grams, same df threshold, same counts)."""
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    out = str(tmp_path / "bp_out")
+    gd, dd = str(tmp_path / "bp_grams"), str(tmp_path / "bp_docs")
+    cs.boilerplate_stream(stream, "doc_id", "text", "source", 2, 15, out, gd, dd)
+    got = {
+        (r["doc_id"], r["source"], r["n_grams"], r["n_boiler"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["source"], r["n_grams"], r["n_boiler"])
+        for r in curation.boilerplate_flags(
+            docs, "doc_id", "text", "source", n=2, share_pct=15
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_boilerplate_epoch_equals_batch_on_prefix(spark, tmp_path):
+    """Two micro-batches: each epoch's flags must equal the batch operator
+    run on the PREFIX corpus (epochs 0..e), restricted to that epoch's
+    documents — the honest online semantics of a corpus-statistic
+    threshold (no subset guarantee across epochs, asserted per-epoch)."""
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").cache()
+    half0, half1 = docs.filter(F.col("doc_id") % 2 == 0), docs.filter(
+        F.col("doc_id") % 2 == 1
+    )
+    src = str(tmp_path / "bp_src")
+    half0.coalesce(1).write.mode("append").parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "bp_out2")
+    gd, dd = str(tmp_path / "bp_grams2"), str(tmp_path / "bp_docs2")
+    cs.boilerplate_stream(stream, "doc_id", "text", "source", 2, 15, out, gd, dd)
+    flags = spark.read.parquet(out).cache()
+    # file order == epoch order is not guaranteed; recover which half each
+    # epoch processed from the sink itself (flags carry the batch's ids)
+    epochs = sorted(r["_epoch"] for r in flags.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    for e in epochs:
+        got = {
+            (r["doc_id"], r["n_grams"], r["n_boiler"])
+            for r in flags.filter(F.col("_epoch") == e).collect()
+        }
+        ids = {i for i, _, _ in got}
+        batch_half = half0 if all(i % 2 == 0 for i in ids) else half1
+        # first epoch's prefix is its own half; second epoch saw everything
+        prefix = batch_half if e == min(epochs) else docs
+        want_all = curation.boilerplate_flags(
+            prefix, "doc_id", "text", "source", n=2, share_pct=15
+        )
+        want = {
+            (r["doc_id"], r["n_grams"], r["n_boiler"])
+            for r in want_all.join(
+                batch_half.select("doc_id"), "doc_id"
+            ).collect()
+        }
+        assert got == want, e
+    assert flags.count() > 0
+    flags.unpersist()
