@@ -439,6 +439,108 @@ def importance_weights(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Context-window sharding: split each document into token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks (stride = chunk_tokens − overlap) — the step that turns a
+    variable-length corpus into model-sized training sequences, run after
+    curation and before tokenization proper. Emits one row per chunk:
+    (id, chunk_id 0-based, start_tok, n_tokens, chunk_text) with the final
+    chunk allowed to run short; zero-token documents produce no rows.
+    ``chunk_text`` re-joins the window's tokens with single spaces (the
+    tokenizer already collapses whitespace, so this is the canonical form).
+
+    Scale: tokenize → sequence(starts) → explode → slice, all inside
+    whole-stage codegen over the scan — zero shuffles, and the explode
+    fan-out is bounded by ceil(len/stride) per document. At 100 TB this is
+    the shape you want: chunking is embarrassingly parallel and the output
+    partitioning inherits the input's, so the downstream pack/tokenize
+    stage decides the first exchange.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    from recsys_pipeline_spark.operators.text import tokens
+
+    stride = chunk_tokens - overlap
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_tok = F.size("toks")
+    starts = F.sequence(F.lit(0), n_tok - 1, F.lit(stride))
+    return (
+        t.select(id_col, "toks", F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            id_col,
+            "chunk_id",
+            "start_tok",
+            F.least(F.lit(chunk_tokens), F.size("toks") - F.col("start_tok")).alias(
+                "n_tokens"
+            ),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start_tok") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def snapshot_diff(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff: compare two corpus snapshots by key and content
+    fingerprint, emitting one row per differing key with status ``added``
+    (only in B), ``removed`` (only in A) or ``changed`` (both, different
+    content hash). Unchanged keys produce no output — on a 100 TB corpus
+    with a 0.1% daily churn the diff is 1000× smaller than the snapshots,
+    which is what makes incremental reprocessing (re-dedup, re-tokenize
+    only the delta) affordable.
+
+    The fingerprint is md5 over the concatenated content columns with a
+    field separator that cannot appear in the values (\\x1f), so column
+    boundaries can't alias; NULL encodes distinctly from the empty string.
+
+    Scale: one hash-partitioned shuffle per side on the key, then a single
+    full-outer merge join; the hash reduces arbitrarily wide rows to 32
+    bytes before the shuffle, so network cost is keys + digests, not
+    payloads. No broadcast (both sides are corpus-sized by assumption).
+    """
+    sep = "\x1f"
+
+    def fp(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in content_cols:
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                    F.col(c).cast("string")
+                )
+            )
+            parts.append(F.lit(sep))
+        return df.select(F.col(id_col), F.md5(F.concat(*parts)).alias("_fp"))
+
+    a = fp(snap_a).withColumnRenamed("_fp", "_fp_a")
+    b = fp(snap_b).withColumnRenamed("_fp", "_fp_b")
+    joined = a.join(b, id_col, "full_outer")
+    return joined.filter(
+        F.col("_fp_a").isNull()
+        | F.col("_fp_b").isNull()
+        | (F.col("_fp_a") != F.col("_fp_b"))
+    ).select(
+        id_col,
+        F.when(F.col("_fp_a").isNull(), F.lit("added"))
+        .when(F.col("_fp_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
 def decontaminate_flags(
     docs: DataFrame,
     id_col: str,

@@ -508,6 +508,83 @@ s{i} AS (
     return f"{sql}\nSELECT doc_id, {counts}, {cur_text} AS clean FROM {prev}"
 
 
+CHUNK_TOKENS = 64  # context-window shard size (whitespace tokens)
+CHUNK_OVERLAP = 16  # tokens shared between consecutive chunks (stride 48)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sharding: every document split into 64-token windows
+    with 16-token overlap (final chunk short) — the corpus→training-sequence
+    step; zero shuffles, explode bounded by ceil(len/stride) per doc."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(
+        d, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+
+
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+g AS (SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS st FROM nz)
+SELECT doc_id,
+       CAST(st // {_STRIDE} AS INT) AS chunk_id,
+       CAST(st AS INT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, len(toks) - st) AS INT) AS n_tokens,
+       array_to_string(toks[st + 1 : st + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM g
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff between the corpus and a deterministically
+    derived next snapshot (doc_id%17==0 deleted, %10==0 revised, %23==0
+    spawns a new id) — added/removed/changed by content fingerprint; the
+    incremental-reprocessing primitive. Unchanged keys emit nothing."""
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.select("doc_id", "text", "lang")
+    revised = base.filter(did % 17 != 0).select(
+        "doc_id",
+        F.when(did % 10 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    fresh = base.filter(did % 23 == 0).select(
+        (did + 100000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+        F.lit("xx").alias("lang"),
+    )
+    snap_b = revised.unionByName(fresh)
+    return curation.snapshot_diff(base, snap_b, "doc_id", ["text", "lang"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT doc_id, text, lang FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, 'fresh ' || text, 'xx'
+  FROM documents WHERE doc_id % 23 = 0
+),
+fa AS (SELECT doc_id, md5(coalesce(text, chr(0)) || chr(31)
+                          || coalesce(lang, chr(0)) || chr(31)) AS fp FROM a),
+fb AS (SELECT doc_id, md5(coalesce(text, chr(0)) || chr(31)
+                          || coalesce(lang, chr(0)) || chr(31)) AS fp FROM b)
+SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+       CASE WHEN fa.doc_id IS NULL THEN 'added'
+            WHEN fb.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+WHERE fa.doc_id IS NULL OR fb.doc_id IS NULL OR fa.fp <> fb.fp
+"""
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -577,10 +654,14 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no oracle (HLL++ sketch is engine-specific): driver records rows+schema;
     # value coverage = tolerance gate vs the exact twin (test_curation.py)
     "approx_profile_orders": q_approx_profile_orders,
+    "doc_chunks": q_doc_chunks,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES_CUR: dict[str, str] = {
     "pii_redaction": _sql_pii_redaction(),
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

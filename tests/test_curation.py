@@ -336,3 +336,64 @@ def test_pii_redaction_clean_has_no_pii_left(spark):
     diff = untouched.join(orig, "doc_id").filter(F.col("clean") != F.col("text"))
     assert diff.count() == 0
     out.unpersist()
+
+
+def test_chunk_documents_covers_and_overlaps(spark, docs):
+    """Every token position is covered, consecutive chunks overlap by
+    exactly `overlap`, the final chunk may run short, chunk_text length
+    equals n_tokens, and empty docs emit nothing."""
+    from recsys_pipeline_spark.operators.text import tokens as tok_expr
+
+    chunk, overlap = 64, 16
+    out = curation.chunk_documents(docs, "doc_id", "text", chunk, overlap).cache()
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tok_expr(F.col("text"))).alias("n")).collect()
+    }
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    assert rows, "no chunks produced"
+    stride = chunk - overlap
+    by_doc: dict[int, list] = {}
+    for d, cid, st, n, txt in rows:
+        by_doc.setdefault(d, []).append((cid, st, n, txt))
+    for d, chunks in by_doc.items():
+        n_tok = lens[d]
+        assert [c for c, _, _, _ in chunks] == list(range(len(chunks)))
+        for cid, st, n, txt in chunks:
+            assert st == cid * stride
+            assert n == min(chunk, n_tok - st) and n >= 1
+            assert len(txt.split(" ")) == n
+        # maximal: one chunk per start < n_tok
+        assert len(chunks) == (n_tok + stride - 1) // stride
+    # every nonempty doc chunked
+    assert set(by_doc) == {d for d, n in lens.items() if n > 0}
+    out.unpersist()
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, "doc_id", "text", 8, 8)
+
+
+def test_snapshot_diff_statuses_follow_the_planted_churn(spark, docs):
+    """added/removed/changed exactly match the synthetic churn rule, and
+    unchanged documents emit nothing."""
+    out = {
+        r["doc_id"]: r["status"]
+        for r in QC.q_snapshot_diff(spark, SF).collect()
+    }
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for i in ids:
+        if i % 17 == 0:
+            assert out.get(i) == "removed", i
+        elif i % 10 == 0:
+            assert out.get(i) == "changed", i
+        else:
+            assert i not in out, i
+        if i % 23 == 0:
+            assert out.get(i + 100000) == "added", i
+    # nothing else in the diff
+    expect = {i for i in ids if i % 17 == 0 or i % 10 == 0} | {
+        i + 100000 for i in ids if i % 23 == 0
+    }
+    assert set(out) == expect
