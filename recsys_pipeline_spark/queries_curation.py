@@ -585,6 +585,105 @@ WHERE fa.doc_id IS NULL OR fb.doc_id IS NULL OR fa.fp <> fb.fp
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-pipeline COMPOSITE — the hygiene stage a pretraining run
+    executes end to end, as one query (the curation counterpart of the
+    serving composite `recommend_top50_det`):
+
+      exact dedup (keep first per md5 fingerprint)
+      → benchmark decontamination (drop the hash-designated eval slice AND
+        every doc sharing a word 4-gram with it)
+      → quality-ranked token-budget selection (best 60% of clean tokens,
+        bucket-cutoff plan — no global sort)
+      → context-window chunking (64-token windows, 16 overlap)
+
+    Emits one row per training chunk: (doc_id, chunk_id, start_tok,
+    n_tokens, chunk_text, qscore). Every stage is the already-verified
+    operator, so the composed DuckDB oracle is a CTE chain of the same
+    algebra — the hash compare covers the whole pipeline's output.
+
+    Scale: the survivor and clean frames are materialized once
+    (lazy localCheckpoint — 2-3 consumers each; a cluster run writes these
+    as staging tables, same effect); the stages add one md5-key shuffle
+    (dedup), gram-join shuffles sized by AQE (decon), the tiny cell-frame
+    window (selection), and a shuffle-free chunk explode.
+    """
+    from recsys_pipeline_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    survivors = dedup.exact_dedup_keep(
+        d.select("doc_id", "text"), "doc_id"
+    ).localCheckpoint(eager=False)
+    flags = curation.decontaminate_flags(
+        survivors, "doc_id", "text", eval_pct=DECON_EVAL_PCT, n=DECON_N
+    )
+    is_eval = curation.hash_bucket(F.col("doc_id"), "eval") < DECON_EVAL_PCT
+    clean = (
+        survivors.filter(~is_eval)
+        .join(flags.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    sel = curation.select_token_budget(clean, "doc_id", "text", BUDGET_PCT)
+    kept = clean.join(sel.select("doc_id", "qscore"), "doc_id")
+    chunks = curation.chunk_documents(
+        kept.select("doc_id", "text"), "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+    return chunks.join(sel.select("doc_id", "qscore"), "doc_id")
+
+
+SQL_CURATE_CORPUS = f"""
+WITH t0 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+fp AS (SELECT doc_id, toks,
+              md5(array_to_string(toks, ' ')) AS fp FROM t0),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+surv AS (SELECT f.doc_id, f.toks FROM fp f JOIN keepers k USING (doc_id)),
+g AS (SELECT doc_id, unnest({_GRAMS_N}) AS gram FROM surv),
+ev AS (SELECT doc_id FROM surv
+       WHERE {_H.format(salt="'eval'", col="doc_id")} % 100 < {DECON_EVAL_PCT}),
+eg AS (SELECT DISTINCT gram FROM g JOIN ev USING (doc_id)),
+flagged AS (
+  SELECT DISTINCT g.doc_id FROM g
+  ANTI JOIN ev ON g.doc_id = ev.doc_id
+  JOIN eg ON g.gram = eg.gram
+),
+clean AS (
+  SELECT s.doc_id, s.toks FROM surv s
+  ANTI JOIN ev ON s.doc_id = ev.doc_id
+  ANTI JOIN flagged ON s.doc_id = flagged.doc_id
+),
+sized AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS tok,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS dis
+  FROM clean WHERE len(toks) > 0
+),
+q AS (
+  SELECT doc_id, toks, tok, (dis * 1000) // tok AS qscore,
+         {_H.format(salt="'sel'", col="doc_id")} AS h
+  FROM sized
+),
+tot AS (SELECT (SUM(tok) * {BUDGET_PCT}) // 100 AS b FROM q),
+o AS (
+  SELECT doc_id, toks, qscore,
+         SUM(tok) OVER (ORDER BY qscore DESC, h ASC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM q
+),
+selq AS (SELECT doc_id, toks, qscore FROM o, tot WHERE run <= b),
+gch AS (
+  SELECT doc_id, qscore, toks,
+         unnest(range(0, len(toks), {_STRIDE})) AS st
+  FROM selq
+)
+SELECT doc_id,
+       CAST(st // {_STRIDE} AS INT) AS chunk_id,
+       CAST(st AS INT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, len(toks) - st) AS INT) AS n_tokens,
+       array_to_string(toks[st + 1 : st + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       qscore
+FROM gch
+"""
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -656,12 +755,14 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_profile_orders": q_approx_profile_orders,
     "doc_chunks": q_doc_chunks,
     "snapshot_diff": q_snapshot_diff,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES_CUR: dict[str, str] = {
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -397,3 +397,51 @@ def test_snapshot_diff_statuses_follow_the_planted_churn(spark, docs):
         i + 100000 for i in ids if i % 23 == 0
     }
     assert set(out) == expect
+
+
+def test_curate_corpus_composite_invariants(spark, docs):
+    """Pipeline-level invariants the hash oracle can't state on its own:
+    output docs are dedup keepers, never eval-slice or contaminated docs,
+    and the selected docs' token mass respects the 60% budget of the CLEAN
+    corpus (the stage-wiring property of the composite)."""
+    from recsys_pipeline_spark.operators import dedup
+
+    out = QC.q_curate_corpus(spark, SF).cache()
+    out_ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert out_ids
+
+    survivors = dedup.exact_dedup_keep(docs.select("doc_id", "text"), "doc_id")
+    keep_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert out_ids <= keep_ids
+
+    ev = {
+        r["doc_id"]
+        for r in survivors.filter(
+            curation.hash_bucket(F.col("doc_id"), "eval") < QC.DECON_EVAL_PCT
+        ).collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in curation.decontaminate_flags(
+            survivors, "doc_id", "text", eval_pct=QC.DECON_EVAL_PCT, n=QC.DECON_N
+        ).collect()
+    }
+    assert not (out_ids & ev) and not (out_ids & flagged)
+
+    from recsys_pipeline_spark.operators.text import token_count
+
+    clean = survivors.filter(
+        ~(curation.hash_bucket(F.col("doc_id"), "eval") < QC.DECON_EVAL_PCT)
+    ).join(spark.createDataFrame([(i,) for i in flagged] or [(-1,)], "doc_id long"),
+           "doc_id", "left_anti")
+    total = clean.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    budget = total * QC.BUDGET_PCT // 100
+    picked = (
+        clean.join(
+            spark.createDataFrame([(i,) for i in out_ids], "doc_id long"), "doc_id"
+        )
+        .select(F.sum(token_count(F.col("text"))))
+        .collect()[0][0]
+    )
+    assert picked <= budget
+    out.unpersist()
