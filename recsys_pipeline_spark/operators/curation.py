@@ -114,6 +114,56 @@ def cap_per_group(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, at most ``k`` rows per group,
+    inclusion probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis exponential-keys scheme (keep the k largest
+    u^(1/w), equivalently the k largest ln(u)/w), with u derived from the
+    salted md5-fold instead of an RNG: u = (hash64+1)/2^60 ∈ (0,1], exact
+    in double (division by a power of two), so the same row always draws
+    the same u on any cluster topology — the rerun-stability contract the
+    whole curation family holds (AQE/speculation-proof, unlike rand(seed)).
+    Non-positive weights are excluded (their inclusion probability is 0).
+
+    This is the "sample documents proportional to length/quality score"
+    step — uniform per-group capping (cap_per_group) is the w≡1 special
+    case of the same plan.
+
+    Cross-engine note for the oracle: ln() is one libm call per row and the
+    comparison key ln(u)/w is a correctly-rounded division of it, so Spark
+    and DuckDB keys agree to ~1 ulp; a selection flip would need two keys
+    within that — keys are continuous in a 2^60 space, so collisions are
+    measure-zero (and key_col breaks exact ties deterministically).
+
+    Scale: identical shape to cap_per_group — one shuffle on the group key,
+    and the ``row_number() <= k`` over a deterministic ordering triggers
+    Catalyst's InferWindowGroupLimit: each input partition forwards only
+    its own top-k per group below the exchange, bounding shuffle volume to
+    k·partitions per group regardless of group size.
+    """
+    u = (
+        portable_hash64(
+            F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+        )
+        + 1
+    ).cast("double") / F.lit(float(2**60))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(es_key.desc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def negative_sample(
     interactions: DataFrame,
     user_col: str,

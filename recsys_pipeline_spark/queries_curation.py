@@ -684,6 +684,34 @@ FROM gch
 """
 
 
+WSAMP_K = 25  # weighted sample size per language
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 25 docs per language, inclusion probability proportional to
+    document length (n_chars) — Efraimidis-Spirakis exponential keys over
+    hash-derived uniforms; deterministic, rerun-stable, map-side-limited
+    like cap_per_source."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.weighted_sample_per_group(
+        d, "lang", "doc_id", "n_chars", WSAMP_K
+    ).select("doc_id", "lang", "n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ln(CAST({_H.format(salt="'wsamp'", col="doc_id")} + 1 AS DOUBLE)
+                       / 1152921504606846976) / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents WHERE n_chars > 0
+) WHERE rk <= {WSAMP_K}
+"""
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -756,6 +784,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "snapshot_diff": q_snapshot_diff,
     "curate_corpus": q_curate_corpus,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -763,6 +792,7 @@ ORACLES_CUR: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -445,3 +445,39 @@ def test_curate_corpus_composite_invariants(spark, docs):
     )
     assert picked <= budget
     out.unpersist()
+
+
+def test_weighted_sample_per_group_properties(spark, docs):
+    """ES weighted sampling: per-group output size = min(k, positive-weight
+    group size); rerun-identical; a dominant-weight row is always selected;
+    the map-side WindowGroupLimit survives in the plan (cap_per_group's
+    scale lever applies to the weighted form too)."""
+    out = curation.weighted_sample_per_group(docs, "lang", "doc_id", "n_chars", 25)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = {
+        r["lang"]: r["n"]
+        for r in docs.filter(F.col("n_chars") > 0)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {g: min(25, n) for g, n in base.items()}
+    again = curation.weighted_sample_per_group(docs, "lang", "doc_id", "n_chars", 25)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+    # dominant weight wins: one row a billion times heavier is always kept
+    toy = spark.createDataFrame(
+        [("g", i, 1_000_000_000 if i == 7 else 1) for i in range(40)],
+        "grp string, id long, w long",
+    )
+    picked = {
+        r["id"]
+        for r in curation.weighted_sample_per_group(toy, "grp", "id", "w", 5).collect()
+    }
+    assert 7 in picked and len(picked) == 5
+    # zero/negative weights are never sampled
+    toy2 = toy.withColumn("w", F.when(F.col("id") < 35, F.col("w")).otherwise(-1))
+    picked2 = curation.weighted_sample_per_group(toy2, "grp", "id", "w", 50)
+    assert picked2.filter(F.col("id") >= 35).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
