@@ -80,12 +80,15 @@ _DEFERRED = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # QC (curation) merges AFTER the ML surface. Of its eleven queries (all
-    # with DuckDB oracles), three are driver-recorded — sample_stratified,
-    # negative_sample, decontaminate — and eight land past the window
-    # (cap_per_source, pack_token_bins, mixture_weights, boilerplate_ngrams,
-    # select_token_budget, cluster_balanced_sample, importance_weights,
-    # profile_orders), fully inside the pytest oracle-parity harness.
+    # QC (curation) merges AFTER the ML surface. Six of its queries are
+    # driver-recorded — sample_stratified, negative_sample, decontaminate,
+    # boilerplate_ngrams, select_token_budget, importance_weights (the
+    # window closes at importance_weights, entry 50) — and the rest land
+    # past the window (cap_per_source, pack_token_bins, mixture_weights,
+    # cluster_balanced_sample, profile_orders, pii_redaction,
+    # approx_profile_orders, doc_chunks, snapshot_diff, curate_corpus,
+    # weighted_sample), fully inside the pytest oracle-parity harness
+    # (approx_profile_orders carries no oracle — tolerance-gated instead).
     merged = {
         **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,
         **QC.QUERIES_CUR,

@@ -37,3 +37,40 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     o0 = read_table(spark, SF, "orders")
     expected = li0.join(o0, li0.l_orderkey == o0.o_orderkey).count()
     assert joined.count() == expected
+
+
+def test_bucketed_snapshot_diff_has_no_exchange(spark):
+    """The incremental-reprocessing lever: daily snapshots bucketed
+    identically on the key diff with ZERO exchanges — the md5 fingerprint
+    projection is narrow (bucketing survives), so the full-outer merge join
+    reads co-located buckets. At 100 TB the diff then costs one scan of
+    each snapshot and no network beyond the digest rows."""
+    from pyspark.sql import functions as F
+
+    from recsys_pipeline_spark.operators.curation import snapshot_diff
+
+    d = read_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    b = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    write_bucketed(d, "t_snap_a", ["doc_id"], n_buckets=8)
+    write_bucketed(b, "t_snap_b", ["doc_id"], n_buckets=8)
+    try:
+        diff = snapshot_diff(
+            spark.table("t_snap_a").hint("merge"),
+            spark.table("t_snap_b"),
+            "doc_id",
+            ["text", "lang"],
+        )
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        statuses = {r["status"] for r in diff.collect()}
+        assert statuses == {"removed", "changed"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_snap_a")
+        spark.sql("DROP TABLE IF EXISTS t_snap_b")

@@ -43,6 +43,13 @@ CAPS = {
     "boilerplate_ngrams": 12.0,  # linear mining + df join (8x docs AND 8x sources' grams)
     "select_token_budget": 8.0,  # linear scan + fixed-size cell window
     "cluster_balanced_sample": 8.0,  # Arrow sketch pass + capped cell shuffle
+    # round 9 (measured quiet ratios 0.6-1.5; caps leave ~5x headroom —
+    # the gate hunts quadratics, not noise)
+    "pii_redaction": 4.0,    # measured 0.6 (pure regexp codegen over the scan)
+    "doc_chunks": 4.0,       # measured 0.8 (zero-shuffle explode)
+    "snapshot_diff": 6.0,    # measured 1.5 (digest-first full-outer SMJ)
+    "weighted_sample": 4.0,  # measured 1.3 (map-side-limited cap plan)
+    "curate_corpus": 8.0,    # measured 0.8 (replica dedup collapses output)
 }
 
 

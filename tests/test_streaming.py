@@ -578,3 +578,38 @@ def test_streaming_boilerplate_epoch_equals_batch_on_prefix(spark, tmp_path):
         assert got == want, e
     assert flags.count() > 0
     flags.unpersist()
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is stateless narrow ops (tokenize/sequence/explode/
+    slice), so the SAME operator applied to a readStream frame must emit
+    exactly the batch chunks — no twin needed, which is itself the claim
+    worth pinning."""
+    from recsys_pipeline_spark.operators.curation import chunk_documents
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    out = str(tmp_path / "chunks")
+    (
+        chunk_documents(stream, "doc_id", "text", 64, 16)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, "doc_id", "text", 64, 16).collect()
+    }
+    assert got == want and len(got) > 0
