@@ -37,15 +37,15 @@ collects to the driver. The availableNow harness (run via
 pipeline.foreach_batch_sink) is the test rig; a production run needs two
 things the rig deliberately omits:
 
-* **State compaction.** ``_read_state`` unions every prior ``_epoch=``
-  partition, so per-batch read cost grows linearly with stream age
-  (quadratic cumulative I/O over the stream's life). Production runs a
-  periodic compaction — rewrite the accumulated partitions into one
-  snapshot partition (``_epoch=-1`` base + recent deltas, the
-  standard base+delta state-table layout) — so each batch reads
-  O(state), not O(epochs). The epoch-partitioned layout is exactly what
-  makes that rewrite safe: compaction replaces only partitions strictly
-  below the live epoch horizon.
+* **State compaction** (``compact_state`` below). ``_read_state`` unions
+  every prior ``_epoch=`` partition, so per-batch read cost grows
+  linearly with stream age (quadratic cumulative I/O over the stream's
+  life). Periodic compaction folds the accumulated partitions into the
+  ``_epoch=-1`` base partition (base + recent deltas, the standard
+  state-table layout) so each batch reads O(state), not O(epochs); reads
+  are equivalence-tested before/after. The epoch-partitioned layout is
+  exactly what makes the rewrite safe: compaction touches only partitions
+  strictly below the live epoch horizon.
 * **A real ``checkpointLocation``.** The rig relies on availableNow
   epoch ids restarting from 0 so ``_write_epoch``'s dynamic partition
   overwrite is replay-idempotent; a long-lived query must set
@@ -94,6 +94,39 @@ def _read_state(
             return spark.createDataFrame([], like.schema)
         raise
     return df.filter(F.col("_epoch") < before_epoch).drop("_epoch")
+
+
+BASE_EPOCH = -1  # compacted-state partition: reads as "before every live epoch"
+
+
+def compact_state(spark, path: str, before_epoch: int) -> None:
+    """State-table compaction — the production requirement the module
+    docstring names, executable: fold every ``_epoch < before_epoch``
+    partition into the single base partition ``_epoch=-1`` and leave newer
+    deltas untouched. ``_read_state`` filters ``_epoch < current``, and
+    -1 sorts before every live epoch id, so reads are EQUIVALENT before and
+    after compaction (asserted in tests) while per-batch I/O drops from
+    O(epochs) partitions to O(1) base + recent deltas.
+
+    Run while the stream is stopped (the standard compaction window). The
+    rewrite goes to a temp directory and swaps in — the availableNow-rig
+    analog of a transactional commit; a production deployment uses a table
+    format with atomic replace (Delta/Iceberg) for the same move.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    compacted = df.withColumn(
+        "_epoch",
+        F.when(F.col("_epoch") < before_epoch, F.lit(BASE_EPOCH)).otherwise(
+            F.col("_epoch")
+        ),
+    )
+    tmp = path.rstrip("/") + ".compact_tmp"
+    compacted.write.mode("overwrite").partitionBy("_epoch").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def cap_per_group_stream(

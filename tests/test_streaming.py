@@ -613,3 +613,43 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
         for r in chunk_documents(docs, "doc_id", "text", 64, 16).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_state_compaction_preserves_reads_and_shrinks_partitions(spark, tmp_path):
+    """compact_state folds old epochs into the _epoch=-1 base partition:
+    _read_state results are identical before and after (for any live epoch
+    horizon), the partition count drops to base + recent deltas, and a
+    subsequent epoch still appends normally."""
+    import os
+
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, SF, "events").limit(40).select("event_id", "user_id")
+    path = str(tmp_path / "state")
+    # three delta epochs
+    for e in range(3):
+        part = docs.filter(F.col("event_id") % 3 == e)
+        cs._write_epoch(part, path, e)
+
+    def read_at(horizon):
+        return {
+            tuple(r)
+            for r in cs._read_state(spark, path, docs, horizon).collect()
+        }
+
+    before = {h: read_at(h) for h in (3, 4)}
+    cs.compact_state(spark, path, before_epoch=3)
+    parts = sorted(
+        d for d in os.listdir(path) if d.startswith("_epoch=")
+    )
+    assert parts == ["_epoch=-1"], parts
+    after = {h: read_at(h) for h in (3, 4)}
+    assert after == before
+    # new delta after compaction still accumulates on top of the base
+    extra = docs.filter(F.col("event_id") % 3 == 0)
+    cs._write_epoch(extra, path, 3)
+    grown = read_at(4)
+    assert grown == before[3] | {tuple(r) for r in extra.collect()}
+    # and a replay of epoch 3 is still idempotent (dynamic overwrite)
+    cs._write_epoch(extra, path, 3)
+    assert read_at(4) == grown
