@@ -30,6 +30,11 @@ Semantics vs the batch twins (documented, asserted in tests):
   operator on the prefix corpus restricted to that epoch's docs (exact on
   a single micro-batch). No cross-epoch subset relation exists — a df
   threshold moves both ways as the corpus grows.
+* ``weighted_sample_stream`` is the distributed weighted reservoir — the
+  one twin with an EXACT cross-epoch guarantee: the ES key is a pure row
+  function, so top-k(reservoir ∪ batch) == top-k(prefix) and the final
+  reservoir equals the batch operator on the whole corpus regardless of
+  batching.
 
 Scale: state lives in partitioned parquet keyed by the join key — the
 per-batch work is one broadcast-or-shuffle join against it; nothing
@@ -201,6 +206,62 @@ def negative_sample_stream(
         )
         _write_epoch(neg, out_dir, epoch_id)
         _write_epoch(batch_seen, seen_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
+def weighted_sample_stream(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    out_dir: str,
+    salt: str = "wsamp",
+) -> None:
+    """Distributed weighted reservoir sampling — the streaming form of
+    ``curation.weighted_sample_per_group``, and the one curation twin with
+    an EXACT cross-epoch guarantee: the Efraimidis-Spirakis key is a pure
+    per-row function (hash-derived u, so no RNG state), which makes top-k
+    selection associative — top-k(reservoir ∪ batch) == top-k(prefix) —
+    so after the last micro-batch the reservoir EQUALS the batch operator
+    on the full corpus, however the stream was batched (asserted in
+    tests). Each epoch writes the complete reservoir snapshot (≤ k rows
+    per group — tiny); the previous snapshot is the only state read, so
+    per-batch I/O is O(k·groups), not O(stream age), and no compaction is
+    ever needed.
+    """
+    from recsys_pipeline_spark.operators.curation import weighted_sample_per_group
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        spark = batch.sparkSession
+        cand = batch.select(group_col, key_col, weight_col)
+        # live state = the LATEST snapshot strictly before this epoch (older
+        # epochs are replay history kept for the idempotent-overwrite
+        # contract; unioning them would duplicate surviving keys and let
+        # row_number burn ranks). The max-epoch lookup is one scalar row —
+        # a driver-side metadata decision, not data movement.
+        try:
+            hist = spark.read.parquet(out_dir).filter(F.col("_epoch") < epoch_id)
+            latest = hist.select(F.max("_epoch").alias("m")).collect()[0]["m"]
+            prev = (
+                hist.filter(F.col("_epoch") == latest).drop("_epoch")
+                if latest is not None
+                else spark.createDataFrame([], cand.schema)
+            )
+        except AnalysisException as ex:
+            msg = str(ex)
+            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+                raise
+            prev = spark.createDataFrame([], cand.schema)
+        reservoir = weighted_sample_per_group(
+            prev.unionByName(cand), group_col, key_col, weight_col, k, salt=salt
+        )
+        _write_epoch(reservoir, out_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 

@@ -191,3 +191,38 @@ def test_select_token_budget_never_sorts_the_corpus(spark):
     # windows run over the cell frame / boundary cell only: every Window's
     # required sort is partition-local (no global ordering of all docs)
     assert "rangepartitioning" not in plan, plan
+
+
+def test_pii_redaction_is_shuffle_free_codegen(spark):
+    """The regexp chain must stay a pure projection over the scan: no
+    exchange, no UDF/Arrow eval — the property that makes a corpus-wide
+    scrub a single IO-bound pass at 100 TB."""
+    from recsys_pipeline_spark.queries_curation import q_pii_redaction
+
+    plan = _final_plan(q_pii_redaction(spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """Chunking is tokenize→sequence→explode→slice over the scan; any
+    exchange here would re-shuffle the whole corpus before the (cheaper)
+    downstream pack/tokenize stage gets to choose its own key."""
+    from recsys_pipeline_spark.queries_curation import q_doc_chunks
+
+    plan = _final_plan(q_doc_chunks(spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_curate_corpus_scans_the_corpus_once(spark):
+    """The composite's stages all read the materialized survivor/clean
+    frames — the documents parquet is scanned only inside the first
+    (dedup) materialization, never re-mined per stage, and no corpus-wide
+    global sort exists (the selection stage's windows run on the tiny
+    cell/boundary frames)."""
+    from recsys_pipeline_spark.queries_curation import q_curate_corpus
+
+    plan = _final_plan(q_curate_corpus(spark, SF))
+    assert plan.count("FileScan") == 0, plan  # staged frames, no re-scan
+    assert "rangepartitioning" not in plan, plan  # no global sort

@@ -653,3 +653,37 @@ def test_state_compaction_preserves_reads_and_shrinks_partitions(spark, tmp_path
     # and a replay of epoch 3 is still idempotent (dynamic overwrite)
     cs._write_epoch(extra, path, 3)
     assert read_at(4) == grown
+
+
+def test_streaming_weighted_reservoir_equals_batch_exactly(spark, tmp_path):
+    """The ES key is a pure per-row function, so the reservoir after the
+    LAST micro-batch must equal the batch weighted sample on the whole
+    corpus — exact, not subset/superset, regardless of batching."""
+    from recsys_pipeline_spark.operators.curation import weighted_sample_per_group
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, SF, "documents").select("lang", "doc_id", "n_chars").cache()
+    src = str(tmp_path / "ws_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "ws_out")
+    cs.weighted_sample_stream(stream, "lang", "doc_id", "n_chars", 10, out)
+    snap = spark.read.parquet(out)
+    last = snap.select(F.max("_epoch").alias("m")).collect()[0]["m"]
+    assert last >= 1  # really ran >1 micro-batch
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in snap.filter(F.col("_epoch") == last).collect()
+    }
+    want = {
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, "lang", "doc_id", "n_chars", 10
+        ).collect()
+    }
+    assert got == want and len(got) > 0
