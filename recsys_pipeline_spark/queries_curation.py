@@ -712,6 +712,66 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+VOCAB_SIZE = 20  # vocabulary budget: the synthetic corpus has 31 distinct
+# tokens, so 20 makes the cap BITE and the OOV path carry real signal
+# (production budgets are 32k-256k; the relational shape is identical)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary fit report: build the top-VOCAB_SIZE token
+    vocabulary by corpus frequency (ties broken lexically — deterministic)
+    and measure per-language OOV occurrence rates — the
+    does-this-vocab-serve-every-language check a multilingual pretraining
+    run makes before freezing a tokenizer. All integers (rate in ppm via
+    integer div), so the oracle is bit-exact.
+
+    Scale: one tokenize+explode pass materialized once (two consumers:
+    vocab build + coverage count); the vocab is top-k via sort+limit —
+    Spark plans TakeOrderedAndProject (per-partition heads + driver merge
+    of k rows), NOT a global sort — and re-joins as a broadcast (500 rows
+    by construction). Coverage is one grouped agg on lang.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("tok").asc())
+        .limit(VOCAB_SIZE)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.expr(
+            "(sum(CASE WHEN _in IS NULL THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1)"
+        ).alias("oov_ppm"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH t AS (SELECT lang, unnest({_TOKENS}) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM t GROUP BY 1
+    ORDER BY cnt DESC, tok ASC LIMIT {VOCAB_SIZE}
+  )
+)
+SELECT lang, count(*) AS n_tokens,
+       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       (SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS oov_ppm
+FROM t LEFT JOIN vocab v USING (tok)
+GROUP BY lang
+"""
+
+
 MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt), the mC4-style default
 
 
@@ -785,6 +845,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "curate_corpus": q_curate_corpus,
     "weighted_sample": q_weighted_sample,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -793,6 +854,7 @@ ORACLES_CUR: dict[str, str] = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "curate_corpus": SQL_CURATE_CORPUS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

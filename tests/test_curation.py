@@ -481,3 +481,14 @@ def test_weighted_sample_per_group_properties(spark, docs):
     assert picked2.filter(F.col("id") >= 35).count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_vocab_coverage_cap_bites_and_rates_are_exact(spark):
+    """The vocabulary budget must actually constrain the corpus (a budget
+    >= distinct-token count makes the whole report degenerate zeros), and
+    the ppm rate must be the exact integer division of its own counts."""
+    rows = QC.q_vocab_coverage(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_oov"] < r["n_tokens"], r
+        assert r["oov_ppm"] == r["n_oov"] * 1_000_000 // r["n_tokens"], r
