@@ -125,18 +125,23 @@ def main() -> None:
         dt = statistics.median(times)
         # Full-window stall guard (layer 2): every repeat inflated, small
         # spread — invisible to the intra-repeat check. Retry while the
-        # median sits >= 3x the best-known-quiet median, bounded.
+        # median sits >= 3x the best-known-quiet median, bounded. The
+        # recorded value is the median of the RETRY samples when they're
+        # quieter: mixing them with the stalled originals would still
+        # report an inflated median (e.g. [3q,3q,3q,q,q,q] -> 2q) even
+        # after the stall passed.
         prev = quiet_medians.get(name)
-        full_extra = 0
-        while prev and full_extra < 3 and dt >= 3 * prev:
+        retries: list[float] = []
+        while prev and len(retries) < 3 and dt >= 3 * prev:
             print(
                 f"[bench] stall guard (full-window): {name} median {dt:.3f}s"
                 f" >= 3x quiet {prev:.3f}s, retrying",
                 file=sys.stderr,
             )
-            times.append(timed_run())
-            full_extra += 1
-            dt = statistics.median(times)
+            retries.append(timed_run())
+            dt = statistics.median(times + retries)
+        if retries:
+            dt = min(dt, statistics.median(retries))
         timings[name] = round(dt, 4)
         total += dt
 

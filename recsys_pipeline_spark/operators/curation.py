@@ -236,6 +236,47 @@ def pack_greedy(
     )
 
 
+def word_gram_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """One row per word n-gram POSITION: (id[, group], gram) — the shared
+    mining pass under boilerplate detection, decontamination, and their
+    streaming twins (one definition, so the batch/stream pair can never
+    silently diverge on tokenizer or gram shape). Positions explode through
+    codegen projections (the MinHash plan shape — not per-row HOF
+    transforms); callers apply ``.distinct()`` where set semantics are
+    needed and materialize the frame when several consumers hang off it.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    extra = [group_col] if group_col else []
+    t = docs.select(
+        F.col(id_col), *[F.col(c) for c in extra], tokens(F.col(text_col)).alias("toks")
+    )
+    n_tok = F.size("toks")
+    pos = t.select(
+        id_col,
+        *extra,
+        "toks",
+        F.explode(
+            F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    return pos.select(
+        id_col,
+        *extra,
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+        ).alias("gram"),
+    )
+
+
 def boilerplate_flags(
     docs: DataFrame,
     id_col: str,
@@ -264,22 +305,6 @@ def boilerplate_flags(
     corpus-derived set is an OOM at 100 TB even though at benchmark scale
     AQE will broadcast it anyway.
     """
-    from recsys_pipeline_spark.operators.text import tokens
-
-    t = docs.select(
-        F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("toks")
-    )
-    n_tok = F.size("toks")
-    pos = t.select(
-        id_col,
-        group_col,
-        "toks",
-        F.explode(
-            F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-    )
     # Three consumers (per-doc gram counts, doc-frequency -> boilerplate
     # set, per-doc boilerplate hits) hang off the distinct gram frame;
     # without materialization each re-runs the tokenize+explode+distinct
@@ -292,17 +317,13 @@ def boilerplate_flags(
     # checkpoint to storage (reliable checkpoint / a staging table), not
     # executor block storage.
     grams = (
-        pos.select(
-            id_col,
-            group_col,
-            F.concat_ws(
-                " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
-            ).alias("gram"),
-        )
+        word_gram_rows(docs, id_col, text_col, n, group_col=group_col)
         .distinct()
         .localCheckpoint(eager=False)
     )
-    group_sizes = t.groupBy(group_col).agg(
+    # group size counts EVERY doc (gramless ones included) — straight off
+    # the input, no tokenization needed
+    group_sizes = docs.groupBy(group_col).agg(
         F.count_distinct(id_col).alias("_n_docs")
     )
     boiler = (
@@ -506,6 +527,16 @@ def chunk_documents(
     ``chunk_text`` re-joins the window's tokens with single spaces (the
     tokenizer already collapses whitespace, so this is the canonical form).
 
+    A start is emitted only while it contributes NEW tokens: a final chunk
+    starting at ``s`` covers ``[s, n)`` and the previous chunk already
+    covers ``[s-stride, s+overlap)``, so a start with ``s + overlap >= n``
+    would be a strict subset of its predecessor — emitting it would inject
+    exact duplicate training text (the thing the dedup stages exist to
+    remove). Valid starts are therefore ``0, stride, ...`` up to
+    ``n - overlap - 1`` (review finding, round 9: a doc with
+    ``n % stride in [1, overlap]`` previously emitted one fully redundant
+    tail chunk).
+
     Scale: tokenize → sequence(starts) → explode → slice, all inside
     whole-stage codegen over the scan — zero shuffles, and the explode
     fan-out is bounded by ceil(len/stride) per document. At 100 TB this is
@@ -522,7 +553,9 @@ def chunk_documents(
         F.size("toks") > 0
     )
     n_tok = F.size("toks")
-    starts = F.sequence(F.lit(0), n_tok - 1, F.lit(stride))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_tok - overlap - 1, F.lit(0)), F.lit(stride)
+    )
     return (
         t.select(id_col, "toks", F.posexplode(starts).alias("chunk_id", "start_tok"))
         .select(
@@ -553,26 +586,29 @@ def snapshot_diff(
     which is what makes incremental reprocessing (re-dedup, re-tokenize
     only the delta) affordable.
 
-    The fingerprint is md5 over the concatenated content columns with a
-    field separator that cannot appear in the values (\\x1f), so column
-    boundaries can't alias; NULL encodes distinctly from the empty string.
+    The fingerprint is md5 over the concatenation of PER-COLUMN md5 digests
+    (NULL encodes as the one-char marker "-"). Hashing each column first
+    makes the encoding injective with no separator assumptions: every
+    token is either 32 lowercase-hex chars or "-" (never a hex char), so
+    column boundaries cannot alias no matter what bytes the values contain
+    — arbitrary crawl text with control characters included — and NULL is
+    distinct from every real string (review finding, round 9: a raw
+    concat-with-separator fingerprint collided NULL with its sentinel
+    string and leaked value bytes across column boundaries).
 
     Scale: one hash-partitioned shuffle per side on the key, then a single
     full-outer merge join; the hash reduces arbitrarily wide rows to 32
     bytes before the shuffle, so network cost is keys + digests, not
     payloads. No broadcast (both sides are corpus-sized by assumption).
     """
-    sep = "\x1f"
 
     def fp(df: DataFrame) -> DataFrame:
-        parts = []
-        for c in content_cols:
-            parts.append(
-                F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
-                    F.col(c).cast("string")
-                )
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("-")).otherwise(
+                F.md5(F.col(c).cast("string"))
             )
-            parts.append(F.lit(sep))
+            for c in content_cols
+        ]
         return df.select(F.col(id_col), F.md5(F.concat(*parts)).alias("_fp"))
 
     a = fp(snap_a).withColumnRenamed("_fp", "_fp_a")
@@ -621,29 +657,11 @@ def decontaminate_flags(
     broadcast at runtime, big ones shuffle). Either way the corpus side
     never shuffles until the per-doc count (one exchange on the id).
     """
-    from recsys_pipeline_spark.operators.text import tokens
-
-    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    n_tok = F.size("toks")
-    pos = t.select(
-        id_col,
-        "toks",
-        F.explode(
-            F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-    )
     # Both the eval side and the train side consume this frame; materialize
     # it once (lazy — two consumers) or the full tokenize+explode gram
     # mining runs twice per execution, the same fan-out the boilerplate
     # operator pins with a plan test.
-    grams = pos.select(
-        id_col,
-        F.concat_ws(
-            " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
-        ).alias("gram"),
-    ).localCheckpoint(eager=False)
+    grams = word_gram_rows(docs, id_col, text_col, n).localCheckpoint(eager=False)
     if eval_ids is not None:
         key = eval_ids.columns[0]
         ids = eval_ids.select(F.col(key).alias(id_col)).distinct()

@@ -1,13 +1,18 @@
 """Data-curation queries: the selection/shaping stage of a training-data
-pipeline (language rebalancing, per-domain caps, negative sampling, token
-budget packing, benchmark decontamination, domain-mixing weights,
-per-source boilerplate detection, quality-ranked token-budget selection,
-cluster-balanced embedding sampling, DSIR-style importance weighting)
-over the driver's testdata, each
-with a bit-exact DuckDB oracle via the
-engine-portable md5-fold hash (operators/dedup.portable_hash64 — see
-operators/curation.py for why hash-derived randomness, not rand(seed), is
-the only kind that survives AQE re-planning / speculative execution).
+pipeline — language rebalancing, per-domain caps, weighted reservoir
+sampling, negative sampling, token-budget packing, benchmark
+decontamination, domain-mixing weights, per-source boilerplate detection,
+quality-ranked token-budget selection, cluster-balanced embedding
+sampling, DSIR-style importance weighting, PII redaction, per-column
+profiling (exact + HLL++), context-window chunking, snapshot diffing,
+vocabulary coverage, and the end-to-end hygiene composite
+(`curate_corpus`) — over the driver's testdata, each with a bit-exact
+DuckDB oracle via the engine-portable md5-fold hash
+(operators/dedup.portable_hash64 — see operators/curation.py for why
+hash-derived randomness, not rand(seed), is the only kind that survives
+AQE re-planning / speculative execution). The only oracle-less entry is
+the HLL++ profiling twin (sketches are engine-specific; tolerance-gated
+in tests instead).
 """
 
 from __future__ import annotations
@@ -527,7 +532,10 @@ _STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 SQL_DOC_CHUNKS = f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
 nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
-g AS (SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS st FROM nz)
+g AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - {CHUNK_OVERLAP}, 1),
+                          {_STRIDE})) AS st
+      FROM nz)
 SELECT doc_id,
        CAST(st // {_STRIDE} AS INT) AS chunk_id,
        CAST(st AS INT) AS start_tok,
@@ -572,10 +580,12 @@ b AS (
   SELECT doc_id + 100000, 'fresh ' || text, 'xx'
   FROM documents WHERE doc_id % 23 = 0
 ),
-fa AS (SELECT doc_id, md5(coalesce(text, chr(0)) || chr(31)
-                          || coalesce(lang, chr(0)) || chr(31)) AS fp FROM a),
-fb AS (SELECT doc_id, md5(coalesce(text, chr(0)) || chr(31)
-                          || coalesce(lang, chr(0)) || chr(31)) AS fp FROM b)
+fa AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN '-' ELSE md5(text) END
+                          || CASE WHEN lang IS NULL THEN '-' ELSE md5(lang) END)
+         AS fp FROM a),
+fb AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN '-' ELSE md5(text) END
+                          || CASE WHEN lang IS NULL THEN '-' ELSE md5(lang) END)
+         AS fp FROM b)
 SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
        CASE WHEN fa.doc_id IS NULL THEN 'added'
             WHEN fb.doc_id IS NULL THEN 'removed'
@@ -671,7 +681,8 @@ o AS (
 selq AS (SELECT doc_id, toks, qscore FROM o, tot WHERE run <= b),
 gch AS (
   SELECT doc_id, qscore, toks,
-         unnest(range(0, len(toks), {_STRIDE})) AS st
+         unnest(range(0, greatest(len(toks) - {CHUNK_OVERLAP}, 1),
+                      {_STRIDE})) AS st
   FROM selq
 )
 SELECT doc_id,
@@ -728,8 +739,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tokenize+explode pass materialized once (two consumers:
     vocab build + coverage count); the vocab is top-k via sort+limit —
     Spark plans TakeOrderedAndProject (per-partition heads + driver merge
-    of k rows), NOT a global sort — and re-joins as a broadcast (500 rows
-    by construction). Coverage is one grouped agg on lang.
+    of k rows), NOT a global sort — and re-joins as a broadcast
+    (VOCAB_SIZE rows by construction). Coverage is one grouped agg on lang.
     """
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(

@@ -80,24 +80,31 @@ def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
     )
 
 
+def _read_parquet_or_empty(spark, path: str, like: DataFrame) -> DataFrame | None:
+    """The shared first-epoch contract: returns the parquet table, or None
+    when (and ONLY when) the path does not exist yet / holds no readable
+    files. A corrupt or unreadable state table raises — it must not
+    silently become an empty seen-set."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as ex:
+        msg = str(ex)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
 def _read_state(
     spark, path: str, like: DataFrame, before_epoch: int
 ) -> DataFrame:
     """Accumulated state from every epoch BEFORE the current one (a replayed
     epoch must not see its own first attempt), or an empty frame with
-    ``like``'s schema when the table does not exist yet. Only the two
-    expected first-epoch errors (missing path / no parquet files to infer
-    from) are swallowed — a corrupt or unreadable state table raises, it
-    does not silently become an empty seen-set."""
-    from pyspark.errors.exceptions.captured import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException as ex:
-        msg = str(ex)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
-            return spark.createDataFrame([], like.schema)
-        raise
+    ``like``'s schema when the table does not exist yet."""
+    df = _read_parquet_or_empty(spark, path, like)
+    if df is None:
+        return spark.createDataFrame([], like.schema)
     return df.filter(F.col("_epoch") < before_epoch).drop("_epoch")
 
 
@@ -117,16 +124,27 @@ def compact_state(spark, path: str, before_epoch: int) -> None:
     rewrite goes to a temp directory and swaps in — the availableNow-rig
     analog of a transactional commit; a production deployment uses a table
     format with atomic replace (Delta/Iceberg) for the same move.
+
+    The horizon is CLAMPED to the newest epoch present: the newest delta
+    may be an uncommitted first attempt (stream crashed after the state
+    write, before the checkpoint commit), and folding it into the base
+    would both let its replay see its own rows through ``_epoch=-1 <
+    epoch`` and leave them duplicated when the replay re-writes its delta
+    (review finding, round 9). Everything strictly below the newest epoch
+    is by definition committed — a later epoch ran after it.
     """
     import os
     import shutil
 
     df = spark.read.parquet(path)
+    newest = df.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
+    horizon = min(before_epoch, newest if newest is not None else before_epoch)
     compacted = df.withColumn(
         "_epoch",
-        F.when(F.col("_epoch") < before_epoch, F.lit(BASE_EPOCH)).otherwise(
-            F.col("_epoch")
-        ),
+        F.when(
+            (F.col("_epoch") < horizon) & (F.col("_epoch") != BASE_EPOCH),
+            F.lit(BASE_EPOCH),
+        ).otherwise(F.col("_epoch")),
     )
     tmp = path.rstrip("/") + ".compact_tmp"
     compacted.write.mode("overwrite").partitionBy("_epoch").parquet(tmp)
@@ -236,8 +254,6 @@ def weighted_sample_stream(
     from recsys_pipeline_spark.operators.curation import weighted_sample_per_group
 
     def step(batch: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors.exceptions.captured import AnalysisException
-
         spark = batch.sparkSession
         cand = batch.select(group_col, key_col, weight_col)
         # live state = the LATEST snapshot strictly before this epoch (older
@@ -245,19 +261,13 @@ def weighted_sample_stream(
         # contract; unioning them would duplicate surviving keys and let
         # row_number burn ranks). The max-epoch lookup is one scalar row —
         # a driver-side metadata decision, not data movement.
-        try:
-            hist = spark.read.parquet(out_dir).filter(F.col("_epoch") < epoch_id)
+        table = _read_parquet_or_empty(spark, out_dir, cand)
+        prev = spark.createDataFrame([], cand.schema)
+        if table is not None:
+            hist = table.filter(F.col("_epoch") < epoch_id)
             latest = hist.select(F.max("_epoch").alias("m")).collect()[0]["m"]
-            prev = (
-                hist.filter(F.col("_epoch") == latest).drop("_epoch")
-                if latest is not None
-                else spark.createDataFrame([], cand.schema)
-            )
-        except AnalysisException as ex:
-            msg = str(ex)
-            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
-                raise
-            prev = spark.createDataFrame([], cand.schema)
+            if latest is not None:
+                prev = hist.filter(F.col("_epoch") == latest).drop("_epoch")
         reservoir = weighted_sample_per_group(
             prev.unionByName(cand), group_col, key_col, weight_col, k, salt=salt
         )
@@ -295,38 +305,24 @@ def boilerplate_stream(
     doc_count) + (group, doc_count) delta counters (sum-mergeable), an
     order-of-magnitude smaller state table with the same join shape.
     """
-    from recsys_pipeline_spark.operators.text import tokens
+    from recsys_pipeline_spark.operators.curation import word_gram_rows
 
     def step(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        t = batch.select(
-            F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("toks")
-        )
-        n_tok = F.size("toks")
-        pos = t.select(
-            id_col,
-            group_col,
-            "toks",
-            F.explode(
-                F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ).alias("i"),
-        )
         batch_triples = (
-            pos.select(
-                id_col,
-                group_col,
-                F.concat_ws(
-                    " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
-                ).alias("gram"),
-            )
+            word_gram_rows(batch, id_col, text_col, n, group_col=group_col)
             .distinct()
             .localCheckpoint(eager=False)  # feeds state append + both joins
         )
-        batch_docs = t.select(id_col, group_col).distinct()
-        triples = _read_state(spark, gram_dir, batch_triples, epoch_id).union(
-            batch_triples
+        batch_docs = batch.select(id_col, group_col).distinct()
+        # distinct over state ∪ batch: a re-ingested document (same id in a
+        # later epoch — a re-crawled page) must not double-count its grams'
+        # doc-frequency, exactly as the batch operator's distinct collapses
+        # repeated rows (review finding, round 9)
+        triples = (
+            _read_state(spark, gram_dir, batch_triples, epoch_id)
+            .union(batch_triples)
+            .distinct()
         )
         docs_all = _read_state(spark, docs_dir, batch_docs, epoch_id).union(
             batch_docs
@@ -378,27 +374,13 @@ def decontaminate_stream(
     doc. The gram extraction, eval designation, and hit counting are the
     batch operator's expressions, so one micro-batch == the batch result.
     """
-    from recsys_pipeline_spark.operators.text import tokens
+    from recsys_pipeline_spark.operators.curation import word_gram_rows
 
     def step(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        t = batch.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-        n_tok = F.size("toks")
-        pos = t.select(
-            id_col,
-            "toks",
-            F.explode(
-                F.when(
-                    n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("i"),
-        )
-        grams = pos.select(
-            id_col,
-            F.concat_ws(
-                " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
-            ).alias("gram"),
-        ).localCheckpoint(eager=False)  # feeds the eval append AND the flag join
+        grams = word_gram_rows(batch, id_col, text_col, n).localCheckpoint(
+            eager=False
+        )  # feeds the eval append AND the flag join
         is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
         batch_eval = grams.filter(is_eval).select("gram").distinct()
         eval_grams = (

@@ -366,8 +366,14 @@ def test_chunk_documents_covers_and_overlaps(spark, docs):
             assert st == cid * stride
             assert n == min(chunk, n_tok - st) and n >= 1
             assert len(txt.split(" ")) == n
-        # maximal: one chunk per start < n_tok
-        assert len(chunks) == (n_tok + stride - 1) // stride
+            # no redundant tail: every chunk past the first must extend
+            # coverage beyond its predecessor's end (st + overlap < n_tok)
+            assert cid == 0 or st + overlap < n_tok, (d, cid, st, n_tok)
+        # maximal: one chunk per contributing start
+        assert len(chunks) == max(n_tok - overlap - 1, 0) // stride + 1
+        # and complete: the last chunk reaches the end of the document
+        last_cid, last_st, last_n, _ = chunks[-1]
+        assert last_st + last_n == n_tok
     # every nonempty doc chunked
     assert set(by_doc) == {d for d, n in lens.items() if n > 0}
     out.unpersist()
@@ -492,3 +498,22 @@ def test_vocab_coverage_cap_bites_and_rates_are_exact(spark):
     for r in rows:
         assert 0 < r["n_oov"] < r["n_tokens"], r
         assert r["oov_ppm"] == r["n_oov"] * 1_000_000 // r["n_tokens"], r
+
+
+def test_snapshot_diff_fingerprint_is_injective_on_nasty_values(spark):
+    """Review-finding regression: NULL vs its old sentinel string, and
+    value bytes shifting across column boundaries, must all register as
+    'changed' — the per-column-md5 fingerprint cannot alias them."""
+    a = spark.createDataFrame(
+        [(1, None, "c"), (2, "a\x1fb", "c"), (3, "x", "y")],
+        "id long, t string, l string",
+    )
+    b = spark.createDataFrame(
+        [(1, "\x00", "c"), (2, "a", "b\x1fc"), (3, "x", "y")],
+        "id long, t string, l string",
+    )
+    out = {
+        r["id"]: r["status"]
+        for r in curation.snapshot_diff(a, b, "id", ["t", "l"]).collect()
+    }
+    assert out == {1: "changed", 2: "changed"}  # id 3 unchanged, absent

@@ -618,8 +618,10 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
 def test_state_compaction_preserves_reads_and_shrinks_partitions(spark, tmp_path):
     """compact_state folds old epochs into the _epoch=-1 base partition:
     _read_state results are identical before and after (for any live epoch
-    horizon), the partition count drops to base + recent deltas, and a
-    subsequent epoch still appends normally."""
+    horizon), the partition count drops to base + the newest delta (which
+    is NEVER folded — it may be an uncommitted first attempt whose replay
+    must not see its own rows), and a subsequent epoch still appends
+    normally."""
     import os
 
     from recsys_pipeline_spark.streaming import curation_stream as cs
@@ -637,14 +639,17 @@ def test_state_compaction_preserves_reads_and_shrinks_partitions(spark, tmp_path
             for r in cs._read_state(spark, path, docs, horizon).collect()
         }
 
-    before = {h: read_at(h) for h in (3, 4)}
-    cs.compact_state(spark, path, before_epoch=3)
+    before = {h: read_at(h) for h in (2, 3, 4)}
+    cs.compact_state(spark, path, before_epoch=4)  # horizon clamps to newest=2
     parts = sorted(
         d for d in os.listdir(path) if d.startswith("_epoch=")
     )
-    assert parts == ["_epoch=-1"], parts
-    after = {h: read_at(h) for h in (3, 4)}
+    assert parts == ["_epoch=-1", "_epoch=2"], parts
+    after = {h: read_at(h) for h in (2, 3, 4)}
     assert after == before
+    # a replay of the newest epoch still overwrites its own delta and sees
+    # only the base (crash-replay invariant the clamp protects)
+    assert read_at(2) == before[2]
     # new delta after compaction still accumulates on top of the base
     extra = docs.filter(F.col("event_id") % 3 == 0)
     cs._write_epoch(extra, path, 3)
@@ -687,3 +692,51 @@ def test_streaming_weighted_reservoir_equals_batch_exactly(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_boilerplate_reingested_doc_does_not_double_count(spark, tmp_path):
+    """Review-finding regression: a document ingested again in a later
+    epoch (a re-crawled page) must not double-count its grams' doc
+    frequency — epoch 2's flags must equal the batch operator on the
+    DISTINCT prefix corpus restricted to epoch 2's docs."""
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").cache()
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    # second batch = the odd docs PLUS a re-crawl of half the even docs
+    recrawl = docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0))
+    src = str(tmp_path / "bp_src3")
+    half0.coalesce(1).write.mode("append").parquet(src)
+    recrawl.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "bp_out3")
+    gd, dd = str(tmp_path / "bp_grams3"), str(tmp_path / "bp_docs3")
+    cs.boilerplate_stream(stream, "doc_id", "text", "source", 2, 15, out, gd, dd)
+    flags = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in flags.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    # identify the recrawl epoch by its doc mix (contains odd ids)
+    for e in epochs:
+        ids = {r["doc_id"] for r in flags.filter(F.col("_epoch") == e).collect()}
+        if any(i % 2 == 1 for i in ids):
+            recrawl_epoch, recrawl_ids = e, ids
+    got = {
+        (r["doc_id"], r["n_grams"], r["n_boiler"])
+        for r in flags.filter(F.col("_epoch") == recrawl_epoch).collect()
+    }
+    # prefix corpus at that epoch = all docs (half0 ∪ recrawl), DISTINCT
+    want = {
+        (r["doc_id"], r["n_grams"], r["n_boiler"])
+        for r in curation.boilerplate_flags(
+            docs, "doc_id", "text", "source", n=2, share_pct=15
+        )
+        .join(recrawl.select("doc_id"), "doc_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    flags.unpersist()
