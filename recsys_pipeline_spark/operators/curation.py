@@ -681,3 +681,121 @@ def decontaminate_flags(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_hits"))
     )
+
+
+# Fixed rule order — drop_reasons strings are comparable across engines and
+# across runs only because the order is pinned here, not dict/plan order.
+QUALITY_RULE_ORDER = ("too_short", "too_long", "word_len", "no_stopword", "repetitive")
+
+
+def quality_gate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int,
+    max_tokens: int,
+    min_mtl_x100: int,
+    max_mtl_x100: int,
+    dup3_ppm_max: int,
+) -> DataFrame:
+    """Gopher/C4-style rule GATE: the keep/drop decision plus the audit
+    trail (which rule(s) dropped each document) that every production
+    curation run logs. `doc_quality` scores documents; this operator turns
+    thresholds into decisions with per-document reasons, so a curation run
+    can be re-litigated later ("why did we lose 12% of source X?").
+
+    All signals are integers (mean token length x100 and the duplicate-
+    3-gram rate in ppm via integer division), so the DuckDB oracle is
+    bit-exact; `drop_reasons` joins the firing rules in the pinned
+    QUALITY_RULE_ORDER.
+
+    Scale: the scalar signals are pure codegen projections off the scan.
+    The repetition signal reuses the corpus n-gram shape (word_gram_rows:
+    explode + element_at projections — the MinHash lesson, NOT per-row
+    higher-order transforms): grams aggregate per doc (partial map-side
+    count + a distinct expand), then join back to the signal frame on the
+    id — two linear co-keyed exchanges, no broadcast of anything
+    corpus-derived, no collect. The tokenized base materializes once
+    (lazy localCheckpoint, two consumers) so the corpus is scanned once.
+    """
+    from recsys_pipeline_spark.operators.text import stopword_hits, tokens
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=False)
+    n_tok = F.col("n_tokens")
+    sig = base.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        # sum of token lengths without a HOF: concat then length (codegen)
+        F.length(F.concat_ws("", F.col("toks"))).alias("_chars"),
+        stopword_hits(F.concat_ws(" ", F.col("toks")), "en").alias("stop_hits"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.when(n_tok > 0, F.col("_chars") * 100 / n_tok)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_tok_len_x100"),
+        "stop_hits",
+    )
+    g = (
+        base.select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("i")),
+                F.element_at("toks", F.col("i") + 1),
+                F.element_at("toks", F.col("i") + 2),
+            ).alias("gram"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_tot"),
+            F.count_distinct("gram").alias("_dst"),
+        )
+        .select(
+            id_col,
+            ((F.col("_tot") - F.col("_dst")) * 1000000 / F.col("_tot"))
+            .cast("long")
+            .alias("dup3_ppm"),
+        )
+    )
+    flagged = (
+        sig.join(g, id_col, "left")
+        .withColumn("dup3_ppm", F.coalesce(F.col("dup3_ppm"), F.lit(0)))
+        .withColumn(
+            "drop_reasons",
+            F.rtrim(
+                F.concat(
+                    F.when(n_tok < min_tokens, F.lit("too_short,")).otherwise(F.lit("")),
+                    F.when(n_tok > max_tokens, F.lit("too_long,")).otherwise(F.lit("")),
+                    F.when(
+                        (F.col("mean_tok_len_x100") < min_mtl_x100)
+                        | (F.col("mean_tok_len_x100") > max_mtl_x100),
+                        F.lit("word_len,"),
+                    ).otherwise(F.lit("")),
+                    F.when(F.col("stop_hits") == 0, F.lit("no_stopword,")).otherwise(
+                        F.lit("")
+                    ),
+                    F.when(
+                        F.col("dup3_ppm") > dup3_ppm_max, F.lit("repetitive,")
+                    ).otherwise(F.lit("")),
+                ),
+                F.lit(","),
+            ),
+        )
+    )
+    return flagged.withColumn(
+        "keep", F.when(F.col("drop_reasons") == "", 1).otherwise(0)
+    )

@@ -5,7 +5,9 @@ decontamination, domain-mixing weights, per-source boilerplate detection,
 quality-ranked token-budget selection, cluster-balanced embedding
 sampling, DSIR-style importance weighting, PII redaction, per-column
 profiling (exact + HLL++), context-window chunking, snapshot diffing,
-vocabulary coverage, and the end-to-end hygiene composite
+vocabulary coverage, rule-gate filtering with drop-reason audit
+(`quality_filter`), BPE merge-pair counting (`bpe_pairs`), and the
+end-to-end hygiene composite
 (`curate_corpus`) — over the driver's testdata, each with a bit-exact
 DuckDB oracle via the engine-portable md5-fold hash
 (operators/dedup.portable_hash64 — see operators/curation.py for why
@@ -828,6 +830,130 @@ FROM per_src, norm
 """
 
 
+# quality_filter thresholds: chosen so every rule fires on SOME testdata
+# documents (token counts run 10-99, mean token length x100 runs 370-530,
+# ~9% of docs carry zero English stopwords, dup-3-gram ppm tops out ~71k)
+# — a gate whose rules never bite tests nothing.
+QF_MIN_TOKENS = 25
+QF_MAX_TOKENS = 90
+QF_MTL_MIN_X100 = 380
+QF_MTL_MAX_X100 = 520
+QF_DUP3_PPM_MAX = 20000
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-gate audit: per-document keep/drop decision with the firing
+    rules spelled out (`drop_reasons`) — the audit trail a production
+    curation run logs so a later "why did we lose 12% of source X?" has an
+    answer. Signals and thresholds are all integers; see
+    operators/curation.quality_gate for the plan-shape discussion."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.quality_gate(
+        d,
+        "doc_id",
+        "text",
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        min_mtl_x100=QF_MTL_MIN_X100,
+        max_mtl_x100=QF_MTL_MAX_X100,
+        dup3_ppm_max=QF_DUP3_PPM_MAX,
+    )
+
+
+_STOP_EN = "('the','a','of','and','to','in','is','it','that','for')"
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                   * 100 // len(toks)
+              ELSE 0 END AS mean_tok_len_x100,
+         len(list_filter(toks, x -> x IN {_STOP_EN})) AS stop_hits,
+         CASE WHEN len(toks) >= 3 THEN list_transform(
+                range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [] END AS grams
+  FROM t
+),
+d AS (
+  SELECT doc_id, n_tokens, mean_tok_len_x100, stop_hits,
+         CASE WHEN len(grams) > 0
+              THEN (len(grams) - len(list_distinct(grams))) * 1000000
+                   // len(grams)
+              ELSE 0 END AS dup3_ppm
+  FROM sig
+),
+r AS (
+  SELECT *, rtrim(
+    (CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short,' ELSE '' END) ||
+    (CASE WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long,' ELSE '' END) ||
+    (CASE WHEN mean_tok_len_x100 < {QF_MTL_MIN_X100}
+            OR mean_tok_len_x100 > {QF_MTL_MAX_X100}
+          THEN 'word_len,' ELSE '' END) ||
+    (CASE WHEN stop_hits = 0 THEN 'no_stopword,' ELSE '' END) ||
+    (CASE WHEN dup3_ppm > {QF_DUP3_PPM_MAX} THEN 'repetitive,' ELSE '' END),
+    ',') AS drop_reasons
+  FROM d
+)
+SELECT doc_id, n_tokens, mean_tok_len_x100, stop_hits, dup3_ppm, drop_reasons,
+       CASE WHEN drop_reasons = '' THEN 1 ELSE 0 END AS keep
+FROM r
+"""
+
+
+BPE_TOP_PAIRS = 20
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, the distributed core: count adjacent character
+    pairs inside whitespace words across the corpus and return the top
+    merge candidates — one BPE iteration's statistics (the full trainer
+    re-runs this count after each merge). Ties break lexically so the
+    top-k cutoff is deterministic in both engines.
+
+    Scale: words explode map-side off the scan; the pair projection is
+    position-explode + substr (pure codegen, the MinHash-lesson shape —
+    no per-row higher-order transforms); pair cardinality is bounded by
+    charset² so the partial (map-side) aggregation collapses each
+    partition to a tiny dictionary before ONE small shuffle, and the
+    top-k is TakeOrderedAndProject (per-partition heads merged on the
+    driver, k rows — no global sort)."""
+    from recsys_pipeline_spark.operators import text as T
+
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.sequence(F.lit(1), F.length("word") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "word",
+    ).select(F.substr(F.col("word"), F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+SQL_BPE_PAIRS = f"""
+WITH w AS (SELECT unnest({_TOKENS}) AS word FROM documents),
+p AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair
+  FROM (SELECT word, unnest(range(1, length(word))) AS i FROM w)
+)
+SELECT pair, count(*) AS cnt
+FROM p GROUP BY 1
+ORDER BY cnt DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 # Order encodes recorded-window priority (see __spark_entry__.queries()):
 # the first six are the family's driver-recorded representatives — the
 # round-9 window audit promoted boilerplate_ngrams / select_token_budget /
@@ -857,6 +983,8 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "weighted_sample": q_weighted_sample,
     "vocab_coverage": q_vocab_coverage,
+    "quality_filter": q_quality_filter,
+    "bpe_pairs": q_bpe_pairs,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -877,4 +1005,6 @@ ORACLES_CUR: dict[str, str] = {
     "cluster_balanced_sample": _sql_cluster_balanced_sample(),
     "importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "bpe_pairs": SQL_BPE_PAIRS,
 }

@@ -517,3 +517,71 @@ def test_snapshot_diff_fingerprint_is_injective_on_nasty_values(spark):
         for r in curation.snapshot_diff(a, b, "id", ["t", "l"]).collect()
     }
     assert out == {1: "changed", 2: "changed"}  # id 3 unchanged, absent
+
+
+def test_quality_filter_every_rule_fires_and_reasons_are_ordered(spark):
+    """A gate whose rules never bite tests nothing: each of the five rules
+    must drop at least one sf0.01 document, a majority must survive, and
+    drop_reasons must list firing rules in the pinned QUALITY_RULE_ORDER
+    (the audit string is only stable across engines because of it)."""
+    rows = QC.q_quality_filter(spark, SF).collect()
+    assert rows
+    kept = [r for r in rows if r["keep"] == 1]
+    assert len(kept) > len(rows) // 2
+    fired = set()
+    order = list(curation.QUALITY_RULE_ORDER)
+    for r in rows:
+        reasons = r["drop_reasons"].split(",") if r["drop_reasons"] else []
+        assert (r["keep"] == 1) == (not reasons)
+        assert all(x in order for x in reasons), r
+        # pinned order, no duplicates
+        assert [x for x in order if x in reasons] == reasons, r
+        fired.update(reasons)
+        # signals are consistent with their own reasons
+        if "too_short" in reasons:
+            assert r["n_tokens"] < QC.QF_MIN_TOKENS
+        if "no_stopword" in reasons:
+            assert r["stop_hits"] == 0
+        if "repetitive" in reasons:
+            assert r["dup3_ppm"] > QC.QF_DUP3_PPM_MAX
+    assert fired == set(order), fired
+
+
+def test_quality_gate_short_doc_signals_are_exact(spark):
+    """Hand-checkable toy: a 2-token doc has no 3-grams (dup3_ppm = 0, not
+    an error), integer mean length x100, and multi-rule reasons."""
+    toy = spark.createDataFrame(
+        [(1, "zz zz"), (2, "the " + "sample text ok " * 20)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.quality_gate(
+            toy, "doc_id", "text",
+            min_tokens=3, max_tokens=50, min_mtl_x100=100, max_mtl_x100=900,
+            dup3_ppm_max=500_000,
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["mean_tok_len_x100"], r1["dup3_ppm"]) == (2, 200, 0)
+    assert r1["drop_reasons"] == "too_short,no_stopword" and r1["keep"] == 0
+    r2 = out[2]  # 61 tokens of 'the sample text ok ...': repetitive + long
+    assert r2["n_tokens"] == 61 and r2["stop_hits"] == 1
+    assert r2["drop_reasons"] == "too_long,repetitive" and r2["keep"] == 0
+
+
+def test_bpe_pairs_counts_match_brute_force(spark):
+    """The distributed pair count equals a driver-side brute force over the
+    same corpus, and the top-k cutoff is deterministic (count desc, pair
+    asc) — the invariant a BPE trainer's merge choice rests on."""
+    from collections import Counter
+
+    texts = [r["text"] for r in spark.read.parquet(f"{SF}/documents.parquet").collect()]
+    brute = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            for i in range(len(w) - 1):
+                brute[w[i : i + 2]] += 1
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[: QC.BPE_TOP_PAIRS]
+    got = [(r["pair"], r["cnt"]) for r in QC.q_bpe_pairs(spark, SF).collect()]
+    assert got == want

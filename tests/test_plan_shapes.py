@@ -226,3 +226,29 @@ def test_curate_corpus_scans_the_corpus_once(spark):
     plan = _final_plan(q_curate_corpus(spark, SF))
     assert plan.count("FileScan") == 0, plan  # staged frames, no re-scan
     assert "rangepartitioning" not in plan, plan  # no global sort
+
+
+def test_quality_filter_single_pass_no_python(spark):
+    """The gate reads the corpus once (tokenized base materialized lazily,
+    shared by the signal and repetition branches) and stays JVM-side; the
+    repetition signal must keep the explode+projection shape, not per-row
+    higher-order transforms."""
+    from recsys_pipeline_spark.queries_curation import q_quality_filter
+
+    plan = _final_plan(q_quality_filter(spark, SF))
+    assert plan.count("FileScan") <= 1  # 0 once the checkpoint owns the scan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_bpe_pairs_partial_agg_and_topk_no_global_sort(spark):
+    """Pair counting must collapse map-side (bounded charset² dictionary →
+    ONE small shuffle) and take the top-k via TakeOrderedAndProject —
+    a global sort of the pair table must never appear."""
+    from recsys_pipeline_spark.queries_curation import q_bpe_pairs
+
+    plan = _final_plan(q_bpe_pairs(spark, SF))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
