@@ -50,6 +50,8 @@ CAPS = {
     "snapshot_diff": 6.0,    # measured 1.5 (digest-first full-outer SMJ)
     "weighted_sample": 4.0,  # measured 1.3 (map-side-limited cap plan)
     "curate_corpus": 8.0,    # measured 0.8 (replica dedup collapses output)
+    "quality_filter": 6.0,   # measured 1.0 (1x overhead-bound; gram agg linear)
+    "bpe_pairs": 8.0,        # measured 1.7 (map-side pair dictionary, tiny shuffle)
 }
 
 
