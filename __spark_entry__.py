@@ -87,7 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # past the window (cap_per_source, pack_token_bins, mixture_weights,
     # cluster_balanced_sample, profile_orders, pii_redaction,
     # approx_profile_orders, doc_chunks, snapshot_diff, curate_corpus,
-    # weighted_sample, vocab_coverage, quality_filter, bpe_pairs), fully
+    # weighted_sample, vocab_coverage, quality_filter, bpe_pairs,
+    # tokenize_ids), fully
     # inside the pytest oracle-parity harness
     # (approx_profile_orders carries no oracle — tolerance-gated instead).
     merged = {

@@ -6,7 +6,8 @@ quality-ranked token-budget selection, cluster-balanced embedding
 sampling, DSIR-style importance weighting, PII redaction, per-column
 profiling (exact + HLL++), context-window chunking, snapshot diffing,
 vocabulary coverage, rule-gate filtering with drop-reason audit
-(`quality_filter`), BPE merge-pair counting (`bpe_pairs`), and the
+(`quality_filter`), BPE merge-pair counting (`bpe_pairs`), vocab-id
+sequence encoding (`tokenize_ids`), and the
 end-to-end hygiene composite
 (`curate_corpus`) — over the driver's testdata, each with a bit-exact
 DuckDB oracle via the engine-portable md5-fold hash
@@ -903,6 +904,74 @@ FROM r
 """
 
 
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize stage itself: encode every document into its vocab-id
+    sequence (ids 1..VOCAB_SIZE assigned by corpus frequency, lexical
+    tie-break; OOV → 0) — the step that turns curated text into the
+    integer sequences pack_token_bins / doc_chunks consume. Order inside
+    the sequence is the document's token order, reconstructed from
+    explode positions (deterministic — never collection order).
+
+    Scale: one tokenize+posexplode pass materialized once (two consumers:
+    vocab build + encoding); the vocab is top-k via sort+limit
+    (TakeOrderedAndProject — per-partition heads, no global sort) and its
+    id assignment is a row_number over the POST-LIMIT k-row frame (a
+    driver-sized window, not a corpus sort); the encode join broadcasts
+    the k-row vocab; the re-group collects (pos, id) structs per doc —
+    ONE exchange on the id, array size bounded by document length.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos", "tok")
+    ).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    order = [F.col("_cnt").desc(), F.col("tok").asc()]
+    vocab = (
+        base.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(*order)
+        .limit(VOCAB_SIZE)
+        .withColumn("tok_id", F.row_number().over(Window.orderBy(*order)))
+        .select("tok", "tok_id")
+    )
+    enc = base.join(F.broadcast(vocab), "tok", "left")
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("tok_id"), F.lit(0)).alias("id"),
+                    )
+                )
+            ),
+            lambda x: x["id"],
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+
+
+SQL_TOKENIZE_IDS = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM t),
+e AS (SELECT doc_id, pos, toks[pos] AS tok FROM p),
+v AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS INT)
+           AS tok_id
+  FROM (SELECT tok, count(*) AS cnt FROM e GROUP BY 1
+        ORDER BY cnt DESC, tok ASC LIMIT {VOCAB_SIZE})
+)
+SELECT doc_id,
+       list(CAST(coalesce(tok_id, 0) AS INT) ORDER BY pos) AS token_ids,
+       count(*) AS n_tokens,
+       SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS n_oov
+FROM e LEFT JOIN v USING (tok)
+GROUP BY doc_id
+"""
+
+
 BPE_TOP_PAIRS = 20
 
 
@@ -985,6 +1054,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "quality_filter": q_quality_filter,
     "bpe_pairs": q_bpe_pairs,
+    "tokenize_ids": q_tokenize_ids,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1007,4 +1077,5 @@ ORACLES_CUR: dict[str, str] = {
     "profile_orders": SQL_PROFILE_ORDERS,
     "quality_filter": SQL_QUALITY_FILTER,
     "bpe_pairs": SQL_BPE_PAIRS,
+    "tokenize_ids": SQL_TOKENIZE_IDS,
 }

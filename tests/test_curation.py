@@ -585,3 +585,26 @@ def test_bpe_pairs_counts_match_brute_force(spark):
     want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[: QC.BPE_TOP_PAIRS]
     got = [(r["pair"], r["cnt"]) for r in QC.q_bpe_pairs(spark, SF).collect()]
     assert got == want
+
+
+def test_tokenize_ids_round_trips_against_brute_force(spark):
+    """Encoding must be invertible where the vocab covers: rebuilding the
+    vocab driver-side (count desc, token asc, top-k) and decoding every
+    id > 0 must reproduce the document's tokens in order, with 0 exactly
+    on the OOV positions and n_oov equal to the zero count."""
+    from collections import Counter
+
+    rows = {r["doc_id"]: r for r in QC.q_tokenize_ids(spark, SF).collect()}
+    texts = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    freq = Counter(t for toks in texts.values() for t in toks)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[: QC.VOCAB_SIZE]
+    id_of = {tok: i + 1 for i, (tok, _) in enumerate(ranked)}
+    assert set(rows) == set(texts)
+    for doc_id, r in rows.items():
+        toks = texts[doc_id]
+        assert len(r["token_ids"]) == r["n_tokens"] == len(toks)
+        assert r["token_ids"] == [id_of.get(t, 0) for t in toks]
+        assert r["n_oov"] == sum(1 for i in r["token_ids"] if i == 0)

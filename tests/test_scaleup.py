@@ -52,6 +52,7 @@ CAPS = {
     "curate_corpus": 8.0,    # measured 0.8 (replica dedup collapses output)
     "quality_filter": 6.0,   # measured 1.0 (1x overhead-bound; gram agg linear)
     "bpe_pairs": 8.0,        # measured 1.7 (map-side pair dictionary, tiny shuffle)
+    "tokenize_ids": 8.0,     # measured 1.5 (one explode pass + broadcast encode)
 }
 
 
