@@ -740,3 +740,38 @@ def test_streaming_boilerplate_reingested_doc_does_not_double_count(spark, tmp_p
     }
     assert got == want and len(got) > 0
     flags.unpersist()
+
+
+def test_streaming_quality_gate_is_batch_local(spark, tmp_path):
+    """quality_gate's verdict is a pure function of the document's own row
+    (every signal — counts, mean length, stopwords, dup-3-grams —
+    aggregates only within the doc), so applying the operator per
+    micro-batch via foreachBatch yields EXACTLY the batch verdicts for
+    those docs, independent of how the stream is batched. That
+    batch-locality is the claim worth pinning: it means the gate needs no
+    state table at all, unlike the df-ratio boilerplate twin."""
+    from recsys_pipeline_spark.operators.curation import quality_gate
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "qg_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "qg_out")
+    kw = dict(
+        min_tokens=25, max_tokens=90, min_mtl_x100=380, max_mtl_x100=520,
+        dup3_ppm_max=20000,
+    )
+
+    def step(batch, epoch_id):
+        quality_gate(batch, "doc_id", "text", **kw).write.mode("append").parquet(out)
+
+    foreach_batch_sink(stream, step)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in quality_gate(docs, "doc_id", "text", **kw).collect()}
+    assert got == want and len(got) > 0
