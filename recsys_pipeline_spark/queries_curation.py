@@ -7,9 +7,9 @@ sampling, DSIR-style importance weighting, PII redaction, per-column
 profiling (exact + HLL++), context-window chunking, snapshot diffing,
 vocabulary coverage, rule-gate filtering with drop-reason audit
 (`quality_filter`), BPE merge-pair counting (`bpe_pairs`), vocab-id
-sequence encoding (`tokenize_ids`), and the
-end-to-end hygiene composite
-(`curate_corpus`) — over the driver's testdata, each with a bit-exact
+sequence encoding (`tokenize_ids`), the end-to-end hygiene composite
+(`curate_corpus`), and its incremental twin over the snapshot delta
+(`incremental_curate`) — over the driver's testdata, each with a bit-exact
 DuckDB oracle via the engine-portable md5-fold hash
 (operators/dedup.portable_hash64 — see operators/curation.py for why
 hash-derived randomness, not rand(seed), is the only kind that survives
@@ -1023,6 +1023,141 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-curation — the reason snapshot_diff exists: diff the
+    corpus against its next snapshot (same synthetic derivation as
+    `snapshot_diff`), then run the hygiene stage (quality gate + context-
+    window chunking) ONLY on the added/changed documents. Emits one row
+    per delta doc: its diff status, the gate verdict, and how many
+    training chunks it yields (0 when dropped) — the per-increment
+    processing report. At 100 TB this is the daily-crawl path: the full
+    corpus is never re-gated or re-chunked, only the churn.
+
+    Scale: the diff moves 32-byte digests (snapshot_diff's contract); the
+    delta join is co-keyed on the id; the gate and chunker then see
+    churn-sized input. The snapshot-b frame materializes once (lazy — two
+    consumers: fingerprint side + delta payload), as does the delta (gate
+    + chunk consumers) — staging tables on a cluster.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.select("doc_id", "text", "lang")
+    revised = base.filter(did % 17 != 0).select(
+        "doc_id",
+        F.when(did % 10 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    fresh = base.filter(did % 23 == 0).select(
+        (did + 100000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+        F.lit("xx").alias("lang"),
+    )
+    snap_b = revised.unionByName(fresh).localCheckpoint(eager=False)
+    diff = curation.snapshot_diff(base, snap_b, "doc_id", ["text", "lang"])
+    delta = snap_b.join(
+        diff.filter(F.col("status") != "removed").select("doc_id", "status"),
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    gate = curation.quality_gate(
+        delta,
+        "doc_id",
+        "text",
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        min_mtl_x100=QF_MTL_MIN_X100,
+        max_mtl_x100=QF_MTL_MAX_X100,
+        dup3_ppm_max=QF_DUP3_PPM_MAX,
+    ).select("doc_id", "keep")
+    kept = delta.join(gate.filter(F.col("keep") == 1), "doc_id").select(
+        "doc_id", "text"
+    )
+    n_chunks = (
+        curation.chunk_documents(kept, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    return (
+        delta.select("doc_id", "status")
+        .join(gate, "doc_id")
+        .join(n_chunks, "doc_id", "left")
+        .select(
+            "doc_id",
+            "status",
+            "keep",
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+        )
+    )
+
+
+SQL_INCREMENTAL_CURATE = f"""
+WITH a AS (SELECT doc_id, text, lang FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, 'fresh ' || text, 'xx'
+  FROM documents WHERE doc_id % 23 = 0
+),
+fa AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN '-' ELSE md5(text) END
+                          || CASE WHEN lang IS NULL THEN '-' ELSE md5(lang) END)
+         AS fp FROM a),
+fb AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN '-' ELSE md5(text) END
+                          || CASE WHEN lang IS NULL THEN '-' ELSE md5(lang) END)
+         AS fp FROM b),
+diff AS (
+  SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+         CASE WHEN fa.doc_id IS NULL THEN 'added'
+              WHEN fb.doc_id IS NULL THEN 'removed'
+              ELSE 'changed' END AS status
+  FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id
+  WHERE fa.doc_id IS NULL OR fb.doc_id IS NULL OR fa.fp <> fb.fp
+),
+delta AS (
+  SELECT b.doc_id, b.text, d.status
+  FROM b JOIN diff d USING (doc_id) WHERE d.status <> 'removed'
+),
+t AS (SELECT doc_id, status, {_TOKENS} AS toks FROM delta),
+sig AS (
+  SELECT doc_id, status, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                   * 100 // len(toks)
+              ELSE 0 END AS mtl,
+         len(list_filter(toks, x -> x IN {_STOP_EN})) AS stop_hits,
+         CASE WHEN len(toks) >= 3 THEN list_transform(
+                range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [] END AS grams,
+         toks
+  FROM t
+),
+g AS (
+  SELECT *, CASE WHEN len(grams) > 0
+                 THEN (len(grams) - len(list_distinct(grams))) * 1000000
+                      // len(grams)
+                 ELSE 0 END AS dup3_ppm
+  FROM sig
+),
+verdict AS (
+  SELECT doc_id, status, toks,
+         CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+               AND mtl >= {QF_MTL_MIN_X100} AND mtl <= {QF_MTL_MAX_X100}
+               AND stop_hits > 0 AND dup3_ppm <= {QF_DUP3_PPM_MAX}
+              THEN 1 ELSE 0 END AS keep
+  FROM g
+)
+SELECT doc_id, status, keep,
+       CASE WHEN keep = 1 AND len(toks) > 0
+            THEN (greatest(len(toks) - {CHUNK_OVERLAP}, 1) - 1) // {_STRIDE} + 1
+            ELSE 0 END AS n_chunks
+FROM verdict
+"""
+
+
 # Order encodes recorded-window priority (see __spark_entry__.queries()):
 # the first six are the family's driver-recorded representatives — the
 # round-9 window audit promoted boilerplate_ngrams / select_token_budget /
@@ -1055,6 +1190,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "bpe_pairs": q_bpe_pairs,
     "tokenize_ids": q_tokenize_ids,
+    "incremental_curate": q_incremental_curate,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1078,4 +1214,5 @@ ORACLES_CUR: dict[str, str] = {
     "quality_filter": SQL_QUALITY_FILTER,
     "bpe_pairs": SQL_BPE_PAIRS,
     "tokenize_ids": SQL_TOKENIZE_IDS,
+    "incremental_curate": SQL_INCREMENTAL_CURATE,
 }

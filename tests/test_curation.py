@@ -608,3 +608,22 @@ def test_tokenize_ids_round_trips_against_brute_force(spark):
         assert len(r["token_ids"]) == r["n_tokens"] == len(toks)
         assert r["token_ids"] == [id_of.get(t, 0) for t in toks]
         assert r["n_oov"] == sum(1 for i in r["token_ids"] if i == 0)
+
+
+def test_incremental_curate_processes_exactly_the_delta(spark):
+    """The composite must re-process exactly snapshot_diff's non-removed
+    keys (never the unchanged corpus), and chunks must exist iff the gate
+    kept the doc — n_chunks > 0 <=> keep = 1 (every kept testdata doc has
+    tokens)."""
+    rows = QC.q_incremental_curate(spark, SF).collect()
+    assert rows
+    diff = {
+        r["doc_id"]: r["status"]
+        for r in QC.q_snapshot_diff(spark, SF).collect()
+        if r["status"] != "removed"
+    }
+    assert {r["doc_id"]: r["status"] for r in rows} == diff
+    kinds = {(r["keep"], r["n_chunks"] > 0) for r in rows}
+    assert all(k == (1, True) or k == (0, False) for k in kinds)
+    assert {r["status"] for r in rows} == {"added", "changed"}
+    assert any(r["keep"] == 0 for r in rows) and any(r["keep"] == 1 for r in rows)

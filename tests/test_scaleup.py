@@ -53,6 +53,7 @@ CAPS = {
     "quality_filter": 6.0,   # measured 1.0 (1x overhead-bound; gram agg linear)
     "bpe_pairs": 8.0,        # measured 1.7 (map-side pair dictionary, tiny shuffle)
     "tokenize_ids": 8.0,     # measured 1.5 (one explode pass + broadcast encode)
+    "incremental_curate": 8.0,  # measured 1.3 (digest diff -> churn-sized gate+chunk)
 }
 
 
