@@ -216,3 +216,64 @@ def test_boilerplate_flags_equals_df_simulation(spark, data, share_pct, n):
             if grams and hits:
                 want[i] = (len(grams), hits)
     assert got == want
+
+
+# --- quality_gate: arbitrary ASCII word-soup corpora vs a direct Python
+# simulation of every signal and rule (ASCII only: the tokenizer contract
+# under test is whitespace/lowercase/threshold logic, not unicode folding)
+_word = st.text(alphabet="abcdefghij.,!", min_size=1, max_size=6)
+_texts = st.lists(
+    st.lists(_word, min_size=0, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+_STOP = {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"}
+
+
+def _gate_sim(text, lo, hi, mlo, mhi, dmax):
+    toks = [t for t in text.lower().split() if t]
+    n = len(toks)
+    mtl = sum(len(t) for t in toks) * 100 // n if n else 0
+    stops = sum(1 for t in toks if t in _STOP)
+    grams = [" ".join(toks[i : i + 3]) for i in range(n - 2)] if n >= 3 else []
+    ppm = (len(grams) - len(set(grams))) * 1_000_000 // len(grams) if grams else 0
+    reasons = [
+        name
+        for name, fired in [
+            ("too_short", n < lo),
+            ("too_long", n > hi),
+            ("word_len", mtl < mlo or mtl > mhi),
+            ("no_stopword", stops == 0),
+            ("repetitive", ppm > dmax),
+        ]
+        if fired
+    ]
+    return (n, mtl, stops, ppm, ",".join(reasons), 0 if reasons else 1)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    _texts,
+    st.integers(min_value=0, max_value=10),
+    st.integers(min_value=10, max_value=30),
+    st.integers(min_value=0, max_value=300),
+    st.integers(min_value=300, max_value=900),
+    st.integers(min_value=0, max_value=800_000),
+)
+def test_quality_gate_equals_python_simulation(spark, texts, lo, hi, mlo, mhi, dmax):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["mean_tok_len_x100"], r["stop_hits"],
+            r["dup3_ppm"], r["drop_reasons"], r["keep"],
+        )
+        for r in curation.quality_gate(
+            df, "doc_id", "text",
+            min_tokens=lo, max_tokens=hi, min_mtl_x100=mlo, max_mtl_x100=mhi,
+            dup3_ppm_max=dmax,
+        ).collect()
+    }
+    want = {
+        i: _gate_sim(t, lo, hi, mlo, mhi, dmax) for i, t in enumerate(texts)
+    }
+    assert got == want
