@@ -8,8 +8,9 @@ profiling (exact + HLL++), context-window chunking, snapshot diffing,
 vocabulary coverage, rule-gate filtering with drop-reason audit
 (`quality_filter`), BPE merge-pair counting (`bpe_pairs`), vocab-id
 sequence encoding (`tokenize_ids`), the end-to-end hygiene composite
-(`curate_corpus`), and its incremental twin over the snapshot delta
-(`incremental_curate`) — over the driver's testdata, each with a bit-exact
+(`curate_corpus`), its incremental twin over the snapshot delta
+(`incremental_curate`), and int8 embedding quantization with an error
+report (`quantize_embeddings`) — over the driver's testdata, each with a bit-exact
 DuckDB oracle via the engine-portable md5-fold hash
 (operators/dedup.portable_hash64 — see operators/curation.py for why
 hash-derived randomness, not rand(seed), is the only kind that survives
@@ -1158,6 +1159,82 @@ FROM verdict
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization of the embedding corpus plus its
+    quality report (max reconstruction error in ppm of the scale) — the 4×
+    storage/bandwidth cut an ANN index applies before sharding 100 TB of
+    vectors. Quantized code: q_i = floor(x_i/scale·127 + 0.5) — half-up via
+    floor, NOT round(), because round() half-even/half-away conventions
+    differ across engines while floor is IEEE-identical everywhere; every
+    arithmetic step is explicitly double so Spark and DuckDB execute the
+    same correctly-rounded op sequence and the oracle is bit-exact.
+
+    Scale: one scan, zero shuffles — per-element transforms are JVM
+    higher-order functions (fine here: this is an O(dim)-per-row rewrite
+    pass, not the ANN hot path, which stays on the codegen sketch plan).
+    The error bound is structural: |x − q·scale/127| ≤ scale/254, so
+    max_err_ppm ≤ 3937 + 1 ulp — asserted in tests.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    x_abs = F.transform("embedding", lambda x: F.abs(x))
+    with_scale = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(x_abs).cast("double").alias("scale"),
+    )
+    sc = F.col("scale")
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(
+            sc > 0,
+            F.floor(x.cast("double") / sc * 127 + F.lit(0.5)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    quant = with_scale.select("vec_id", "embedding", "scale", q.alias("q_emb"))
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "q_emb",
+            lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * sc / 127),
+        )
+    )
+    return quant.select(
+        "vec_id",
+        "scale",
+        "q_emb",
+        F.when(sc > 0, F.floor(err / sc * 1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("max_err_ppm"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding, x ->
+           CASE WHEN scale > 0
+                THEN CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INT)
+                ELSE 0 END) AS q_emb
+  FROM s
+)
+SELECT vec_id, scale, q_emb,
+       CASE WHEN scale > 0
+            THEN CAST(floor(list_max(list_transform(range(1, len(embedding) + 1),
+                   i -> abs(CAST(embedding[i] AS DOUBLE)
+                            - CAST(q_emb[i] AS DOUBLE) * scale / 127)))
+                 / scale * 1000000) AS BIGINT)
+            ELSE 0 END AS max_err_ppm
+FROM q
+"""
+
+
 # Order encodes recorded-window priority (see __spark_entry__.queries()):
 # the first six are the family's driver-recorded representatives — the
 # round-9 window audit promoted boilerplate_ngrams / select_token_budget /
@@ -1191,6 +1268,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs": q_bpe_pairs,
     "tokenize_ids": q_tokenize_ids,
     "incremental_curate": q_incremental_curate,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1215,4 +1293,5 @@ ORACLES_CUR: dict[str, str] = {
     "bpe_pairs": SQL_BPE_PAIRS,
     "tokenize_ids": SQL_TOKENIZE_IDS,
     "incremental_curate": SQL_INCREMENTAL_CURATE,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
 }

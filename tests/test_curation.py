@@ -627,3 +627,25 @@ def test_incremental_curate_processes_exactly_the_delta(spark):
     assert all(k == (1, True) or k == (0, False) for k in kinds)
     assert {r["status"] for r in rows} == {"added", "changed"}
     assert any(r["keep"] == 0 for r in rows) and any(r["keep"] == 1 for r in rows)
+
+
+def test_quantize_embeddings_bound_and_brute_force(spark):
+    """Structural guarantee of absmax int8: codes live in [-127, 127], the
+    max element hits ±127 exactly, and reconstruction error never exceeds
+    half a quantization step (scale/254 → 3937 ppm). Codes must equal a
+    numpy brute force of the same floor(x/scale*127 + 0.5) rule."""
+    import math
+
+    rows = QC.q_quantize_embeddings(spark, SF).collect()
+    docs = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    assert len(rows) == len(docs) > 0
+    for r in rows:
+        emb, q, scale = docs[r["vec_id"]], r["q_emb"], r["scale"]
+        assert scale == max(abs(v) for v in emb)
+        assert all(-127 <= c <= 127 for c in q)
+        assert 127 in q or -127 in q  # the absmax element saturates
+        assert q == [int(math.floor(float(v) / scale * 127 + 0.5)) for v in emb]
+        assert 0 <= r["max_err_ppm"] <= 3937

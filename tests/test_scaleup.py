@@ -54,6 +54,7 @@ CAPS = {
     "bpe_pairs": 8.0,        # measured 1.7 (map-side pair dictionary, tiny shuffle)
     "tokenize_ids": 8.0,     # measured 1.5 (one explode pass + broadcast encode)
     "incremental_curate": 8.0,  # measured 1.3 (digest diff -> churn-sized gate+chunk)
+    "quantize_embeddings": 6.0,  # measured 0.9 (zero-shuffle per-row rewrite)
 }
 
 
