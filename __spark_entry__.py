@@ -88,7 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cluster_balanced_sample, profile_orders, pii_redaction,
     # approx_profile_orders, doc_chunks, snapshot_diff, curate_corpus,
     # weighted_sample, vocab_coverage, quality_filter, bpe_pairs,
-    # tokenize_ids, incremental_curate, quantize_embeddings), fully
+    # tokenize_ids, incremental_curate, quantize_embeddings,
+    # lm_perplexity), fully
     # inside the pytest oracle-parity harness
     # (approx_profile_orders carries no oracle — tolerance-gated instead).
     merged = {

@@ -799,3 +799,86 @@ def quality_gate(
     return flagged.withColumn(
         "keep", F.when(F.col("drop_reasons") == "", 1).otherwise(0)
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_filter: Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity scoring: every NON-reference document gets its
+    average negative log-likelihood (nats/bigram) under an add-1-smoothed
+    bigram LM trained on the reference slice (``ref_filter`` marks the
+    clean corpus — CCNet trains on Wikipedia; Wenzek et al., CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data).
+    Low score ⇒ reads like the reference; the downstream keep/drop banding
+    is quality_gate's job — this operator is the signal.
+
+    P(cur|prev) = (C2(prev,cur)+1) / (C1(prev)+V), with C1 derived from C2
+    (Σ_cur C2) and V = |{cur}| over reference bigrams, so every count is an
+    exact integer. The per-doc Σ of ln() terms follows the
+    importance_weights discipline: each bigram's nll pre-rounds to a scaled
+    1e-12 long and sums exactly, making the ``round_dp`` result
+    order-independent across Spark partitionings AND engines.
+
+    Documents with <2 tokens have no bigrams and emit no row (same
+    pairs-only semantics as decontaminate's hit rows).
+
+    Scale: ONE tokenize+pair-explode pass (lazy localCheckpoint, 2
+    consumers: the reference C2 aggregation and the scoring side); C1 and V
+    derive from the vocabulary²-bounded C2 table, not from a second corpus
+    pass; the scoring joins are AQE-sized on (prev,cur)/(prev); one final
+    exchange on the doc id. Nothing quadratic, nothing collects.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    t = docs.select(
+        F.col(id_col), ref_filter.alias("_is_ref"), tokens(F.col(text_col)).alias("toks")
+    )
+    n_tok = F.size("toks")
+    pairs = (
+        t.select(
+            id_col,
+            "_is_ref",
+            "toks",
+            F.explode(
+                F.when(n_tok >= 2, F.sequence(F.lit(1), n_tok - 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            "_is_ref",
+            F.element_at("toks", F.col("i")).alias("prev"),
+            F.element_at("toks", F.col("i") + 1).alias("cur"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c2 = (
+        pairs.filter(F.col("_is_ref"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("_c2").alias("_c1"))
+    totals = c2.agg(F.count_distinct("cur").alias("_vocab"))
+    nll = -F.log(
+        (F.coalesce(F.col("_c2"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_vocab"))
+    )
+    scored = (
+        pairs.filter(~F.col("_is_ref"))
+        .join(c2, ["prev", "cur"], "left")
+        .join(c1, "prev", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, F.round(nll * 1e12).cast("long").alias("_nll_fp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("_nll_fp").cast("double") / 1e12 / F.count(F.lit(1)), round_dp
+        ).alias("avg_nll"),
+    )

@@ -9,8 +9,9 @@ vocabulary coverage, rule-gate filtering with drop-reason audit
 (`quality_filter`), BPE merge-pair counting (`bpe_pairs`), vocab-id
 sequence encoding (`tokenize_ids`), the end-to-end hygiene composite
 (`curate_corpus`), its incremental twin over the snapshot delta
-(`incremental_curate`), and int8 embedding quantization with an error
-report (`quantize_embeddings`) — over the driver's testdata, each with a bit-exact
+(`incremental_curate`), int8 embedding quantization with an error
+report (`quantize_embeddings`), and CCNet-style bigram-LM perplexity
+scoring (`lm_perplexity`) — over the driver's testdata, each with a bit-exact
 DuckDB oracle via the engine-portable md5-fold hash
 (operators/dedup.portable_hash64 — see operators/curation.py for why
 hash-derived randomness, not rand(seed), is the only kind that survives
@@ -1235,6 +1236,55 @@ FROM q
 """
 
 
+LM_REF_PCT = 30  # hash-designated "clean reference" slice for the bigram LM
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: avg bigram negative log-likelihood of
+    every non-reference doc under an add-1 LM trained on the
+    hash-designated reference slice. See operators/curation.lm_perplexity
+    for the exact-integer summation discipline that makes the 6dp result
+    engine-identical."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.lm_perplexity(
+        d, "doc_id", "text",
+        curation.hash_bucket(F.col("doc_id"), "lm") < LM_REF_PCT,
+    )
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_H.format(salt="'lm'", col="doc_id")} % 100 < {LM_REF_PCT} AS is_ref,
+         {_TOKENS} AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, is_ref, toks[i] AS prev, toks[i + 1] AS cur
+  FROM (SELECT doc_id, is_ref, toks,
+               unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+        FROM t)
+),
+c2 AS (SELECT prev, cur, count(*) AS _c2 FROM p WHERE is_ref GROUP BY 1, 2),
+c1 AS (SELECT prev, SUM(_c2) AS _c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT cur) AS _vocab FROM c2),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(-ln(CAST(coalesce(c2._c2, 0) + 1 AS DOUBLE)
+                        / (coalesce(c1._c1, 0) + v._vocab)) * 1e12) AS BIGINT)
+           AS nll_fp
+  FROM p
+  LEFT JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur
+  LEFT JOIN c1 ON p.prev = c1.prev
+  CROSS JOIN v
+  WHERE NOT p.is_ref
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(SUM(nll_fp) AS DOUBLE) / 1e12 / count(*), 6) AS avg_nll
+FROM scored GROUP BY 1
+"""
+
+
 # Order encodes recorded-window priority (see __spark_entry__.queries()):
 # the first six are the family's driver-recorded representatives — the
 # round-9 window audit promoted boilerplate_ngrams / select_token_budget /
@@ -1269,6 +1319,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_ids": q_tokenize_ids,
     "incremental_curate": q_incremental_curate,
     "quantize_embeddings": q_quantize_embeddings,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1294,4 +1345,5 @@ ORACLES_CUR: dict[str, str] = {
     "tokenize_ids": SQL_TOKENIZE_IDS,
     "incremental_curate": SQL_INCREMENTAL_CURATE,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
 }

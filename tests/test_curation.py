@@ -649,3 +649,35 @@ def test_quantize_embeddings_bound_and_brute_force(spark):
         assert 127 in q or -127 in q  # the absmax element saturates
         assert q == [int(math.floor(float(v) / scale * 127 + 0.5)) for v in emb]
         assert 0 <= r["max_err_ppm"] <= 3937
+
+
+def test_lm_perplexity_orders_fluent_below_junk_and_is_exact_on_unseen(spark):
+    """LM sanity: a non-reference doc written in the reference's own
+    phrasing must score (far) lower avg-nll than a doc of never-seen
+    tokens, and the all-unseen doc's score is exactly ln(V) (every bigram
+    backs off to 1/(0+V)). Also the driver-query slice sizes must be
+    non-degenerate (both ref and scored sides populated)."""
+    import math
+
+    toy = spark.createDataFrame(
+        [(1, "the cat sat on the mat", True),
+         (2, "the cat sat on the mat again", True),
+         (3, "the cat sat on the mat", False),
+         (4, "zz qq ww ee rr tt", False)],
+        "doc_id long, text string, is_ref boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.lm_perplexity(toy, "doc_id", "text", F.col("is_ref")).collect()
+    }
+    assert set(out) == {3, 4}
+    # ref vocab of `cur` tokens: cat sat on the mat again -> V = 6
+    assert out[4]["avg_nll"] == round(math.log(6), 6)
+    # margin is modest on a 2-doc reference (add-1 smoothing dominates a
+    # tiny LM) — strict ordering with a noise-proof gap is the claim
+    assert out[3]["avg_nll"] < out[4]["avg_nll"] - 0.5
+    # driver-scale slice sanity
+    rows = QC.q_lm_perplexity(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(rows) < n_docs
+    assert all(r["avg_nll"] > 0 and r["n_bigrams"] > 0 for r in rows)

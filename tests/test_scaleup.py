@@ -55,6 +55,7 @@ CAPS = {
     "tokenize_ids": 8.0,     # measured 1.5 (one explode pass + broadcast encode)
     "incremental_curate": 8.0,  # measured 1.3 (digest diff -> churn-sized gate+chunk)
     "quantize_embeddings": 6.0,  # measured 0.9 (zero-shuffle per-row rewrite)
+    "lm_perplexity": 8.0,    # measured 1.4 (one pair pass + vocab-sized LM joins)
 }
 
 
