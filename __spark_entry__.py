@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_profile_orders, doc_chunks, snapshot_diff, curate_corpus,
     # weighted_sample, vocab_coverage, quality_filter, bpe_pairs,
     # tokenize_ids, incremental_curate, quantize_embeddings,
-    # lm_perplexity), fully
+    # lm_perplexity, url_dedup), fully
     # inside the pytest oracle-parity harness
     # (approx_profile_orders carries no oracle — tolerance-gated instead).
     merged = {

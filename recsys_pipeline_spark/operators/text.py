@@ -163,3 +163,32 @@ def redact_pii(
         counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, token)
     return df.select("*", *counts, cur.alias(out_col))
+
+
+# URL canonicalization: the pragmatic crawl-dedup subset of RFC 3986
+# normalization (scheme case, www, default ports, tracking params, trailing
+# slash) — NOT a full parser; the chain is RE2-safe with CONSTANT
+# replacements only, because Spark (Java, "$1") and DuckDB (RE2, "\\1")
+# disagree on replacement-group syntax, so portable chains must avoid
+# groups in the replacement entirely.
+_URL_CANON_STEPS = (
+    (r"^https?://", ""),           # scheme (case handled by lower() first)
+    (r"^www\.", ""),               # www alias
+    (r":(443|80)/", "/"),          # default ports before the path
+    (r"utm_[a-z0-9_]*=[^&]*&", ""),      # tracking param followed by more
+    (r"[?&]utm_[a-z0-9_]*=[^&]*$", ""),  # tracking param in final position
+    (r"/\?", "?"),                 # trailing slash before the query
+    (r"/$", ""),                   # trailing slash at the end
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for exact dedup: lowercase, scheme- and
+    www-stripped, default ports removed, utm_* tracking params dropped,
+    trailing slash normalized. Deduping crawls by canonical URL is the
+    cheapest dedup stage — it runs before any content hashing and removes
+    the bulk of re-crawl duplicates."""
+    out = F.lower(col)
+    for pat, repl in _URL_CANON_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

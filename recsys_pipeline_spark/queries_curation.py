@@ -10,8 +10,9 @@ vocabulary coverage, rule-gate filtering with drop-reason audit
 sequence encoding (`tokenize_ids`), the end-to-end hygiene composite
 (`curate_corpus`), its incremental twin over the snapshot delta
 (`incremental_curate`), int8 embedding quantization with an error
-report (`quantize_embeddings`), and CCNet-style bigram-LM perplexity
-scoring (`lm_perplexity`) — over the driver's testdata, each with a bit-exact
+report (`quantize_embeddings`), CCNet-style bigram-LM perplexity
+scoring (`lm_perplexity`), and URL-canonicalization dedup (`url_dedup`)
+— over the driver's testdata, each with a bit-exact
 DuckDB oracle via the engine-portable md5-fold hash
 (operators/dedup.portable_hash64 — see operators/curation.py for why
 hash-derived randomness, not rand(seed), is the only kind that survives
@@ -1236,6 +1237,70 @@ FROM q
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest crawl dedup stage, run
+    before any content hashing. The testdata carries no URL column, so the
+    query synthesizes deterministic messy URLs from existing columns
+    (mixed case, www, default port, utm tracking params, trailing slash —
+    with doc_id folded mod 7/3 so distinct documents genuinely collide
+    on the canonical form — 20 sources x 7 paths x 3 ids = 420 canonical
+    cells < 500 docs, so duplicates exist by pigeonhole and the dedup
+    actually bites), canonicalizes via text.canonical_url, and
+    reports each canonical URL's keeper (min doc id) and duplicate count.
+    The DuckDB oracle reproduces the same RE2-safe constant-replacement
+    chain bit-for-bit.
+
+    Scale: the synthesis + canonical chain is pure regexp codegen over the
+    scan; ONE exchange for the canonical-key group — the same single-
+    shuffle shape as exact content dedup, on a far cheaper key.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/p/"),
+        (did % 7).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        (did % 3).cast("string"),
+    )
+    return (
+        d.select("doc_id", text.canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+_URL_RAW = (
+    "'https://WWW.' || source || '.Example.COM:443/p/' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&id=' || "
+    "CAST(doc_id % 3 AS VARCHAR)"
+)
+# the same constant-replacement chain as text._URL_CANON_STEPS
+_URL_CANON_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(lower({u}),"
+    " '^https?://', ''),"
+    " '^www\\.', ''),"
+    " ':(443|80)/', '/'),"
+    " 'utm_[a-z0-9_]*=[^&]*&', ''),"
+    " '[?&]utm_[a-z0-9_]*=[^&]*$', ''),"
+    " '/\\?', '?'),"
+    " '/$', '')"
+)
+
+SQL_URL_DEDUP = f"""
+SELECT {_URL_CANON_SQL.format(u=_URL_RAW)} AS canonical_url,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 LM_REF_PCT = 30  # hash-designated "clean reference" slice for the bigram LM
 
 
@@ -1320,6 +1385,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_curate": q_incremental_curate,
     "quantize_embeddings": q_quantize_embeddings,
     "lm_perplexity": q_lm_perplexity,
+    "url_dedup": q_url_dedup,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1346,4 +1412,5 @@ ORACLES_CUR: dict[str, str] = {
     "incremental_curate": SQL_INCREMENTAL_CURATE,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "url_dedup": SQL_URL_DEDUP,
 }

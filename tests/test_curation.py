@@ -681,3 +681,29 @@ def test_lm_perplexity_orders_fluent_below_junk_and_is_exact_on_unseen(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert 0 < len(rows) < n_docs
     assert all(r["avg_nll"] > 0 and r["n_bigrams"] > 0 for r in rows)
+
+
+def test_canonical_url_collapses_known_aliases(spark):
+    """The canonical chain must collapse scheme/www/port/utm/trailing-slash
+    variants to one key, keep non-tracking params, and strip an utm-only
+    query entirely — and the driver query's dedup must actually bite."""
+    from recsys_pipeline_spark.operators.text import canonical_url
+
+    cases = [
+        (1, "https://WWW.Site.Com:443/p/5/?utm_source=x&id=2"),
+        (2, "http://site.com/p/5?id=2"),
+        (3, "https://site.com:80/p/5/?id=2&utm_campaign=y"),
+        (4, "HTTPS://www.site.com/p/5?utm_source=only"),   # utm-only query
+        (5, "https://site.com/p/5?id=3"),                  # different id param
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == got[2] == got[3] == "site.com/p/5?id=2"
+    assert got[4] == "site.com/p/5"
+    assert got[5] == "site.com/p/5?id=3"
+    out = QC.q_url_dedup(spark, SF).collect()
+    assert sum(1 for r in out if r["n_docs"] > 1) > 0
+    assert sum(r["n_docs"] for r in out) == 500  # every doc in exactly one group

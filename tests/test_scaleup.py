@@ -56,6 +56,7 @@ CAPS = {
     "incremental_curate": 8.0,  # measured 1.3 (digest diff -> churn-sized gate+chunk)
     "quantize_embeddings": 6.0,  # measured 0.9 (zero-shuffle per-row rewrite)
     "lm_perplexity": 8.0,    # measured 1.4 (one pair pass + vocab-sized LM joins)
+    "url_dedup": 6.0,        # measured 1.2 (regexp codegen + one canonical-key shuffle)
 }
 
 
