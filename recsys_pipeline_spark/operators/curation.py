@@ -882,3 +882,53 @@ def lm_perplexity(
             F.sum("_nll_fp").cast("double") / 1e12 / F.count(F.lit(1)), round_dp
         ).alias("avg_nll"),
     )
+
+
+def token_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok) — one row per token POSITION; the shared mining pass
+    under vocab building and sequence encoding (one definition, so the
+    batch query and the streaming twin can never diverge on tokenizer or
+    position semantics)."""
+    from recsys_pipeline_spark.operators.text import tokens
+
+    return docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+
+
+def vocab_topk(counts: DataFrame, k: int) -> DataFrame:
+    """(tok, tok_id 1..k) from a (tok, _cnt) frequency table: top-k by
+    count desc / token asc (deterministic tie-break). Plan: sort+limit is
+    TakeOrderedAndProject (per-partition heads, no global sort); the id
+    row_number runs over the POST-LIMIT k-row frame — driver-sized."""
+    from pyspark.sql import Window
+
+    order = [F.col("_cnt").desc(), F.col("tok").asc()]
+    return (
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn("tok_id", F.row_number().over(Window.orderBy(*order)))
+        .select("tok", "tok_id")
+    )
+
+
+def encode_token_ids(pos_frame: DataFrame, vocab: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc vocab-id sequences from a (id, pos, tok) frame and a (tok,
+    tok_id) vocab: broadcast encode join, order reconstructed from explode
+    positions (never collection order), OOV → 0; ONE exchange on the id."""
+    enc = pos_frame.join(F.broadcast(vocab), "tok", "left")
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("tok_id"), F.lit(0)).alias("id"),
+                    )
+                )
+            ),
+            lambda x: x["id"],
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )

@@ -924,36 +924,12 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE exchange on the id, array size bounded by document length.
     """
     d = read_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos", "tok")
-    ).localCheckpoint(eager=False)
-    from pyspark.sql import Window
-
-    order = [F.col("_cnt").desc(), F.col("tok").asc()]
-    vocab = (
-        base.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .orderBy(*order)
-        .limit(VOCAB_SIZE)
-        .withColumn("tok_id", F.row_number().over(Window.orderBy(*order)))
-        .select("tok", "tok_id")
+    base = curation.token_positions(d, "doc_id", "text").localCheckpoint(
+        eager=False
     )
-    enc = base.join(F.broadcast(vocab), "tok", "left")
-    return enc.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("pos"),
-                        F.coalesce(F.col("tok_id"), F.lit(0)).alias("id"),
-                    )
-                )
-            ),
-            lambda x: x["id"],
-        ).alias("token_ids"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0)).alias("n_oov"),
-    )
+    counts = base.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    vocab = curation.vocab_topk(counts, VOCAB_SIZE)
+    return curation.encode_token_ids(base, vocab, "doc_id")
 
 
 SQL_TOKENIZE_IDS = f"""

@@ -400,3 +400,54 @@ def decontaminate_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def tokenize_ids_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int,
+    out_dir: str,
+    counts_dir: str,
+) -> None:
+    """Vocab-id encoding online: each micro-batch's documents are encoded
+    with the vocabulary of the PREFIX corpus (state = per-epoch (tok, _cnt)
+    DELTA counters — sum-mergeable, so the state table is vocabulary-sized
+    per epoch, the compact form the boilerplate twin's docstring names as
+    the production shape; merging is one grouped SUM, never a re-read of
+    raw documents). An epoch's output equals the batch operator run on the
+    prefix corpus, restricted to that epoch's documents (asserted in
+    tests); on a single micro-batch that IS the batch result. As with any
+    threshold on corpus statistics there is no cross-epoch stability
+    guarantee: a token can enter or leave the top-k as counts grow — the
+    honest online semantics (re-encode on vocab freeze for training).
+
+    The gram/vocab/encode expressions are the batch operator's own
+    (token_positions / vocab_topk / encode_token_ids), so the pair cannot
+    silently diverge.
+    """
+    from recsys_pipeline_spark.operators.curation import (
+        encode_token_ids,
+        token_positions,
+        vocab_topk,
+    )
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        pos = token_positions(batch, id_col, text_col).localCheckpoint(
+            eager=False
+        )  # feeds the count delta AND the encode join
+        batch_counts = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+        _write_epoch(batch_counts, counts_dir, epoch_id)
+        merged = (
+            _read_state(spark, counts_dir, batch_counts, epoch_id)
+            .unionByName(batch_counts)
+            .groupBy("tok")
+            .agg(F.sum("_cnt").alias("_cnt"))
+        )
+        vocab = vocab_topk(merged, vocab_size)
+        _write_epoch(encode_token_ids(pos, vocab, id_col), out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

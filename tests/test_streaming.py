@@ -775,3 +775,66 @@ def test_streaming_quality_gate_is_batch_local(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in quality_gate(docs, "doc_id", "text", **kw).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_tokenize_ids_matches_batch_on_prefix(spark, tmp_path):
+    """Each epoch's encodings must equal the batch operator applied to the
+    PREFIX corpus, restricted to that epoch's documents — with the state
+    held as sum-mergeable per-epoch count deltas, not raw token rows. The
+    final epoch (prefix = everything) must equal the full batch result."""
+    from recsys_pipeline_spark.operators.curation import (
+        encode_token_ids,
+        token_positions,
+        vocab_topk,
+    )
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "tk_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, cnt = str(tmp_path / "tk_out"), str(tmp_path / "tk_cnt")
+    cs.tokenize_ids_stream(stream, "doc_id", "text", 20, out, cnt)
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(
+        r["_epoch"] for r in got_all.select("_epoch").distinct().collect()
+    )
+    assert len(epochs) == 2
+
+    def batch_on(prefix, members):
+        pos = token_positions(prefix, "doc_id", "text")
+        counts = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+        return {
+            (r["doc_id"], tuple(r["token_ids"]), r["n_tokens"], r["n_oov"])
+            for r in encode_token_ids(pos, vocab_topk(counts, 20), "doc_id")
+            .join(members.select("doc_id"), "doc_id")
+            .collect()
+        }
+
+    # identify which epoch carried which half by its doc ids
+    by_epoch = {
+        e: {r["doc_id"] for r in got_all.filter(F.col("_epoch") == e).collect()}
+        for e in epochs
+    }
+    first = [e for e, ids in by_epoch.items() if all(i % 2 == 0 for i in ids)]
+    assert len(first) == 1
+    e0 = first[0]
+    e1 = [e for e in epochs if e != e0][0]
+    got0 = {
+        (r["doc_id"], tuple(r["token_ids"]), r["n_tokens"], r["n_oov"])
+        for r in got_all.filter(F.col("_epoch") == e0).collect()
+    }
+    got1 = {
+        (r["doc_id"], tuple(r["token_ids"]), r["n_tokens"], r["n_oov"])
+        for r in got_all.filter(F.col("_epoch") == e1).collect()
+    }
+    assert got0 == batch_on(half0, half0) and len(got0) > 0
+    assert got1 == batch_on(docs, half1) and len(got1) > 0
+    got_all.unpersist()
