@@ -832,37 +832,59 @@ def lm_perplexity(
     pass; the scoring joins are AQE-sized on (prev,cur)/(prev); one final
     exchange on the doc id. Nothing quadratic, nothing collects.
     """
-    from recsys_pipeline_spark.operators.text import tokens
-
-    t = docs.select(
-        F.col(id_col), ref_filter.alias("_is_ref"), tokens(F.col(text_col)).alias("toks")
-    )
-    n_tok = F.size("toks")
-    pairs = (
-        t.select(
-            id_col,
-            "_is_ref",
-            "toks",
-            F.explode(
-                F.when(n_tok >= 2, F.sequence(F.lit(1), n_tok - 1)).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ).alias("i"),
-        )
-        .select(
-            id_col,
-            "_is_ref",
-            F.element_at("toks", F.col("i")).alias("prev"),
-            F.element_at("toks", F.col("i") + 1).alias("cur"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    pairs = bigram_pairs(docs, id_col, text_col, extra_cols=[ref_filter.alias("_is_ref")]).localCheckpoint(eager=False)
     c2 = (
         pairs.filter(F.col("_is_ref"))
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("_c2"))
         .localCheckpoint(eager=False)
     )
+    return lm_score_pairs(
+        pairs.filter(~F.col("_is_ref")).select(id_col, "prev", "cur"),
+        c2,
+        id_col,
+        round_dp=round_dp,
+    )
+
+
+def bigram_pairs(
+    docs: DataFrame, id_col: str, text_col: str, extra_cols: list[Column] | None = None
+) -> DataFrame:
+    """(id[, extras], prev, cur) — one row per adjacent token pair; the
+    shared mining pass under LM training and scoring (one definition, so
+    the batch operator and the streaming twin cannot diverge on tokenizer
+    or pair shape). Explode+element_at projections — the MinHash-lesson
+    codegen shape, not per-row HOFs."""
+    from recsys_pipeline_spark.operators.text import tokens
+
+    extras = extra_cols or []
+    t = docs.select(
+        F.col(id_col), *extras, tokens(F.col(text_col)).alias("toks")
+    )
+    names = [c for c in t.columns if c != "toks"]
+    n_tok = F.size("toks")
+    return t.select(
+        *names,
+        "toks",
+        F.explode(
+            F.when(n_tok >= 2, F.sequence(F.lit(1), n_tok - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    ).select(
+        *names,
+        F.element_at("toks", F.col("i")).alias("prev"),
+        F.element_at("toks", F.col("i") + 1).alias("cur"),
+    )
+
+
+def lm_score_pairs(
+    pairs: DataFrame, c2: DataFrame, id_col: str, round_dp: int = 6
+) -> DataFrame:
+    """Average add-1 bigram nll per doc from an (id, prev, cur) frame and a
+    (prev, cur, _c2) reference count table; C1 and V derive from C2 (Σ_cur
+    and |{cur}|), so no second corpus pass. Per-pair nll pre-rounds to a
+    scaled 1e-12 long (the importance_weights exact-summation discipline)."""
     c1 = c2.groupBy("prev").agg(F.sum("_c2").alias("_c1"))
     totals = c2.agg(F.count_distinct("cur").alias("_vocab"))
     nll = -F.log(
@@ -870,8 +892,7 @@ def lm_perplexity(
         / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_vocab"))
     )
     scored = (
-        pairs.filter(~F.col("_is_ref"))
-        .join(c2, ["prev", "cur"], "left")
+        pairs.join(c2, ["prev", "cur"], "left")
         .join(c1, "prev", "left")
         .crossJoin(F.broadcast(totals))
         .select(id_col, F.round(nll * 1e12).cast("long").alias("_nll_fp"))

@@ -451,3 +451,56 @@ def tokenize_ids_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def lm_perplexity_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_filter,
+    out_dir: str,
+    c2_dir: str,
+) -> None:
+    """Perplexity scoring online: each micro-batch's non-reference
+    documents score against the bigram LM of the reference docs seen over
+    the PREFIX (state = per-epoch (prev, cur, _c2) DELTA counters —
+    sum-mergeable and vocabulary²-bounded, same compact-counter shape as
+    the tokenize twin; merging is one grouped SUM, never a re-read of raw
+    documents). An epoch's output equals the batch operator run on the
+    prefix corpus, restricted to that epoch's documents (asserted in
+    tests); on a single micro-batch that IS the batch result. The pair
+    mining and scoring expressions are the batch operator's own
+    (bigram_pairs / lm_score_pairs), so the pair cannot diverge. As with
+    every threshold-free corpus statistic the score itself drifts as the
+    reference grows — the honest online semantics (scores stabilize as the
+    LM saturates).
+    """
+    from recsys_pipeline_spark.operators.curation import bigram_pairs, lm_score_pairs
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        pairs = bigram_pairs(
+            batch, id_col, text_col, extra_cols=[ref_filter.alias("_is_ref")]
+        ).localCheckpoint(eager=False)  # feeds the C2 delta AND the score side
+        batch_c2 = (
+            pairs.filter(F.col("_is_ref"))
+            .groupBy("prev", "cur")
+            .agg(F.count(F.lit(1)).alias("_c2"))
+        )
+        _write_epoch(batch_c2, c2_dir, epoch_id)
+        merged_c2 = (
+            _read_state(spark, c2_dir, batch_c2, epoch_id)
+            .unionByName(batch_c2)
+            .groupBy("prev", "cur")
+            .agg(F.sum("_c2").alias("_c2"))
+        )
+        scored = lm_score_pairs(
+            pairs.filter(~F.col("_is_ref")).select(id_col, "prev", "cur"),
+            merged_c2,
+            id_col,
+        )
+        _write_epoch(scored, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -838,3 +838,54 @@ def test_streaming_tokenize_ids_matches_batch_on_prefix(spark, tmp_path):
     assert got0 == batch_on(half0, half0) and len(got0) > 0
     assert got1 == batch_on(docs, half1) and len(got1) > 0
     got_all.unpersist()
+
+
+def test_streaming_lm_perplexity_matches_batch_on_prefix(spark, tmp_path):
+    """Each epoch's scores must equal the batch operator on the PREFIX
+    corpus restricted to that epoch's documents, with the LM state held as
+    sum-mergeable (prev, cur) count deltas; the final epoch (prefix =
+    everything) must equal the full batch result for its docs."""
+    from recsys_pipeline_spark.operators.curation import hash_bucket, lm_perplexity
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "lm_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ref = hash_bucket(F.col("doc_id"), "lm") < 30
+    out, c2d = str(tmp_path / "lm_out"), str(tmp_path / "lm_c2")
+    cs.lm_perplexity_stream(stream, "doc_id", "text", ref, out, c2d)
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in got_all.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    by_epoch = {
+        e: {r["doc_id"] for r in got_all.filter(F.col("_epoch") == e).collect()}
+        for e in epochs
+    }
+    e0 = next(e for e, ids in by_epoch.items() if all(i % 2 == 0 for i in ids))
+    e1 = next(e for e in epochs if e != e0)
+
+    def snap(e):
+        return {
+            (r["doc_id"], r["n_bigrams"], r["avg_nll"])
+            for r in got_all.filter(F.col("_epoch") == e).collect()
+        }
+
+    def batch_on(prefix, members):
+        return {
+            (r["doc_id"], r["n_bigrams"], r["avg_nll"])
+            for r in lm_perplexity(prefix, "doc_id", "text", ref)
+            .join(members.select("doc_id"), "doc_id")
+            .collect()
+        }
+
+    assert snap(e0) == batch_on(half0, half0) and len(snap(e0)) > 0
+    assert snap(e1) == batch_on(docs, half1) and len(snap(e1)) > 0
+    got_all.unpersist()
