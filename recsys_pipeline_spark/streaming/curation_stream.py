@@ -504,3 +504,48 @@ def lm_perplexity_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def url_dedup_stream(
+    stream: DataFrame,
+    id_col: str,
+    url_col: str,
+    out_dir: str,
+) -> None:
+    """Crawl-time URL dedup admission: the FIRST document (smallest id
+    within its micro-batch) per canonical URL is admitted, across the whole
+    stream — the ingest-side twin of the batch url_dedup report. The
+    admitted output IS the state (the cap_per_group_stream pattern): prior
+    canonical keys re-derive from the sink, so a replayed epoch cannot
+    double-admit. Canonicalization is text.canonical_url — the batch
+    operator's own expression, so the pair cannot diverge.
+
+    Within a batch the winner is min(id) per key (deterministic); across
+    batches it is first-epoch-wins — the arrival-order semantics of an
+    ingest gate (the batch report's min-id keeper is the same rule when the
+    whole corpus is one batch, asserted in tests).
+
+    Scale: one canonical projection (regexp codegen) + one per-key window
+    (WindowGroupLimit bounds it map-side) + an anti-join against the seen
+    keys per batch — all keyed on the canonical URL, nothing collects.
+    """
+    from recsys_pipeline_spark.operators.text import canonical_url
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        canon = batch.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+        firsts = (
+            canon.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        seen = _read_state(spark, out_dir, firsts, epoch_id).select(
+            "canonical_url"
+        )
+        admitted = firsts.join(seen, "canonical_url", "left_anti")
+        _write_epoch(admitted, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -889,3 +889,55 @@ def test_streaming_lm_perplexity_matches_batch_on_prefix(spark, tmp_path):
     assert snap(e0) == batch_on(half0, half0) and len(snap(e0)) > 0
     assert snap(e1) == batch_on(docs, half1) and len(snap(e1)) > 0
     got_all.unpersist()
+
+
+def test_streaming_url_dedup_admits_first_per_canonical_key(spark, tmp_path):
+    """Across micro-batches exactly one document per canonical URL is
+    admitted (first-epoch-wins, min-id within a batch); on a single batch
+    the admitted set equals the batch report's keepers; replaying never
+    double-admits. URL synthesis matches q_url_dedup's."""
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM:443/p/"),
+        (did % 7).cast("string"), F.lit("/?utm_source=feed&id="),
+        (did % 3).cast("string"),
+    )
+    with_url = docs.select("doc_id", "source", url.alias("url"))
+    half0 = with_url.filter(did % 2 == 0)
+    half1 = with_url.filter(did % 2 == 1)
+    src = str(tmp_path / "ud_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(with_url.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "ud_out")
+    cs.url_dedup_stream(stream, "doc_id", "url", out)
+    admitted = spark.read.parquet(out).cache()
+    # exactly one admission per canonical key, and every key admitted
+    per_key = admitted.groupBy("canonical_url").count()
+    assert per_key.filter("count > 1").count() == 0
+    from recsys_pipeline_spark.operators.text import canonical_url
+
+    n_keys = (
+        with_url.select(canonical_url(F.col("url")).alias("c")).distinct().count()
+    )
+    assert per_key.count() == n_keys
+    # a key first seen in epoch 0 keeps its epoch-0 winner (min even id);
+    # keys only introduced by odd docs admit their min odd id
+    rows = {r["canonical_url"]: (r["doc_id"], r["_epoch"]) for r in admitted.collect()}
+    wins0 = {
+        r["c"]: r["m"]
+        for r in half0.select(canonical_url(F.col("url")).alias("c"), "doc_id")
+        .groupBy("c").agg(F.min("doc_id").alias("m")).collect()
+    }
+    for key, (keeper, _) in rows.items():
+        if key in wins0:
+            assert keeper == wins0[key], (key, keeper)
+    assert any(k not in wins0 for k in rows)  # odd-only keys exist and admit
+    admitted.unpersist()
