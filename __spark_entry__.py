@@ -70,23 +70,34 @@ _DEFERRED = [
     "embedding_avg_norm",  # embedding-column family keeps cosine_topk +
     # both ANN queries recorded; the exact-decimal-sum discipline keeps
     # corr_qty_price recorded
+    # Round-9 second-session swap (fourth recorded-50 audit): the ANN
+    # surface holds three recorded LSH/sketch rows — defer the hyperplane
+    # top-k variant so the hygiene-stage COMPOSITE gains a driver-recorded
+    # row (the single most informative curation evidence: it pins the
+    # pipeline wiring of four already-verified operators at once) —
+    "ann_lsh_topk",  # LSH family keeps embedding_near_dup_lsh recorded
+    # (same hyperplane-bucket machinery) + ann_ivf_topk (sketch-ANN) +
+    # cosine_topk (exact top-k); recall-gated tests + pytest oracle still
+    # pin this variant
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the
 # round-8 swap freed went to negative_sample (J6's training-side twin) and
 # decontaminate (the every-round hygiene pass); the three round-9 slots go
-# to the promoted curation trio (QUERIES_CUR order puts them directly after
-# decontaminate, closing the window at importance_weights = entry 50).
+# to the promoted curation trio, and the fourth-audit slot to curate_corpus
+# (QUERIES_CUR order puts it directly after importance_weights, closing the
+# window at curate_corpus = entry 50).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # QC (curation) merges AFTER the ML surface. Six of its queries are
+    # QC (curation) merges AFTER the ML surface. Seven of its queries are
     # driver-recorded — sample_stratified, negative_sample, decontaminate,
-    # boilerplate_ngrams, select_token_budget, importance_weights (the
-    # window closes at importance_weights, entry 50) — and the rest land
+    # boilerplate_ngrams, select_token_budget, importance_weights,
+    # curate_corpus (the window closes at curate_corpus, entry 50) — and
+    # the rest land
     # past the window (cap_per_source, pack_token_bins, mixture_weights,
     # cluster_balanced_sample, profile_orders, pii_redaction,
-    # approx_profile_orders, doc_chunks, snapshot_diff, curate_corpus,
+    # approx_profile_orders, doc_chunks, snapshot_diff,
     # weighted_sample, vocab_coverage, quality_filter, bpe_pairs,
     # tokenize_ids, incremental_curate, quantize_embeddings,
     # lm_perplexity, url_dedup), fully

@@ -1341,6 +1341,9 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "select_token_budget": q_select_token_budget,
     "importance_weights": q_importance_weights,
+    # promoted by the fourth recorded-50 audit (see __spark_entry__):
+    # the hygiene composite closes the recorded window at entry 50
+    "curate_corpus": q_curate_corpus,
     "cap_per_source": q_cap_per_source,
     "pack_token_bins": q_pack_token_bins,
     "mixture_weights": q_mixture_weights,
@@ -1352,7 +1355,6 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_profile_orders": q_approx_profile_orders,
     "doc_chunks": q_doc_chunks,
     "snapshot_diff": q_snapshot_diff,
-    "curate_corpus": q_curate_corpus,
     "weighted_sample": q_weighted_sample,
     "vocab_coverage": q_vocab_coverage,
     "quality_filter": q_quality_filter,
