@@ -79,29 +79,41 @@ _DEFERRED = [
     # (same hyperplane-bucket machinery) + ann_ivf_topk (sketch-ANN) +
     # cosine_topk (exact top-k); recall-gated tests + pytest oracle still
     # pin this variant
+    # Round-10 swaps (fifth recorded-50 audit, per the r9 verdict): three
+    # in-window redundancies move here so quality_filter / tokenize_ids /
+    # lm_perplexity — the tokenizer, keep/drop gate, and LM signal every
+    # pretraining corpus run executes — gain driver-recorded rows —
+    "top50_orders",  # W6/W7 global sort-desc + truncate stays recorded via
+    # topk_orders_per_customer (W8, same TakeOrdered machinery) and the
+    # recommend_top50_det composite's final top-50
+    "simhash_fingerprint",  # md5-fold bit-vote family keeps minhash_dup_pairs
+    # + dup_clusters recorded; the 64-bucket grouped bit-vote plan stays
+    # pinned by test_plan_shapes + pytest oracle parity
+    "ann_exclude_seen",  # J6 seen-item anti-join stays recorded via
+    # negative_sample (training-side twin); the ANN surface keeps
+    # cosine_topk + ann_ivf_topk recorded
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the
 # round-8 swap freed went to negative_sample (J6's training-side twin) and
-# decontaminate (the every-round hygiene pass); the three round-9 slots go
-# to the promoted curation trio, and the fourth-audit slot to curate_corpus
-# (QUERIES_CUR order puts it directly after importance_weights, closing the
-# window at curate_corpus = entry 50).
+# decontaminate (the every-round hygiene pass); the three round-9 slots went
+# to the promoted curation trio, the fourth-audit slot to curate_corpus, and
+# the three round-10 slots to quality_filter / tokenize_ids / lm_perplexity
+# (QUERIES_CUR order puts them directly after curate_corpus, closing the
+# window at lm_perplexity = entry 50).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # QC (curation) merges AFTER the ML surface. Seven of its queries are
+    # QC (curation) merges AFTER the ML surface. Ten of its queries are
     # driver-recorded — sample_stratified, negative_sample, decontaminate,
     # boilerplate_ngrams, select_token_budget, importance_weights,
-    # curate_corpus (the window closes at curate_corpus, entry 50) — and
-    # the rest land
-    # past the window (cap_per_source, pack_token_bins, mixture_weights,
+    # curate_corpus, quality_filter, tokenize_ids, lm_perplexity (the window
+    # closes at lm_perplexity, entry 50) — and the rest land past the window
+    # (cap_per_source, pack_token_bins, mixture_weights,
     # cluster_balanced_sample, profile_orders, pii_redaction,
-    # approx_profile_orders, doc_chunks, snapshot_diff,
-    # weighted_sample, vocab_coverage, quality_filter, bpe_pairs,
-    # tokenize_ids, incremental_curate, quantize_embeddings,
-    # lm_perplexity, url_dedup), fully
-    # inside the pytest oracle-parity harness
+    # approx_profile_orders, doc_chunks, snapshot_diff, weighted_sample,
+    # vocab_coverage, bpe_pairs, incremental_curate, quantize_embeddings,
+    # url_dedup), fully inside the pytest oracle-parity harness
     # (approx_profile_orders carries no oracle — tolerance-gated instead).
     merged = {
         **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,

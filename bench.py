@@ -130,12 +130,17 @@ def main() -> None:
         # quieter: mixing them with the stalled originals would still
         # report an inflated median (e.g. [3q,3q,3q,q,q,q] -> 2q) even
         # after the stall passed.
+        # Trigger at >=2x quiet (was 3x through r9): the r9 recorded rows
+        # showed a whole class of host stalls sitting in the 2-3x band
+        # (rollup_revenue 2.5x, doc_repetition 2.7x, spend_rank 2.3x) that
+        # slipped under the 3x trip. Retries stay bounded at 3, so the worst
+        # case on a genuinely-2x-slower query is 3 extra repeats per run.
         prev = quiet_medians.get(name)
         retries: list[float] = []
-        while prev and len(retries) < 3 and dt >= 3 * prev:
+        while prev and len(retries) < 3 and dt >= 2 * prev:
             print(
                 f"[bench] stall guard (full-window): {name} median {dt:.3f}s"
-                f" >= 3x quiet {prev:.3f}s, retrying",
+                f" >= 2x quiet {prev:.3f}s, retrying",
                 file=sys.stderr,
             )
             retries.append(timed_run())
@@ -154,17 +159,42 @@ def main() -> None:
             json.dump(hist_all, fh, indent=0, sort_keys=True)
     except OSError:
         pass  # read-only checkout: guard simply stays single-layer
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver captures only the LAST 2000 chars of stdout and json-parses
+    # that window (BENCH_r09 recorded parsed:null because the full per-query
+    # dict pushed the line past it). Emit the full detail to stderr and to
+    # BENCH_DETAIL.json, and keep the stdout summary line under the window:
+    # if the full queries dict fits in budget it goes out verbatim; otherwise
+    # the slowest queries are kept (they are the ones the plan audit reads)
+    # and the count of dropped fast entries is recorded.
+    payload = {
+        "metric": "total_query_wall_time",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {q: round(t, 3) for q, t in timings.items()},
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    detail = dict(payload, queries=timings)
+    print(f"[bench] detail: {json.dumps(detail, separators=(',', ':'))}", file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BUDGET", "1900"))
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        keep = dict(payload["queries"])
+        for q in reversed(by_cost):
+            if len(line) <= budget:
+                break
+            del keep[q]
+            payload["queries"] = keep
+            payload["queries_truncated"] = len(timings) - len(keep)
+            payload["queries_detail"] = "BENCH_DETAIL.json"
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

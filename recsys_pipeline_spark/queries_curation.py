@@ -1342,8 +1342,16 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_token_budget": q_select_token_budget,
     "importance_weights": q_importance_weights,
     # promoted by the fourth recorded-50 audit (see __spark_entry__):
-    # the hygiene composite closes the recorded window at entry 50
+    # the hygiene composite
     "curate_corpus": q_curate_corpus,
+    # promoted by the fifth recorded-50 audit (round 10): the tokenizer, the
+    # keep/drop quality gate, and the CCNet-style LM signal — the three
+    # operators every pretraining corpus run executes. The window now closes
+    # at lm_perplexity = entry 50 (deferred in exchange: top50_orders,
+    # simhash_fingerprint, ann_exclude_seen — see __spark_entry__._DEFERRED).
+    "quality_filter": q_quality_filter,
+    "tokenize_ids": q_tokenize_ids,
+    "lm_perplexity": q_lm_perplexity,
     "cap_per_source": q_cap_per_source,
     "pack_token_bins": q_pack_token_bins,
     "mixture_weights": q_mixture_weights,
@@ -1357,12 +1365,9 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "weighted_sample": q_weighted_sample,
     "vocab_coverage": q_vocab_coverage,
-    "quality_filter": q_quality_filter,
     "bpe_pairs": q_bpe_pairs,
-    "tokenize_ids": q_tokenize_ids,
     "incremental_curate": q_incremental_curate,
     "quantize_embeddings": q_quantize_embeddings,
-    "lm_perplexity": q_lm_perplexity,
     "url_dedup": q_url_dedup,
 }
 
