@@ -254,6 +254,103 @@ def ann_sketch_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def sketch_candidates_multi(
+    emb: DataFrame,
+    queries: DataFrame,
+    bits: int = 4,
+    tables: int = 6,
+    seed: int = 11,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-query hyperplane-LSH candidate sets: (qid, vec_id, vec) pairs
+    where the corpus vector shares ANY table's bucket with the query — the
+    distributed form of ann_sketch_topk for a query TABLE instead of one
+    driver-side literal. The query side's memberships are computed by the
+    same kernel (one Arrow pass) and broadcast, so the corpus never
+    shuffles: candidates fall out of a broadcast hash join on
+    (tbl, sketch), deduped per (qid, id). At 100 TB the corpus memberships
+    are the precomputed ANN index (stored partitioned by sketch prefix) and
+    this join is the partition-pruned probe.
+    """
+    from recsys_pipeline_spark.operators.dedup import sketch_memberships, sketch_planes
+
+    planes = sketch_planes(dim, bits=bits, tables=tables, seed=seed)
+    mem = sketch_memberships(emb, planes, id_col=id_col, vec_col=vec_col)
+    qmem = sketch_memberships(queries, planes, id_col=query_id, vec_col=query_vec).select(
+        "tbl", "sketch", F.col("_id").alias("_qid")
+    )
+    return (
+        mem.join(F.broadcast(qmem), ["tbl", "sketch"])
+        .select(F.col("_qid").alias(query_id), F.col("_id").alias(id_col), F.col("_v"))
+        .dropDuplicates([query_id, id_col])
+    )
+
+
+def ivf_sketch_candidates_multi(
+    emb: DataFrame,
+    queries: DataFrame,
+    cell_bits: int = 3,
+    n_probe: int = 4,
+    seed: int = 7,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-query IVF candidate sets under the deterministic coarse
+    quantizer: each query probes its ``n_probe`` Hamming-nearest cells
+    (ties by cell id), candidates = corpus vectors in a probed cell. The
+    (qid, cell) probe table is tiny (|queries| * n_probe rows, built from a
+    range(2^cell_bits) cross of the broadcast query cells) so the corpus
+    side again sees only a broadcast join on its partition key.
+    """
+    from recsys_pipeline_spark.operators.dedup import sketch_memberships, sketch_planes
+
+    planes = sketch_planes(dim, bits=cell_bits, tables=1, seed=seed)
+    mem = sketch_memberships(emb, planes, id_col=id_col, vec_col=vec_col)
+    qcells = sketch_memberships(queries, planes, id_col=query_id, vec_col=query_vec).select(
+        F.col("_id").alias("_qid"), F.col("sketch").alias("_qcell")
+    )
+    spark = emb.sparkSession
+    cells = spark.range(1 << cell_bits).select(F.col("id").alias("_cell"))
+    ranked = (
+        cells.crossJoin(F.broadcast(qcells))
+        .withColumn("_ham", F.bit_count(F.col("_cell").bitwiseXOR(F.col("_qcell"))))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_ham").asc(), F.col("_cell").asc())
+    probe = (
+        ranked.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_probe)
+        .select("_qid", "_cell")
+    )
+    return (
+        mem.join(F.broadcast(probe), mem["sketch"] == F.col("_cell"))
+        .select(F.col("_qid").alias(query_id), F.col("_id").alias(id_col), F.col("_v"))
+    )
+
+
+def rerank_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine rerank of per-query candidate sets (broadcast the query
+    vectors back in; one WindowGroupLimit per qid, map-side-limited)."""
+    scored = cand.join(F.broadcast(queries), query_id).select(
+        query_id, id_col, cosine(F.col("_v"), F.col(query_vec)).alias("cos")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
 def ann_ivf_sketch_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from recsys_pipeline_spark.io import read_table
 from recsys_pipeline_spark.operators import curation, text
+from recsys_pipeline_spark import queries_ext as _QX
 
 # DuckDB twin of operators/dedup.portable_hash64 over a salted key
 _H = "('0x' || substr(md5({salt} || ':' || CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
@@ -1369,9 +1370,15 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_curate": q_incremental_curate,
     "quantize_embeddings": q_quantize_embeddings,
     "url_dedup": q_url_dedup,
+    # round-10 additions (registered here so the recorded-50 window above
+    # stays stable; defined in queries_ext with the other ANN queries)
+    "ann_recall_report": _QX.q_ann_recall_report,
+    "quantized_ann_overlap": _QX.q_quantized_ann_overlap,
 }
 
 ORACLES_CUR: dict[str, str] = {
+    "ann_recall_report": _QX.SQL_ANN_RECALL_REPORT,
+    "quantized_ann_overlap": _QX.SQL_QUANTIZED_ANN_OVERLAP,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

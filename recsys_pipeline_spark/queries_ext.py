@@ -675,6 +675,196 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# ANN accuracy/cost report (round 10): recall@k of both deterministic sketch
+# paths vs exact brute force, per query vector — the measurable dial between
+# probe cost (candidate-set size) and accuracy that a 100 TB ANN deployment
+# tunes (reference analog: the ES num_candidates exactness knob,
+# online/readers/es_caller.py:43). Every stage is oracle-reproducible, so the
+# report itself is hash-checked, turning the tests-only recall gate into
+# driver-visible evidence.
+# ---------------------------------------------------------------------------
+
+_ANN_QIDS = [0, 7, 21, 42]
+
+
+def _ann_queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id").isin(_ANN_QIDS))
+        .select(
+            F.col("vec_id").cast("long").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        )
+    )
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 (integer ppm) + candidate-set size of the
+    multi-table hyperplane-LSH path (4 bits x 6 tables, seed 11 — the
+    ann_lsh_topk configuration) and the deterministic-IVF path (8 cells,
+    probe 4, seed 7 — the ann_ivf_topk configuration) against exact
+    brute-force cosine top-10. n_cand IS the cost axis: LSH scores only
+    bucket-mates, IVF only the probed half of the corpus, so
+    (n_cand, recall_ppm) rows are the accuracy/cost frontier."""
+    e = _emb(spark, sf_dir)
+    queries = _ann_queries_df(spark, sf_dir)
+    exact = similarity.topk_for_queries(queries, e, k=10).select("qid", "vec_id")
+
+    def method_report(cand: DataFrame, method: str) -> DataFrame:
+        topk = similarity.rerank_topk(cand, queries, k=10).select("qid", "vec_id")
+        hits = topk.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+            F.count(F.lit(1)).alias("_hits")
+        )
+        ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+        return ncand.join(hits, "qid", "left").select(
+            "qid",
+            F.lit(method).alias("method"),
+            "n_cand",
+            (F.coalesce(F.col("_hits"), F.lit(0)) * 100000).cast("long").alias("recall_ppm"),
+        )
+
+    lsh_cand = similarity.sketch_candidates_multi(e, queries, bits=4, tables=6, seed=11)
+    ivf_cand = similarity.ivf_sketch_candidates_multi(
+        e, queries, cell_bits=3, n_probe=4, seed=7
+    )
+    return method_report(lsh_cand, "lsh").unionByName(method_report(ivf_cand, "ivf"))
+
+
+_ANN_QIDS_SQL = ", ".join(str(q) for q in _ANN_QIDS)
+
+# per-query-row cosine (q is a CTE with qid/qvec; e aliases embeddings)
+_COS_MQ = (
+    "list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qvec), x -> x[1]*x[2]))"
+    " / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))"
+    " * sqrt(list_sum(list_transform(q.qvec, x -> x*x))))"
+)
+
+SQL_ANN_RECALL_REPORT = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN ({_ANN_QIDS_SQL})),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {_COS_MQ} DESC, e.vec_id) AS rk
+    FROM embeddings e, q) WHERE rk <= 10
+),
+mem_l AS ({_sketch_mem_sql(bits=4, tables=6, seed=11)}),
+qmem_l AS (SELECT tbl, sketch, vec_id AS qid FROM mem_l WHERE vec_id IN ({_ANN_QIDS_SQL})),
+cand_l AS (SELECT DISTINCT qm.qid, m.vec_id FROM mem_l m JOIN qmem_l qm USING (tbl, sketch)),
+mem_i AS ({_sketch_mem_sql(bits=3, tables=1, seed=7)}),
+qc AS (SELECT vec_id AS qid, sketch AS qcell FROM mem_i WHERE vec_id IN ({_ANN_QIDS_SQL})),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT qc.qid, t.c AS cell,
+           row_number() OVER (PARTITION BY qc.qid
+                              ORDER BY bit_count(xor(t.c, qc.qcell)), t.c) AS rk
+    FROM range(8) t(c), qc) WHERE rk <= 4
+),
+cand_i AS (SELECT p.qid, m.vec_id FROM mem_i m JOIN probe p ON m.sketch = p.cell),
+topk_l AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+           row_number() OVER (PARTITION BY c.qid ORDER BY {_COS_MQ} DESC, c.vec_id) AS rk
+    FROM cand_l c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid)
+  WHERE rk <= 10
+),
+topk_i AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+           row_number() OVER (PARTITION BY c.qid ORDER BY {_COS_MQ} DESC, c.vec_id) AS rk
+    FROM cand_i c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid)
+  WHERE rk <= 10
+),
+report_l AS (
+  SELECT n.qid, 'lsh' AS method, n.n_cand,
+         CAST(COALESCE(h.hits, 0) * 100000 AS BIGINT) AS recall_ppm
+  FROM (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand_l GROUP BY qid) n
+  LEFT JOIN (SELECT t.qid, COUNT(*) AS hits FROM topk_l t JOIN exact x
+             ON t.qid = x.qid AND t.vec_id = x.vec_id GROUP BY t.qid) h ON n.qid = h.qid
+),
+report_i AS (
+  SELECT n.qid, 'ivf' AS method, n.n_cand,
+         CAST(COALESCE(h.hits, 0) * 100000 AS BIGINT) AS recall_ppm
+  FROM (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand_i GROUP BY qid) n
+  LEFT JOIN (SELECT t.qid, COUNT(*) AS hits FROM topk_i t JOIN exact x
+             ON t.qid = x.qid AND t.vec_id = x.vec_id GROUP BY t.qid) h ON n.qid = h.qid
+)
+SELECT * FROM report_l UNION ALL SELECT * FROM report_i
+"""
+
+
+def q_quantized_ann_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured ranking cost of the 4x storage cut: exact cosine top-10
+    per query over the int8-RECONSTRUCTED corpus (q_i * scale / 127, the
+    quantize_embeddings codes) vs over the fp corpus, reported as overlap@10
+    per query (integer ppm). The query vector stays fp — the deployment
+    shape: queries arrive full-precision, only the sharded index is
+    quantized. Reconstruction arithmetic is the same explicit-double op
+    sequence both engines execute, so the report hash-matches."""
+    e = _emb(spark, sf_dir)
+    queries = _ann_queries_df(spark, sf_dir)
+    x_abs = F.transform("embedding", lambda x: F.abs(x))
+    with_scale = e.select(
+        "vec_id", "embedding", F.array_max(x_abs).cast("double").alias("scale")
+    ).filter(F.col("scale") > 0)
+    sc = F.col("scale")
+    recon = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / sc * 127 + F.lit(0.5)).cast("double") * sc / 127,
+    )
+    recon_corpus = with_scale.select("vec_id", recon.alias("recon"))
+    fp_topk = similarity.topk_for_queries(queries, e, k=10).select("qid", "vec_id")
+    q_topk = similarity.topk_for_queries(
+        queries, recon_corpus, k=10, vec_col="recon"
+    ).select("qid", "vec_id")
+    hits = fp_topk.join(q_topk, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    return queries.select("qid").join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("overlap10"),
+        (F.coalesce(F.col("_hits"), F.lit(0)) * 100000).cast("long").alias("overlap_ppm"),
+    )
+
+
+_COS_MQ_RECON = (
+    "list_sum(list_transform(list_zip(r.recon, q.qvec), x -> x[1]*x[2]))"
+    " / (sqrt(list_sum(list_transform(r.recon, x -> x*x)))"
+    " * sqrt(list_sum(list_transform(q.qvec, x -> x*x))))"
+)
+
+SQL_QUANTIZED_ANN_OVERLAP = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN ({_ANN_QIDS_SQL})),
+s AS (SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+      FROM embeddings),
+r AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS DOUBLE) * scale / 127)
+               AS recon
+      FROM s WHERE scale > 0),
+fp_topk AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {_COS_MQ} DESC, e.vec_id) AS rk
+    FROM embeddings e, q) WHERE rk <= 10
+),
+q_topk AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, r.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {_COS_MQ_RECON} DESC, r.vec_id) AS rk
+    FROM r, q) WHERE rk <= 10
+),
+hits AS (SELECT f.qid, COUNT(*) AS h FROM fp_topk f JOIN q_topk t
+         ON f.qid = t.qid AND f.vec_id = t.vec_id GROUP BY f.qid)
+SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS overlap10,
+       CAST(COALESCE(h.h, 0) * 100000 AS BIGINT) AS overlap_ppm
+FROM q LEFT JOIN hits h ON q.qid = h.qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skew-proof aggregation (salted two-stage) — value-identical to plain GROUP BY
 # ---------------------------------------------------------------------------
 

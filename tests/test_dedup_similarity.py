@@ -391,3 +391,76 @@ def test_multimodal_real_decode_with_pil(spark):
     assert len(f) == multimodal.FEATURE_DIM
     assert (f[0], f[1]) == (4.0, 2.0)  # width, height from the real decode
     assert abs(f[3] - 1.0) < 1e-9 and abs(f[4]) < 1e-9  # solid red
+
+
+# ---------------------------------------------------------------------------
+# Multi-query ANN (round 10): candidate generators, recall report, int8 overlap
+# ---------------------------------------------------------------------------
+
+def _queries_df(emb, qids):
+    return emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("long").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+
+
+def test_multi_query_lsh_matches_single_query_path(emb):
+    """sketch_candidates_multi + rerank for ONE query must return exactly the
+    ids ann_sketch_topk (the driver-side single-query path) returns under the
+    same (bits, tables, seed) — the multi-query join is a re-plumbing, not a
+    re-definition."""
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    single = [r["vec_id"] for r in similarity.ann_sketch_topk(
+        emb, q, k=10, bits=4, tables=6, seed=11).collect()]
+    cand = similarity.sketch_candidates_multi(
+        emb, _queries_df(emb, [0]), bits=4, tables=6, seed=11)
+    multi = [r["vec_id"] for r in similarity.rerank_topk(
+        cand, _queries_df(emb, [0]), k=10).orderBy(F.col("cos").desc(), "vec_id").collect()]
+    assert multi == single
+
+
+def test_multi_query_ivf_matches_single_query_path(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    single = [r["vec_id"] for r in similarity.ann_ivf_sketch_topk(
+        emb, q, k=10, cell_bits=3, n_probe=4, seed=7).collect()]
+    cand = similarity.ivf_sketch_candidates_multi(
+        emb, _queries_df(emb, [0]), cell_bits=3, n_probe=4, seed=7)
+    multi = [r["vec_id"] for r in similarity.rerank_topk(
+        cand, _queries_df(emb, [0]), k=10).orderBy(F.col("cos").desc(), "vec_id").collect()]
+    assert multi == single
+
+
+def test_ann_recall_report_invariants(spark):
+    """Both methods always recall the query itself (it shares its own bucket /
+    its own cell is Hamming-0, and cos(q,q)=1 ranks first), so recall_ppm >=
+    100000; IVF probes 4/8 cells so its candidate set is corpus-scale while
+    LSH's is bucket-scale."""
+    from recsys_pipeline_spark.queries_ext import q_ann_recall_report
+
+    rows = q_ann_recall_report(spark, SF).collect()
+    assert len(rows) == 8  # 4 qids x 2 methods
+    n_corpus = 500
+    for r in rows:
+        assert 100000 <= r["recall_ppm"] <= 1000000
+        assert r["recall_ppm"] % 100000 == 0
+        assert 1 <= r["n_cand"] <= n_corpus
+    lsh = {r["qid"]: r for r in rows if r["method"] == "lsh"}
+    ivf = {r["qid"]: r for r in rows if r["method"] == "ivf"}
+    assert set(lsh) == set(ivf) == {0, 7, 21, 42}
+    # the cost axis is real: IVF candidates ~ n_probe/2^bits of the corpus
+    for qid in ivf:
+        assert ivf[qid]["n_cand"] >= n_corpus // 4
+
+
+def test_quantized_ann_overlap_tolerance(spark):
+    """int8 reconstruction must keep >= 8 of the exact top-10 per query at
+    this corpus (measured 9-10/10 at sf0.01) — the executable form of the
+    quantize_embeddings docstring's '4x storage at negligible ranking cost'
+    claim."""
+    from recsys_pipeline_spark.queries_ext import q_quantized_ann_overlap
+
+    rows = q_quantized_ann_overlap(spark, SF).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["overlap10"] >= 8, (r["qid"], r["overlap10"])
+        assert r["overlap_ppm"] == r["overlap10"] * 100000
