@@ -35,6 +35,15 @@ Semantics vs the batch twins (documented, asserted in tests):
   function, so top-k(reservoir ∪ batch) == top-k(prefix) and the final
   reservoir equals the batch operator on the whole corpus regardless of
   batching.
+* ``incremental_curate_stream`` consumes document UPSERTS: state = each
+  doc's latest 32-byte content fingerprint; only fingerprint-changed/new
+  docs run the gate+chunk hygiene stage (the batch composite per epoch).
+
+State is bounded and mergeable everywhere (round-10 migration): counter
+deltas (tokenize/LM/boilerplate: one grouped SUM to merge), append-once
+set deltas (decontaminate eval grams, boilerplate roster: plain union, no
+distinct), latest-per-key rows (incremental-curate digests), or full ≤k
+snapshots (weighted reservoir) — never per-epoch dumps of raw corpus rows.
 
 Scale: state lives in partitioned parquet keyed by the join key — the
 per-batch work is one broadcast-or-shuffle join against it; nothing
@@ -150,6 +159,150 @@ def compact_state(spark, path: str, before_epoch: int) -> None:
     compacted.write.mode("overwrite").partitionBy("_epoch").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def compact_latest_state(spark, path: str, key_cols: list[str], before_epoch: int) -> None:
+    """Compaction for LAST-WRITE-WINS state tables (e.g. the incremental-
+    curation digest table, where each key's newest row is the truth).
+    ``compact_state`` is only safe for SET/COUNTER state: it relabels every
+    old partition to ``_epoch=-1``, so two generations of the same key would
+    land in the base with their order erased. This variant folds epochs
+    below the horizon into the base keeping ONLY each key's newest row
+    (ties impossible: a key writes at most once per epoch), so the reader's
+    max-epoch-per-key rule selects identically before and after
+    (equivalence asserted in tests). Same clamp rule as compact_state: the
+    newest epoch present may be an uncommitted first attempt and is never
+    folded.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    newest = df.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
+    horizon = min(before_epoch, newest if newest is not None else before_epoch)
+    old = df.filter(F.col("_epoch") < horizon)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_epoch").desc())
+    base = (
+        old.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("_epoch", F.lit(BASE_EPOCH))
+    )
+    keep = df.filter(F.col("_epoch") >= horizon)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    base.unionByName(keep).write.mode("overwrite").partitionBy("_epoch").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def incremental_curate_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    content_cols: list[str],
+    out_dir: str,
+    fp_dir: str,
+    *,
+    min_tokens: int,
+    max_tokens: int,
+    min_mtl_x100: int,
+    max_mtl_x100: int,
+    dup3_ppm_max: int,
+    chunk_tokens: int,
+    chunk_overlap: int,
+) -> None:
+    """The daily-crawl consumer of the incremental-curation composite: the
+    stream delivers document UPSERTS; state = each document's latest content
+    fingerprint (snapshot_diff's md5-of-per-column-md5s discipline, 32 bytes
+    per key). Per micro-batch, every document is diffed against its stored
+    fingerprint — ``added`` (never seen), ``changed`` (fingerprint differs)
+    or unchanged (dropped, no output) — and ONLY the added/changed docs run
+    the hygiene stage (quality gate + context-window chunking), emitting the
+    batch composite's per-delta report (id, status, keep, n_chunks).
+
+    Parity (asserted in tests): an epoch's output equals the batch operators
+    composed on (prefix-before, prefix-after-upserting-this-batch),
+    restricted to the batch's documents — ``removed`` cannot occur in an
+    upsert stream (no tombstones), which is the one status the batch
+    snapshot_diff can emit that this twin cannot. Gate/chunk expressions are
+    the batch operators' own, so verdicts cannot diverge.
+
+    State discipline: the fingerprint table stores per-epoch DELTAS (only
+    added/changed keys write), read back as latest-row-per-key below the
+    current epoch — churn-sized writes, and the read moves keys + 32-byte
+    digests, never payloads. Compaction = ``compact_latest_state`` (NOT
+    ``compact_state``: last-write-wins state must keep per-key order, see
+    its docstring). Batches are assumed key-unique (one upsert per doc per
+    micro-batch — the CDC contract).
+    """
+    from recsys_pipeline_spark.operators.curation import chunk_documents, quality_gate
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("-")).otherwise(F.md5(F.col(c).cast("string")))
+            for c in content_cols
+        ]
+        fps = batch.select(F.col(id_col), F.md5(F.concat(*parts)).alias("_fp"))
+        table = _read_parquet_or_empty(spark, fp_dir, fps)
+        if table is None:
+            prior = spark.createDataFrame([], fps.schema)
+        else:
+            hist = table.filter(F.col("_epoch") < epoch_id)
+            w = Window.partitionBy(id_col).orderBy(F.col("_epoch").desc())
+            prior = (
+                hist.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(id_col, "_fp")
+            )
+        status = (
+            fps.join(prior.withColumnRenamed("_fp", "_fp_prior"), id_col, "left")
+            .select(
+                id_col,
+                "_fp",
+                F.when(F.col("_fp_prior").isNull(), F.lit("added"))
+                .when(F.col("_fp") != F.col("_fp_prior"), F.lit("changed"))
+                .otherwise(F.lit("unchanged"))
+                .alias("status"),
+            )
+        )
+        delta_keys = status.filter(F.col("status") != "unchanged")
+        delta = batch.join(delta_keys.select(id_col, "status"), id_col).localCheckpoint(
+            eager=False
+        )  # feeds gate + chunk + report
+        gate = quality_gate(
+            delta,
+            id_col,
+            text_col,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            min_mtl_x100=min_mtl_x100,
+            max_mtl_x100=max_mtl_x100,
+            dup3_ppm_max=dup3_ppm_max,
+        ).select(id_col, "keep")
+        kept = delta.join(gate.filter(F.col("keep") == 1), id_col).select(id_col, text_col)
+        n_chunks = (
+            chunk_documents(kept, id_col, text_col, chunk_tokens, chunk_overlap)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"))
+        )
+        report = (
+            delta.select(id_col, "status")
+            .join(gate, id_col)
+            .join(n_chunks, id_col, "left")
+            .select(
+                id_col,
+                "status",
+                "keep",
+                F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            )
+        )
+        _write_epoch(report, out_dir, epoch_id)
+        _write_epoch(delta_keys.select(id_col, "_fp"), fp_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
 
 
 def cap_per_group_stream(
@@ -300,10 +453,17 @@ def boilerplate_stream(
     gram's df ratio moves both ways as the corpus grows, which is the
     honest online semantics of a threshold on corpus statistics.
 
-    Production note: the triple state here is the exploded raw form for
-    parity-testability; a long-lived stream compacts it to (group, gram,
-    doc_count) + (group, doc_count) delta counters (sum-mergeable), an
-    order-of-magnitude smaller state table with the same join shape.
+    State shape (migrated round 10 from raw (id, group, gram) triples —
+    the production form this docstring used to only name): per-epoch
+    (group, gram, _df) DELTA COUNTERS, sum-mergeable and bounded by the
+    distinct-gram vocabulary instead of corpus size, plus an append-once
+    (id, group) roster (set-deltas: a doc id writes in exactly one epoch).
+    Only docs NOT already in the roster contribute counters —
+    first-ingest-wins, which reproduces the old triple-distinct exactly for
+    identical re-crawls (the pinned regression) and assigns a CHANGED
+    re-crawl's statistics to its first version; content-changing re-crawls
+    belong upstream in the incremental_curate twin's fingerprint diff.
+    Merging state is one grouped SUM; nothing re-reads raw documents.
     """
     from recsys_pipeline_spark.operators.curation import word_gram_rows
 
@@ -312,28 +472,32 @@ def boilerplate_stream(
         batch_triples = (
             word_gram_rows(batch, id_col, text_col, n, group_col=group_col)
             .distinct()
-            .localCheckpoint(eager=False)  # feeds state append + both joins
+            .localCheckpoint(eager=False)  # feeds the counter delta + both joins
         )
         batch_docs = batch.select(id_col, group_col).distinct()
-        # distinct over state ∪ batch: a re-ingested document (same id in a
-        # later epoch — a re-crawled page) must not double-count its grams'
-        # doc-frequency, exactly as the batch operator's distinct collapses
-        # repeated rows (review finding, round 9)
-        triples = (
-            _read_state(spark, gram_dir, batch_triples, epoch_id)
-            .union(batch_triples)
-            .distinct()
+        roster_prior = _read_state(spark, docs_dir, batch_docs, epoch_id)
+        # first-ingest-wins: a re-ingested id (re-crawled page) must not
+        # double-count its grams' doc-frequency (review finding, round 9)
+        new_docs = batch_docs.join(
+            roster_prior.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=False)  # feeds the delta filter + roster append
+        delta_counts = (
+            batch_triples.join(new_docs.select(id_col), id_col)
+            .groupBy(group_col, "gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
         )
-        docs_all = _read_state(spark, docs_dir, batch_docs, epoch_id).union(
-            batch_docs
+        merged_counts = (
+            _read_state(spark, gram_dir, delta_counts, epoch_id)
+            .unionByName(delta_counts)
+            .groupBy(group_col, "gram")
+            .agg(F.sum("_df").alias("_df"))
         )
+        docs_all = roster_prior.union(new_docs)
         group_sizes = docs_all.groupBy(group_col).agg(
-            F.count_distinct(id_col).alias("_n_docs")
+            F.count(F.lit(1)).alias("_n_docs")  # roster ids are append-once
         )
         boiler = (
-            triples.groupBy(group_col, "gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .join(group_sizes, group_col)
+            merged_counts.join(group_sizes, group_col)
             .filter(F.col("_df") * 100 >= F.lit(share_pct) * F.col("_n_docs"))
             .select(group_col, "gram")
         )
@@ -349,8 +513,8 @@ def boilerplate_stream(
             id_col, group_col, "n_grams", "n_boiler"
         )
         _write_epoch(flags, out_dir, epoch_id)
-        _write_epoch(batch_triples, gram_dir, epoch_id)
-        _write_epoch(batch_docs, docs_dir, epoch_id)
+        _write_epoch(delta_counts, gram_dir, epoch_id)
+        _write_epoch(new_docs, docs_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
@@ -373,6 +537,16 @@ def decontaminate_stream(
     the truth available at ingestion time). Emits (id, n_hits) per flagged
     doc. The gram extraction, eval designation, and hit counting are the
     batch operator's expressions, so one micro-batch == the batch result.
+
+    State shape (migrated round 10 from per-epoch raw gram dumps): each
+    eval gram is written in exactly ONE epoch — the epoch that first saw it
+    (per-epoch delta = batch grams anti-joined against the accumulated set).
+    The union of epoch partitions is therefore duplicate-free by
+    construction: state size is the distinct eval-gram vocabulary, not
+    O(epochs x grams), merging is a plain union with no distinct, and
+    compact_state folds partitions without a dedup pass. Set membership is
+    epoch-order-independent, so a replayed epoch re-derives the identical
+    delta (it reads only state strictly before itself).
     """
     from recsys_pipeline_spark.operators.curation import word_gram_rows
 
@@ -383,11 +557,9 @@ def decontaminate_stream(
         )  # feeds the eval append AND the flag join
         is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
         batch_eval = grams.filter(is_eval).select("gram").distinct()
-        eval_grams = (
-            _read_state(spark, gram_dir, batch_eval, epoch_id)
-            .union(batch_eval)
-            .distinct()
-        )
+        prior = _read_state(spark, gram_dir, batch_eval, epoch_id)
+        new_eval = batch_eval.join(prior, "gram", "left_anti")
+        eval_grams = prior.union(new_eval)
         flags = (
             grams.filter(~is_eval)
             .join(eval_grams, "gram")
@@ -395,7 +567,7 @@ def decontaminate_stream(
             .agg(F.count_distinct("gram").alias("n_hits"))
         )
         _write_epoch(flags, out_dir, epoch_id)
-        _write_epoch(batch_eval, gram_dir, epoch_id)
+        _write_epoch(new_eval, gram_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 

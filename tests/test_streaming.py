@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from recsys_pipeline_spark.io import read_table
@@ -941,3 +942,112 @@ def test_streaming_url_dedup_admits_first_per_canonical_key(spark, tmp_path):
             assert keeper == wins0[key], (key, keeper)
     assert any(k not in wins0 for k in rows)  # odd-only keys exist and admit
     admitted.unpersist()
+
+
+def test_streaming_incremental_curate_matches_batch_on_prefix(spark, tmp_path):
+    """Each epoch's report must equal the batch composite (snapshot_diff +
+    quality_gate + chunk_documents) applied to (prefix-before, prefix-after-
+    this-batch), restricted to the batch's docs: re-sent identical docs emit
+    nothing, changed docs re-gate/re-chunk, new docs arrive as 'added'. The
+    digest state folds via compact_latest_state with identical reads."""
+    from recsys_pipeline_spark.operators.curation import (
+        chunk_documents,
+        quality_gate,
+        snapshot_diff,
+    )
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    did = F.col("doc_id")
+    b0 = docs.filter(did % 5 != 0)
+    b1 = (
+        docs.filter(did % 10 == 1)  # changed
+        .select("doc_id", F.concat("text", F.lit(" rev2")).alias("text"), "lang")
+        .unionByName(docs.filter(did % 10 == 2))  # re-sent identical -> no output
+        .unionByName(docs.filter(did % 5 == 0))  # added
+    )
+    src = str(tmp_path / "ic_src")
+    b0.coalesce(1).write.parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out, fpd = str(tmp_path / "ic_out"), str(tmp_path / "ic_fp")
+    GATE = dict(
+        min_tokens=25, max_tokens=90, min_mtl_x100=380, max_mtl_x100=520,
+        dup3_ppm_max=20000,
+    )
+    cs.incremental_curate_stream(
+        stream, "doc_id", "text", ["text", "lang"], out, fpd,
+        chunk_tokens=64, chunk_overlap=16, **GATE,
+    )
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in got_all.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    by_epoch = {
+        e: {r["doc_id"] for r in got_all.filter(F.col("_epoch") == e).collect()}
+        for e in epochs
+    }
+    e0 = next(e for e, ids in by_epoch.items() if all(i % 5 != 0 for i in ids))
+    e1 = next(e for e in epochs if e != e0)
+
+    def snap(e):
+        return {
+            (r["doc_id"], r["status"], r["keep"], r["n_chunks"])
+            for r in got_all.filter(F.col("_epoch") == e).collect()
+        }
+
+    def batch_report(delta_docs):
+        gate = quality_gate(delta_docs, "doc_id", "text", **GATE).select("doc_id", "keep")
+        kept = delta_docs.join(gate.filter(F.col("keep") == 1), "doc_id").select(
+            "doc_id", "text"
+        )
+        nch = (
+            chunk_documents(kept, "doc_id", "text", 64, 16)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"))
+        )
+        return {
+            (r["doc_id"], r["status"], r["keep"], r["n_chunks"])
+            for r in delta_docs.select("doc_id", "status")
+            .join(gate, "doc_id")
+            .join(nch, "doc_id", "left")
+            .select(
+                "doc_id", "status", "keep",
+                F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            )
+            .collect()
+        }
+
+    # epoch 0: empty prefix -> everything added
+    exp0 = batch_report(b0.withColumn("status", F.lit("added")))
+    assert snap(e0) == exp0 and len(exp0) > 0
+    # epoch 1: statuses from the batch snapshot_diff on (b0, b0 upserted by b1)
+    merged = b1.unionByName(b0.join(b1.select("doc_id"), "doc_id", "left_anti"))
+    diff = snapshot_diff(b0, merged, "doc_id", ["text", "lang"]).filter(
+        F.col("status") != "removed"
+    )
+    delta1 = b1.join(diff, "doc_id")
+    exp1 = batch_report(delta1)
+    assert snap(e1) == exp1 and len(exp1) > 0
+    # the re-sent identical docs emitted nothing
+    assert not any(i % 10 == 2 and i % 5 != 0 for i in by_epoch[e1])
+    got_all.unpersist()
+
+    # compact_latest_state: latest-fingerprint-per-key reads are equivalent
+    def latest_fp():
+        t = spark.read.parquet(fpd)
+        w = Window.partitionBy("doc_id").orderBy(F.col("_epoch").desc())
+        return {
+            (r["doc_id"], r["_fp"])
+            for r in t.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("doc_id", "_fp")
+            .collect()
+        }
+
+    before = latest_fp()
+    cs.compact_latest_state(spark, fpd, ["doc_id"], before_epoch=10**6)
+    assert latest_fp() == before and len(before) > 0
