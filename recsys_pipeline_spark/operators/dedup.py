@@ -672,3 +672,80 @@ def embedding_near_dup_pairs_sketch(
     # the same pair may surface from several tables; cosines are bit-identical
     # (same kernel, same operand order), so min == the value
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
+
+
+def dup_span_coverage(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-SPAN coverage: for every document, how many
+    of its token positions are covered by a word ``n``-gram that also occurs
+    in at least one OTHER document — the per-document "duplicate text
+    fraction" signal of suffix-array training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), expressed
+    over fixed-length spans so it stays pure relational algebra. Emits
+    (id, n_tokens, covered_tokens, coverage_ppm) for every document;
+    callers drop or trim docs above a coverage threshold.
+
+    Distinct from ``doc_repetition`` (WITHIN-doc repeated grams) and from
+    the pair-level dedups (MinHash/Jaccard flag whole near-dup documents):
+    this measures how much of each doc is boilerplate-shared text even when
+    the doc as a whole is unique.
+
+    Scale: one tokenize+explode pass mines (id, position, gram); the gram
+    document-frequency aggregates map-side partially after an (id, gram)
+    distinct; duplicated occurrences re-join co-keyed on the gram (the df
+    side is distinct-gram-sized — AQE decides broadcast vs shuffle); the
+    interval union is a bounded explode (n rows per duplicated occurrence)
+    followed by one distinct+count per doc. No collect, no UDF, no
+    cartesian; every exchange is keyed on gram or id.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    t = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=False)  # consumers: occurrence mining + per-doc sizes
+    n_tok = F.size("toks")
+    occ = (
+        t.select(
+            id_col,
+            "toks",
+            F.explode(
+                F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            "i",
+            F.concat_ws(
+                " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=False)  # consumers: df aggregate + coverage join
+    )
+    gram_df = (
+        occ.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    dup = gram_df.filter(F.col("_df") >= 2).select("gram")
+    covered = (
+        occ.join(dup, "gram")
+        .select(id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_covered"))
+    )
+    base = t.select(id_col, n_tok.cast("long").alias("n_tokens"))
+    cov = F.coalesce(F.col("_covered"), F.lit(0)).cast("long")
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        cov.alias("covered_tokens"),
+        F.when(F.col("n_tokens") > 0, F.floor(cov * 1000000 / F.col("n_tokens")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

@@ -1335,6 +1335,144 @@ FROM scored GROUP BY 1
 # quality-weighting step) into the slots freed by deferring in-window
 # redundancies (see __spark_entry__._DEFERRED). The rest sit past the
 # window, pinned by tests/test_oracle_parity.py.
+# ---------------------------------------------------------------------------
+# Round-10 corpus operators: cross-doc duplicate-span coverage + BM25 retrieval
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 8  # span length in words (Lee et al. 2021 use 50 BPE tokens at
+# web scale; 8 words keeps the signal non-degenerate on this corpus: 1015 of
+# 22.6k grams are cross-doc duplicated at sf0.01)
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-span coverage (tokens covered by 8-grams that
+    occur in >=2 docs, as ppm) — the span-level dedup signal; see
+    operators/dedup.dup_span_coverage for semantics and the scale plan."""
+    from recsys_pipeline_spark.operators.dedup import dup_span_coverage
+
+    d = read_table(spark, sf_dir, "documents")
+    return dup_span_coverage(d, "doc_id", "text", n=DUP_SPAN_N)
+
+
+SQL_DUP_SPAN_COVERAGE = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, i, array_to_string(toks[i : i + {DUP_SPAN_N - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {DUP_SPAN_N - 1}, 0) + 1)) u(i)
+),
+gdf AS (SELECT gram, count(DISTINCT doc_id) AS d FROM occ GROUP BY gram),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos) AS covered FROM (
+    SELECT o.doc_id, u.pos
+    FROM occ o JOIN gdf ON o.gram = gdf.gram AND gdf.d >= 2,
+         unnest(range(o.i, o.i + {DUP_SPAN_N})) u(pos)
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(CASE WHEN len(toks) > 0
+                 THEN floor(COALESCE(cov.covered, 0) * 1000000 / len(toks))
+                 ELSE 0 END AS BIGINT) AS coverage_ppm
+FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+"""
+
+
+BM25_TERMS = ("spark", "vector", "dup")  # df spread at sf0.01: 385/382/25
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 over the documents table for a fixed 3-term query — the
+    lexical-retrieval scorer (the reference's term-recall channel ranks by
+    ES's BM25, online/readers/es_caller.py; here the scoring itself is
+    re-expressed as relational algebra so it is engine-checkable).
+
+    Float discipline: idf uses ln() (not correctly rounded by IEEE; engines
+    may differ in the last ulp), so the score is round()ed to 6 dp like
+    tfidf_doc_terms, and BOTH engines order by the ROUNDED score with doc_id
+    tiebreak. Per-doc summation over query terms is a FIXED-ORDER sum of
+    per-term conditional aggregates (each (doc, term) contributes exactly
+    one row), so no nondeterministic double reduction exists anywhere.
+
+    Scale: one tokenize pass, terms filtered to the query's BEFORE the tf
+    aggregate (the exploded stream never shuffles unmatched terms); df and
+    the corpus stats are broadcast scalar/K-row frames; one exchange for the
+    per-doc tf aggregate, one map-side-limited TakeOrdered for the top-k.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).localCheckpoint(
+        eager=False
+    )  # consumers: dl, corpus stats, term stream
+    dl = t.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = t.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("_tot"),
+    )
+    term_rows = t.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(list(BM25_TERMS))
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    avgdl = F.col("_tot") / F.col("_n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf") + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("_s"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == term, F.col("_s"))).alias(f"_s{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return (
+        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+SQL_BM25_TOPK = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              CAST(SUM(len(toks)) AS DOUBLE) AS tot FROM t),
+tr AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tr
+       WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term),
+gdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n_docs - gdf.df + 0.5) / (gdf.df + 0.5))
+         * (tf.tf * {BM25_K1 + 1.0!r}) / (tf.tf + {BM25_K1!r} *
+            ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / (st.tot / st.n_docs))) AS s
+  FROM tf JOIN gdf USING (term) JOIN dl USING (doc_id), st
+),
+agg AS (
+  SELECT doc_id,
+         {" + ".join(f"COALESCE(SUM(s) FILTER (WHERE term = '{t}'), 0.0)" for t in BM25_TERMS)} AS score
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25 FROM agg
+ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "negative_sample": q_negative_sample,
@@ -1374,11 +1512,15 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stays stable; defined in queries_ext with the other ANN queries)
     "ann_recall_report": _QX.q_ann_recall_report,
     "quantized_ann_overlap": _QX.q_quantized_ann_overlap,
+    "dup_span_coverage": q_dup_span_coverage,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES_CUR: dict[str, str] = {
     "ann_recall_report": _QX.SQL_ANN_RECALL_REPORT,
     "quantized_ann_overlap": _QX.SQL_QUANTIZED_ANN_OVERLAP,
+    "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
+    "bm25_topk": SQL_BM25_TOPK,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

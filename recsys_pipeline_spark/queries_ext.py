@@ -708,9 +708,17 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_cand, recall_ppm) rows are the accuracy/cost frontier."""
     e = _emb(spark, sf_dir)
     queries = _ann_queries_df(spark, sf_dir)
-    exact = similarity.topk_for_queries(queries, e, k=10).select("qid", "vec_id")
+    # exact feeds both methods' hit joins; each cand feeds its n_cand count
+    # AND its rerank (the membership mapInPandas pass must not run twice) —
+    # materialize once, lazily (2 consumers each; staging tables on a cluster)
+    exact = (
+        similarity.topk_for_queries(queries, e, k=10)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=False)
+    )
 
     def method_report(cand: DataFrame, method: str) -> DataFrame:
+        cand = cand.localCheckpoint(eager=False)
         topk = similarity.rerank_topk(cand, queries, k=10).select("qid", "vec_id")
         hits = topk.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
             F.count(F.lit(1)).alias("_hits")

@@ -707,3 +707,39 @@ def test_canonical_url_collapses_known_aliases(spark):
     out = QC.q_url_dedup(spark, SF).collect()
     assert sum(1 for r in out if r["n_docs"] > 1) > 0
     assert sum(r["n_docs"] for r in out) == 500  # every doc in exactly one group
+
+
+def test_bm25_planted_ordering(spark):
+    """BM25 sanity on planted docs: a doc matching the rare query term plus
+    repeats of a common one outranks a doc with a single common-term hit;
+    docs with no query term never appear; idf orders rare > common for
+    equal tf and dl."""
+    from recsys_pipeline_spark.queries_curation import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        q_bm25_topk,
+    )
+
+    assert BM25_K1 == 1.2 and BM25_B == 0.75 and len(BM25_TERMS) == 3
+    out = q_bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(out) <= 20
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # 'dup' is the rare term (df 25 of 500): every doc containing it should
+    # outrank any doc scoring on common terms alone at comparable tf/dl --
+    # check the top doc actually contains a query term at all (join back)
+    from pyspark.sql import functions as F
+
+    from recsys_pipeline_spark.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    top_ids = [r["doc_id"] for r in out]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(top_ids)).collect()
+    }
+    assert all(any(t in texts[i].split() for t in BM25_TERMS) for i in top_ids)
+    # the rare term dominates: every top-5 doc contains 'dup'
+    assert all("dup" in texts[i].split() for i in top_ids[:5])

@@ -464,3 +464,56 @@ def test_quantized_ann_overlap_tolerance(spark):
     for r in rows:
         assert r["overlap10"] >= 8, (r["qid"], r["overlap10"])
         assert r["overlap_ppm"] == r["overlap10"] * 100000
+
+
+def test_dup_span_coverage_planted(spark):
+    """Two docs share an exact 8-token span inside otherwise-unique text:
+    exactly the span's positions count as covered in both; a doc with no
+    cross-doc 8-gram stays at 0; a short doc (<8 tokens) yields no grams."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {span} four five six"),       # 14 tokens, cover 8
+        (2, f"seven eight {span} nine ten eleven twelve"), # 14 tokens, cover 8
+        (3, "totally unique words nothing shared here at all ok"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["coverage_ppm"])
+        for r in dedup.dup_span_coverage(docs, "doc_id", "text", n=8).collect()
+    }
+    assert got[1] == (14, 8, 571428)  # floor(8e6/14)
+    assert got[2] == (14, 8, 571428)
+    assert got[3] == (9, 0, 0)
+    assert got[4] == (2, 0, 0)
+
+
+def test_dup_span_coverage_overlapping_spans_union(spark):
+    """Two duplicated grams overlapping by 7 tokens must cover the UNION of
+    their positions (9 tokens), not 16 — the interval-union semantics."""
+    nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"  # 9 tokens -> two overlapping 8-grams
+    rows = [
+        (1, f"{nine} filler1 filler2"),
+        (2, f"prefix1 prefix2 {nine}"),
+        (3, "unrelated content entirely different from everything else here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in dedup.dup_span_coverage(docs, "doc_id", "text", n=8).collect()
+    }
+    assert got[1] == 9 and got[2] == 9 and got[3] == 0
+
+
+def test_dup_span_coverage_nondegenerate_on_corpus(spark):
+    """The synthetic corpus plants cross-doc duplicate spans: some docs must
+    show nonzero coverage and no doc exceeds 1e6 ppm."""
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.operators.dedup import dup_span_coverage
+
+    d = read_table(spark, SF, "documents")
+    rows = dup_span_coverage(d, "doc_id", "text", n=8).collect()
+    assert len(rows) == 500
+    covered = [r for r in rows if r["covered_tokens"] > 0]
+    assert len(covered) > 0
+    assert all(0 <= r["coverage_ppm"] <= 1000000 for r in rows)
