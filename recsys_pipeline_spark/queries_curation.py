@@ -1514,6 +1514,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_ann_overlap": _QX.q_quantized_ann_overlap,
     "dup_span_coverage": q_dup_span_coverage,
     "bm25_topk": q_bm25_topk,
+    "semdedup_survivors": _QX.q_semdedup_survivors,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1521,6 +1522,7 @@ ORACLES_CUR: dict[str, str] = {
     "quantized_ann_overlap": _QX.SQL_QUANTIZED_ANN_OVERLAP,
     "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
     "bm25_topk": SQL_BM25_TOPK,
+    "semdedup_survivors": _QX.SQL_SEMDEDUP_SURVIVORS,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -674,6 +674,42 @@ FROM documents GROUP BY 1
 """
 
 
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication INSIDE embedding
+    clusters — quantize the corpus into deterministic sketch cells (the IVF
+    coarse cells, 8 of them), score exact cosine only within a cell, and
+    drop every vector that has a smaller-id neighbor above the threshold
+    (keep-smallest, the dedup_survivors rule). Threshold 0.3 matches the
+    corpus's wide angles (same rationale as embedding_near_dup); the paper
+    uses ~0.95+ on web-scale CLIP/text embeddings where near-dups are tight.
+
+    Scale: identical to the near-dup sketch path — candidate work is
+    sum(cell²), never n²; the cell is the partition key at 100 TB, so each
+    cell dedups independently (the paper's per-cluster independence is
+    exactly what makes this embarrassingly parallel). The survivor
+    anti-join is one exchange on the id.
+    """
+    e = _emb(spark, sf_dir)
+    pairs = dedup.embedding_near_dup_pairs_sketch(
+        e, threshold=0.3, bits=3, tables=1, seed=7, dim=64
+    )
+    return dedup.dedup_survivors(e.select("vec_id", "label"), pairs, "vec_id")
+
+
+SQL_SEMDEDUP_SURVIVORS = f"""
+WITH mem AS ({_sketch_mem_sql(bits=3, tables=1, seed=7)}),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM mem x JOIN mem y ON x.tbl = y.tbl AND x.sketch = y.sketch
+                                AND x.vec_id < y.vec_id),
+losers AS (SELECT DISTINCT id_b FROM cand
+           JOIN embeddings a ON a.vec_id = id_a
+           JOIN embeddings b ON b.vec_id = id_b
+           WHERE {_COS_PAIR} >= 0.3)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN accuracy/cost report (round 10): recall@k of both deterministic sketch
 # paths vs exact brute force, per query vector — the measurable dial between

@@ -517,3 +517,25 @@ def test_dup_span_coverage_nondegenerate_on_corpus(spark):
     covered = [r for r in rows if r["covered_tokens"] > 0]
     assert len(covered) > 0
     assert all(0 <= r["coverage_ppm"] <= 1000000 for r in rows)
+
+
+def test_semdedup_keeps_one_per_planted_cluster(spark):
+    """Three identical vectors (one cell, cos=1) collapse to the smallest id;
+    an isolated vector survives regardless of cell."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    v = rng.standard_normal(64).tolist()
+    w = (-np.asarray(v)).tolist()  # cos(v, w) = -1: never a dup of v
+    rows = [(10, v, 0), (11, v, 0), (12, v, 0), (20, w, 1)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = dedup.embedding_near_dup_pairs_sketch(
+        emb, threshold=0.3, bits=3, tables=1, seed=7, dim=64
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup.dedup_survivors(
+            emb.select("vec_id", "label"), pairs, "vec_id"
+        ).collect()
+    )
+    assert kept == [10, 20]

@@ -252,3 +252,58 @@ def test_bpe_pairs_partial_agg_and_topk_no_global_sort(spark):
     assert plan.count("Exchange") == 1
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_bm25_filters_terms_before_tf_agg_and_broadcasts_stats(spark):
+    """The exploded term stream must be filtered to the query terms BEFORE
+    the tf aggregate (unmatched terms never shuffle), df/corpus stats join
+    as broadcasts, the top-k is a TakeOrderedAndProject (no global sort),
+    and no Python UDF or cartesian appears anywhere."""
+    from recsys_pipeline_spark.queries_curation import q_bm25_topk
+
+    plan = _final_plan(q_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    # exactly ONE nested-loop join is legal: the broadcast crossJoin of the
+    # 1-row corpus-stats frame (the repo's standard scalar pattern); a
+    # corpus-sized cartesian would show as a second one or a CartesianProduct
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # df frame + stats scalar
+    # the isin filter sits under the explode projection, pre-aggregate
+    assert re.search(r"term#\d+ IN \(spark,vector,dup\)", plan) or "IN (spark" in plan
+
+
+def test_dup_span_coverage_no_cartesian_no_python(spark):
+    """Coverage = bounded explodes + keyed joins only: no cartesian, no
+    Python, and the documents file is scanned at most twice (occurrence
+    mining feeds a lazy checkpoint; the per-doc size side re-reads)."""
+    from recsys_pipeline_spark.queries_curation import q_dup_span_coverage
+
+    plan = _final_plan(q_dup_span_coverage(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multi_query_ann_candidates_broadcast_the_query_side(spark):
+    """The ANN report's candidate joins must broadcast the (tiny) query
+    memberships / probe table — the corpus side must never shuffle for
+    candidate generation."""
+    from pyspark.sql import functions as F
+
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.operators import similarity
+
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("long").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    for cand in (
+        similarity.sketch_candidates_multi(emb, queries, bits=4, tables=6, seed=11),
+        similarity.ivf_sketch_candidates_multi(emb, queries, cell_bits=3, n_probe=4, seed=7),
+    ):
+        plan = _final_plan(cand)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

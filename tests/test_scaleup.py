@@ -57,6 +57,13 @@ CAPS = {
     "quantize_embeddings": 6.0,  # measured 0.9 (zero-shuffle per-row rewrite)
     "lm_perplexity": 8.0,    # measured 1.4 (one pair pass + vocab-sized LM joins)
     "url_dedup": 6.0,        # measured 1.2 (regexp codegen + one canonical-key shuffle)
+    # round 10 (measured quiet ratios 0.8-2.2)
+    "dup_span_coverage": 6.0,  # measured 2.2 — and replication is the WORST
+    # case for this query: every gram becomes cross-doc duplicated, so the
+    # coverage join fans out over the whole corpus instead of the dup tail
+    "bm25_topk": 4.0,        # measured 1.4 (query-term filter before the tf agg)
+    "ann_recall_report": 4.0,  # measured 0.8 (broadcast probes; rerank linear)
+    "quantized_ann_overlap": 4.0,  # measured 1.0 (broadcast query crossJoin)
 }
 
 
