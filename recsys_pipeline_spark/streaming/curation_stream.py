@@ -678,6 +678,72 @@ def lm_perplexity_stream(
     foreach_batch_sink(stream, step)
 
 
+def semdedup_stream(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    *,
+    threshold: float = 0.3,
+    cell_bits: int = 3,
+    seed: int = 7,
+    dim: int = 64,
+) -> None:
+    """Ingest-time semantic dedup (the SemDeDup admission gate): an arriving
+    document is admitted iff it has NO smaller-id near-duplicate in its own
+    micro-batch AND no near-duplicate among the already-admitted documents
+    of its sketch cell — first-arrival-wins, the crawl-side form of the
+    batch ``semdedup_survivors`` rule (single-hop keep-smallest: the batch
+    operator drops a doc whose smaller-id neighbor was itself dropped, and
+    the stream mirrors that exactly, so one micro-batch == the batch
+    survivors, asserted in tests). The admitted output IS the state
+    (id, cell, vector — append-once set deltas, the url_dedup_stream
+    pattern), so a replayed epoch cannot double-admit.
+
+    Scale: the batch side computes its cells in one Arrow pass; the state
+    conflict check is a join co-keyed on the CELL (at 100 TB the state
+    table is stored partitioned by cell, so each batch touches only its
+    cells' partitions) followed by the exact cosine kernel within the cell
+    — candidate work is sum(cell_batch x cell_state), never batch x state.
+    Nothing collects; state grows only by admitted (deduped) vectors.
+    """
+    from recsys_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs_sketch,
+        sketch_memberships,
+        sketch_planes,
+    )
+    from recsys_pipeline_spark.recall.retrieve import cosine
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        planes = sketch_planes(dim, bits=cell_bits, tables=1, seed=seed)
+        bmem = (
+            sketch_memberships(batch, planes, id_col=id_col, vec_col=vec_col)
+            .select(F.col("sketch").alias("cell"), "_id", "_v")
+            .localCheckpoint(eager=False)  # feeds state join + both anti-joins
+        )
+        pairs = embedding_near_dup_pairs_sketch(
+            batch, id_col, vec_col, threshold=threshold,
+            bits=cell_bits, tables=1, seed=seed, dim=dim,
+        )
+        batch_losers = pairs.select(F.col("id_b").alias("_id")).distinct()
+        state = _read_state(spark, out_dir, bmem, epoch_id)
+        conflicts = (
+            bmem.join(state.select("cell", F.col("_v").alias("_sv")), "cell")
+            .filter(cosine(F.col("_v"), F.col("_sv")) >= threshold)
+            .select("_id")
+            .distinct()
+        )
+        admitted = bmem.join(batch_losers, "_id", "left_anti").join(
+            conflicts, "_id", "left_anti"
+        )
+        _write_epoch(admitted, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
 def url_dedup_stream(
     stream: DataFrame,
     id_col: str,

@@ -1051,3 +1051,83 @@ def test_streaming_incremental_curate_matches_batch_on_prefix(spark, tmp_path):
     before = latest_fp()
     cs.compact_latest_state(spark, fpd, ["doc_id"], before_epoch=10**6)
     assert latest_fp() == before and len(before) > 0
+
+
+def test_streaming_semdedup_admission_matches_batch_and_prefix(spark, tmp_path):
+    """Single micro-batch == the batch semdedup_survivors exactly; across
+    micro-batches admission is first-arrival-wins single-hop: drop a doc
+    with a smaller-id near-dup in its batch OR any admitted near-dup in its
+    cell — asserted against an independent numpy replication of the rule."""
+    import numpy as np
+
+    from recsys_pipeline_spark.operators.dedup import sketch_of_vec, sketch_planes
+    from recsys_pipeline_spark.queries_ext import q_semdedup_survivors
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    # 1) single batch == batch operator
+    src1 = str(tmp_path / "sd_src1")
+    emb.coalesce(1).write.parquet(src1)
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src1)
+    )
+    out1 = str(tmp_path / "sd_out1")
+    cs.semdedup_stream(stream, "vec_id", "embedding", out1, threshold=0.3)
+    got1 = {r["_id"] for r in spark.read.parquet(out1).collect()}
+    want1 = {r["vec_id"] for r in q_semdedup_survivors(spark, "/root/testdata/sf0.001").collect()}
+    assert got1 == want1 and len(got1) > 0
+
+    # 2) two micro-batches vs the numpy reference of the sequential rule
+    half0 = emb.filter(F.col("vec_id") % 2 == 0)
+    half1 = emb.filter(F.col("vec_id") % 2 == 1)
+    src2 = str(tmp_path / "sd_src2")
+    half0.coalesce(1).write.parquet(src2)
+    half1.coalesce(1).write.mode("append").parquet(src2)
+    stream2 = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src2)
+    )
+    out2 = str(tmp_path / "sd_out2")
+    cs.semdedup_stream(stream2, "vec_id", "embedding", out2, threshold=0.3)
+    table = spark.read.parquet(out2)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    by_epoch = {
+        e: {r["_id"] for r in table.filter(F.col("_epoch") == e).collect()}
+        for e in epochs
+    }
+    e0 = next(e for e, ids in by_epoch.items() if all(i % 2 == 0 for i in ids))
+    e1 = next(e for e in epochs if e != e0)
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    planes = sketch_planes(64, bits=3, tables=1, seed=7)
+    cell = {i: sketch_of_vec(v, planes)[0] for i, v in vecs.items()}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(np.dot(a, b) / (na * nb)) if na and nb else 0.0
+
+    def admit(batch_ids, state_ids):
+        admitted = []
+        for i in sorted(batch_ids):
+            same_batch = any(
+                j < i and cell[j] == cell[i] and cos(vecs[j], vecs[i]) >= 0.3
+                for j in batch_ids
+            )
+            vs_state = any(
+                cell[s] == cell[i] and cos(vecs[s], vecs[i]) >= 0.3
+                for s in state_ids
+            )
+            if not same_batch and not vs_state:
+                admitted.append(i)
+        return set(admitted)
+
+    ids0 = {i for i in vecs if i % 2 == 0}
+    ids1 = {i for i in vecs if i % 2 == 1}
+    exp0 = admit(ids0, set())
+    exp1 = admit(ids1, by_epoch[e0])
+    assert by_epoch[e0] == exp0 and len(exp0) > 0
+    assert by_epoch[e1] == exp1 and len(exp1) > 0
