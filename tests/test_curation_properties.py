@@ -277,3 +277,47 @@ def test_quality_gate_equals_python_simulation(spark, texts, lo, hi, mlo, mhi, d
         i: _gate_sim(t, lo, hi, mlo, mhi, dmax) for i, t in enumerate(texts)
     }
     assert got == want
+
+
+# random word-soup documents over a tiny vocabulary so cross-doc duplicate
+# n-grams actually occur; n=3 keeps spans plausible at these lengths
+_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_docs_txt = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.lists(_words, min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs_txt)
+def test_dup_span_coverage_equals_interval_union_simulation(spark, data):
+    """dup_span_coverage must equal a direct simulation: mark every n-gram
+    occurring in >= 2 docs, union the [i, i+n) intervals per doc, count."""
+    from recsys_pipeline_spark.operators.dedup import dup_span_coverage
+
+    n = 3
+    uniq = {d[0]: d for d in data}.values()
+    rows = [(i, " ".join(toks)) for i, toks in uniq]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in dup_span_coverage(df, "doc_id", "text", n=n).collect()
+    }
+    toks_by_id = {i: t.split() if t else [] for i, t in rows}
+    grams: dict[tuple, set] = {}
+    for i, toks in toks_by_id.items():
+        for s in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[s : s + n]), set()).add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= 2}
+    want = {}
+    for i, toks in toks_by_id.items():
+        covered = set()
+        for s in range(len(toks) - n + 1):
+            if tuple(toks[s : s + n]) in dup:
+                covered |= set(range(s, s + n))
+        want[i] = (len(toks), len(covered))
+    assert got == want
