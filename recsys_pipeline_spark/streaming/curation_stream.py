@@ -678,6 +678,86 @@ def lm_perplexity_stream(
     foreach_batch_sink(stream, step)
 
 
+def pack_token_bins_stream(
+    stream: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col,
+    budget: int,
+    out_dir: str,
+    carry_dir: str,
+) -> None:
+    """Sequence packing online: each micro-batch's documents append to their
+    partition's token stream and are cut into ``budget``-sized bins exactly
+    like the batch ``curation.pack_greedy`` — the only state is ONE carried
+    token count per partition (the smallest state of any twin: O(sources)
+    longs, written as latest-per-key deltas, compactable with
+    ``compact_latest_state``). Emits (part, order, tok, bin_offset, bin_id)
+    per document.
+
+    Cross-epoch guarantee (asserted in tests): when micro-batches deliver
+    each partition's documents in ``order_col``-contiguous ranges (the
+    crawl-shard/append-log shape), the streamed bins EQUAL the batch
+    operator on the full corpus — packing is a prefix sum, and the carry is
+    exactly the prefix. On out-of-order arrival the semantics degrade
+    honestly to arrival-order packing (documents append to training shards
+    as they arrive), still batch-exact within each micro-batch.
+    """
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        sized = batch.select(
+            F.col(part_col), F.col(order_col), size_col.alias("tok")
+        )
+        carry_like = sized.groupBy(part_col).agg(F.sum("tok").alias("_carry"))
+        table = _read_parquet_or_empty(spark, carry_dir, carry_like)
+        if table is None:
+            carry = spark.createDataFrame([], carry_like.schema)
+        else:
+            hist = table.filter(F.col("_epoch") < epoch_id)
+            w_last = Window.partitionBy(part_col).orderBy(F.col("_epoch").desc())
+            carry = (
+                hist.withColumn("_rk", F.row_number().over(w_last))
+                .filter(F.col("_rk") == 1)
+                .select(part_col, "_carry")
+            )
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offs = (
+            sized.withColumn("_cum", F.sum("tok").over(w))
+            .join(F.broadcast(carry), part_col, "left")
+            .select(
+                part_col,
+                order_col,
+                "tok",
+                (F.coalesce(F.col("_carry"), F.lit(0)) + F.col("_cum") - F.col("tok")).alias(
+                    "bin_offset"
+                ),
+                "_carry",
+                "_cum",
+            )
+        )
+        packed = offs.select(
+            part_col,
+            order_col,
+            "tok",
+            "bin_offset",
+            F.floor(F.col("bin_offset") / budget).cast("long").alias("bin_id"),
+        )
+        new_carry = offs.groupBy(part_col).agg(
+            (F.coalesce(F.max("_carry"), F.lit(0)) + F.sum("tok")).alias("_carry")
+        )
+        _write_epoch(packed, out_dir, epoch_id)
+        _write_epoch(new_carry, carry_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
 def semdedup_stream(
     stream: DataFrame,
     id_col: str,
