@@ -749,3 +749,74 @@ def dup_span_coverage(
         .cast("long")
         .alias("coverage_ppm"),
     )
+
+
+def dup_span_trim(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """The REMOVAL action for cross-document duplicate spans (the ExactSubstr
+    dedup of Lee et al. 2021, over fixed-length spans): rebuild each
+    document's text with every token that ``dup_span_coverage`` counts as
+    covered removed, keeping the remaining tokens in their original order.
+    Emits (id, trimmed_text, n_kept) for every document — the empty string
+    for a fully-duplicated doc.
+
+    Scale: covered positions come from the same bounded-explode pipeline as
+    the coverage signal; the rebuild is one posexplode, one anti-join
+    co-keyed on (id, pos), and one per-doc aggregate whose ordering is an
+    array_sort over (pos, token) structs — order reconstruction without a
+    window or sort exchange (positions are unique per doc, so the struct
+    sort is total). No collect, no UDF.
+    """
+    from recsys_pipeline_spark.operators.text import tokens
+
+    t = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=False)  # consumers: occurrence mining + position stream
+    n_tok = F.size("toks")
+    occ = t.select(
+        id_col,
+        "toks",
+        F.explode(
+            F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    ).select(
+        id_col,
+        "i",
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+        ).alias("gram"),
+    ).localCheckpoint(eager=False)  # consumers: df aggregate + coverage join
+    gram_df = (
+        occ.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    dup = gram_df.filter(F.col("_df") >= 2).select("gram")
+    covered = (
+        occ.join(dup, "gram")
+        .select(id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    positions = t.select(
+        id_col, F.posexplode("toks").alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = positions.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("trimmed_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -1377,6 +1377,50 @@ FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
 """
 
 
+def q_dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text with cross-doc duplicate 8-gram spans REMOVED (the
+    removal action paired with dup_span_coverage's signal); see
+    operators/dedup.dup_span_trim."""
+    from recsys_pipeline_spark.operators.dedup import dup_span_trim
+
+    d = read_table(spark, sf_dir, "documents")
+    return dup_span_trim(d, "doc_id", "text", n=DUP_SPAN_N)
+
+
+SQL_DUP_SPAN_TRIM = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, i, array_to_string(toks[i : i + {DUP_SPAN_N - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {DUP_SPAN_N - 1}, 0) + 1)) u(i)
+),
+gdf AS (SELECT gram, count(DISTINCT doc_id) AS d FROM occ GROUP BY gram),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT o.doc_id, u.pos
+    FROM occ o JOIN gdf ON o.gram = gdf.gram AND gdf.d >= 2,
+         unnest(range(o.i, o.i + {DUP_SPAN_N})) u(pos)
+  )
+),
+positions AS (
+  SELECT doc_id, u.pos, toks[u.pos] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) u(pos)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM positions p
+  LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS trimmed_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.trimmed_text, '') AS trimmed_text,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 BM25_TERMS = ("spark", "vector", "dup")  # df spread at sf0.01: 385/382/25
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -1515,6 +1559,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_coverage": q_dup_span_coverage,
     "bm25_topk": q_bm25_topk,
     "semdedup_survivors": _QX.q_semdedup_survivors,
+    "dup_span_trim": q_dup_span_trim,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1523,6 +1568,7 @@ ORACLES_CUR: dict[str, str] = {
     "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
     "bm25_topk": SQL_BM25_TOPK,
     "semdedup_survivors": _QX.SQL_SEMDEDUP_SURVIVORS,
+    "dup_span_trim": SQL_DUP_SPAN_TRIM,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -539,3 +539,25 @@ def test_semdedup_keeps_one_per_planted_cluster(spark):
         ).collect()
     )
     assert kept == [10, 20]
+
+
+def test_dup_span_trim_removes_exactly_the_shared_span(spark):
+    """The trimmed text must drop exactly the shared span's tokens (order of
+    survivors preserved); a fully-duplicated doc trims to the empty string."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {span} four five six"),
+        (2, f"seven eight {span} nine ten eleven twelve"),
+        (3, span),   # entire doc duplicated -> empty
+        (4, span),
+        (5, "untouched words that appear nowhere else at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["trimmed_text"], r["n_kept"])
+        for r in dedup.dup_span_trim(docs, "doc_id", "text", n=8).collect()
+    }
+    assert got[1] == ("one two three four five six", 6)
+    assert got[2] == ("seven eight nine ten eleven twelve", 6)
+    assert got[3] == ("", 0) and got[4] == ("", 0)
+    assert got[5] == ("untouched words that appear nowhere else at all ok", 9)

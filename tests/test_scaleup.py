@@ -64,6 +64,8 @@ CAPS = {
     "bm25_topk": 4.0,        # measured 1.4 (query-term filter before the tf agg)
     "ann_recall_report": 4.0,  # measured 0.8 (broadcast probes; rerank linear)
     "quantized_ann_overlap": 4.0,  # measured 1.0 (broadcast query crossJoin)
+    "dup_span_trim": 8.0,    # measured 2.7 — same worst-case-under-replication
+    # caveat as dup_span_coverage, plus the rebuild aggregate over kept tokens
 }
 
 
