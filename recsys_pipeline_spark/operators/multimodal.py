@@ -300,3 +300,59 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .select("media_id", F.explode(idx).alias("frame_idx"), "payload")
     )
+
+
+def parse_warc(df: DataFrame, blob_col: str = "blob", url_header: str = "WARC-Target-URI") -> DataFrame:
+    """Raw-crawl ingest: parse concatenated WARC-style records out of binary
+    capture blobs — the stage that turns fetched crawl files into the
+    ``documents`` table every downstream curation operator consumes. Real
+    Content-Length framing (version line, CRLF header block, exactly
+    ``Content-Length`` payload BYTES, CRLF CRLF record separator), not
+    delimiter splitting: a payload may legally contain the header separator
+    bytes, which is why this is an imperative byte scanner and not a
+    split() expression (pinned in tests with a payload embedding
+    ``\\r\\n\\r\\n``). Emits one row per record: (url, content, n_bytes).
+
+    Scale: one Arrow-batched mapInPandas over file-sized blobs — the
+    embarrassingly-parallel narrow map of an ingest job (in production the
+    blobs ARE the object-store files, so there is no shuffle at all until a
+    downstream stage keys the records); record fan-out is bounded by blob
+    size. Malformed tails (truncated header block or short payload) are
+    dropped, not raised — crawl files end mid-record routinely.
+    """
+    import pandas as pd
+
+    hdr_key = url_header.lower().encode()
+
+    def gen(batches):
+        for pdf in batches:
+            urls, contents, sizes = [], [], []
+            for blob in pdf[blob_col]:
+                data = bytes(blob or b"")
+                pos = 0
+                while pos < len(data):
+                    end = data.find(b"\r\n\r\n", pos)
+                    if end < 0:
+                        break  # truncated header block
+                    header = data[pos:end]
+                    url, length = None, None
+                    for line in header.split(b"\r\n"):
+                        k, _, v = line.partition(b":")
+                        if k.strip().lower() == hdr_key:
+                            url = v.strip().decode("utf-8", "replace")
+                        elif k.strip().lower() == b"content-length":
+                            try:
+                                length = int(v.strip())
+                            except ValueError:
+                                length = None
+                    if length is None or end + 4 + length > len(data):
+                        break  # unframed or truncated payload
+                    payload = data[end + 4 : end + 4 + length]
+                    if url is not None:
+                        urls.append(url)
+                        contents.append(payload.decode("utf-8", "replace"))
+                        sizes.append(length)
+                    pos = end + 4 + length + 4  # skip the record separator
+            yield pd.DataFrame({"url": urls, "content": contents, "n_bytes": sizes})
+
+    return df.mapInPandas(gen, schema="url string, content string, n_bytes long")

@@ -1421,6 +1421,51 @@ FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest round trip: synthesize WARC-style capture blobs from the
+    documents table (40 docs per capture file, Content-Length framing,
+    byte-correct lengths) and run the real byte-scanner parser
+    (multimodal.parse_warc) over them. The ORACLE is the identity: the
+    parser must invert the synthesizer, so DuckDB just projects
+    (url, text, octet_length) straight off documents — the oracle checks
+    the round trip without re-implementing the parser.
+
+    Scale: the synthesis groupBy is test-rig-only (real ingest reads the
+    capture files from the object store — zero shuffles); the parse itself
+    is one Arrow-batched narrow map over blobs.
+    """
+    from recsys_pipeline_spark.operators.multimodal import parse_warc
+
+    d = read_table(spark, sf_dir, "documents")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.lit("https://example.com/doc/"), F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "), F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"), F.col("text"), F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        d.select((F.col("doc_id") % 40).alias("file_id"), F.struct("doc_id", rec.alias("rec")).alias("s"))
+        .groupBy("file_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")), lambda x: x["rec"]), ""
+                ),
+                "UTF-8",
+            ).alias("blob")
+        )
+    )
+    return parse_warc(blobs, "blob")
+
+
+SQL_WARC_EXTRACT = """
+SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       text AS content,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 BM25_TERMS = ("spark", "vector", "dup")  # df spread at sf0.01: 385/382/25
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -1560,6 +1605,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "semdedup_survivors": _QX.q_semdedup_survivors,
     "dup_span_trim": q_dup_span_trim,
+    "warc_extract": q_warc_extract,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1569,6 +1615,7 @@ ORACLES_CUR: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "semdedup_survivors": _QX.SQL_SEMDEDUP_SURVIVORS,
     "dup_span_trim": SQL_DUP_SPAN_TRIM,
+    "warc_extract": SQL_WARC_EXTRACT,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

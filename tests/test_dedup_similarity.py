@@ -561,3 +561,30 @@ def test_dup_span_trim_removes_exactly_the_shared_span(spark):
     assert got[2] == ("seven eight nine ten eleven twelve", 6)
     assert got[3] == ("", 0) and got[4] == ("", 0)
     assert got[5] == ("untouched words that appear nowhere else at all ok", 9)
+
+
+def test_parse_warc_content_length_framing_beats_delimiters(spark):
+    """A payload that CONTAINS the header-separator bytes must parse intact
+    (Content-Length framing, not delimiter splitting); a truncated tail
+    record is dropped, not raised; multi-record blobs emit every record."""
+
+    def rec(url, payload: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + url.encode()
+            + b"\r\nContent-Length: " + str(len(payload)).encode()
+            + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+
+    tricky = b"first half\r\n\r\nsecond half"  # embeds the separator
+    blob = rec("u/1", tricky) + rec("u/2", b"plain body")
+    truncated = rec("u/3", b"ok")[:-10]  # tail cut mid-payload
+    rows = [(1, blob), (2, blob + truncated)]
+    df = spark.createDataFrame(rows, "file_id long, blob binary")
+    got = {
+        (r["url"], r["content"], r["n_bytes"])
+        for r in multimodal.parse_warc(df, "blob").collect()
+    }
+    assert ("u/1", "first half\r\n\r\nsecond half", len(tricky)) in got
+    assert ("u/2", "plain body", 10) in got
+    assert not any(u == "u/3" for u, _, _ in got)
+    assert len(got) == 2  # dup records across the two blobs collapse in the set

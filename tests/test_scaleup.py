@@ -66,6 +66,7 @@ CAPS = {
     "quantized_ann_overlap": 4.0,  # measured 1.0 (broadcast query crossJoin)
     "dup_span_trim": 8.0,    # measured 2.7 — same worst-case-under-replication
     # caveat as dup_span_coverage, plus the rebuild aggregate over kept tokens
+    "warc_extract": 5.0,     # measured 1.5 (narrow Arrow map over capture blobs)
 }
 
 
