@@ -1,0 +1,236 @@
+"""Web-crawl operators: the front half of a corpus pipeline that the WARC
+ingest (`operators/multimodal.parse_warc`) feeds — main-content extraction
+from raw HTML, the host-level link graph, and integer-exact PageRank as the
+URL/host quality signal (the Common Crawl host-ranking stage every
+crawl-derived corpus filters on) — plus z-order write-layout planning for
+multi-column data skipping.
+
+All arithmetic is engine-portable by construction: PageRank runs on scaled
+BIGINT mass with truncating division (Spark ``DIV`` == DuckDB ``//`` — both
+truncate toward zero), so five iterations produce bit-identical ranks in
+Spark and the DuckDB oracle; z-values are pure integer bit math.
+
+No reference counterpart: the reference pipeline starts from already-clean
+interaction logs (offline/preprocess/s1_ml1m_to_csv.py reads ml-1m ratings);
+these operators cover the crawl→corpus stages upstream of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators.dedup import portable_hash64
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction
+# ---------------------------------------------------------------------------
+
+# Paragraph-based main-content heuristic (the readability-family contract):
+# content = the concatenation of <p>…</p> block texts, inline tags stripped,
+# entities unescaped, whitespace collapsed. Anchors, nav lists, scripts and
+# styles never reach the content column.
+_SCRIPT_RE = r"(?is)<(script|style)\b[^>]*>.*?</\1>"
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_PARA_RE = r"(?is)<p\b[^>]*>(.*?)</p>"
+_HREF_RE = r'(?i)href="([^"]*)"'
+_TAG_RE = r"(?s)<[^>]*>"
+
+
+def _unescape(col: Column) -> Column:
+    # &lt;/&gt; first, &amp; last — the inverse application order of escaping
+    # (escape does & first), so round trips are exact.
+    col = F.regexp_replace(col, "&lt;", "<")
+    col = F.regexp_replace(col, "&gt;", ">")
+    return F.regexp_replace(col, "&amp;", "&")
+
+
+def _clean_block(col: Column) -> Column:
+    """Strip inline tags, unescape entities, collapse whitespace."""
+    col = F.regexp_replace(col, _TAG_RE, "")
+    col = _unescape(col)
+    col = F.regexp_replace(col, r"\s+", " ")
+    return F.trim(col)
+
+
+def html_extract(df: DataFrame, html_col: str) -> DataFrame:
+    """Parse an HTML string column into (title, content, links, n_links).
+
+    The parse order matters and is pinned by tests: script/style blocks are
+    removed FIRST (so a ``</p>`` inside a script cannot terminate a
+    paragraph), then the title is captured, hrefs collected, and paragraph
+    blocks extracted and cleaned.
+
+    Scale: a pure regexp/HOF chain over the page column — zero exchanges,
+    whole-stage codegen end to end; at 100 TB this runs as a narrow map on
+    the raw-crawl scan, exactly like `parse_warc` upstream of it.
+    """
+    stripped = F.regexp_replace(F.col(html_col), _SCRIPT_RE, "")
+    paras = F.regexp_extract_all(stripped, F.lit(_PARA_RE), 1)
+    return df.select(
+        *[c for c in df.columns if c != html_col],
+        _clean_block(F.regexp_extract(stripped, _TITLE_RE, 1)).alias("title"),
+        _clean_block(F.array_join(paras, " ")).alias("content"),
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1).alias("links"),
+    ).withColumn("n_links", F.size("links").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Host link graph + integer PageRank
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # total rank mass, as BIGINT
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def host_edges(
+    docs: DataFrame, id_col: str, n_hosts: int, fanout: int = 3
+) -> DataFrame:
+    """Deterministic host-level link graph derived from the corpus: each
+    document's host is ``id % n_hosts``; its outlinks go to ``fanout``
+    hash-drawn hosts (the same md5-fold the html_extract test rig embeds in
+    its synthesized hrefs, so this frame equals "parse every page, group
+    links by host"). Self-loops dropped, parallel edges collapsed.
+
+    Scale: the distinct is one shuffle on (src, dst) — at 100 TB this is the
+    edge-list build any link-graph job pays once, then amortizes across all
+    PageRank iterations.
+    """
+    doc_id = F.col(id_col)
+    pairs = [
+        F.struct(
+            (doc_id % n_hosts).cast("long").alias("src"),
+            (
+                portable_hash64(
+                    F.concat(F.lit(f"lnk{j}:"), doc_id.cast("string"))
+                )
+                % n_hosts
+            ).alias("dst"),
+        )
+        for j in range(1, fanout + 1)
+    ]
+    return (
+        docs.select(F.explode(F.array(*pairs)).alias("e"))
+        .select("e.src", "e.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame, hosts: DataFrame, iters: int = 5, scale: int = PR_SCALE
+) -> DataFrame:
+    """Integer-exact PageRank: rank mass is BIGINT (``scale`` total), each
+    iteration sends ``rank DIV out_degree`` along every edge, damps the
+    inflow by 85/100 with truncating division, and redistributes dangling
+    mass equally. Every operation is integer +,*,DIV — bit-identical across
+    engines, so a fixed iteration count is exactly reproducible in ANSI SQL
+    (the oracle unrolls the same five steps as CTEs).
+
+    ``hosts`` must be one row per node (column ``host``); nodes missing from
+    ``edges`` still hold and shed rank (as dangling mass).
+
+    Scale: ranks are |hosts|-sized while edges are corpus-sized — the
+    iteration joins edges⋈ranks on src (ranks broadcast when they fit, as
+    here), then aggregates inflow by dst: one shuffle per iteration, on the
+    same dst key every time, so a cluster pre-partitions edges by src and
+    reuses the exchange. Lineage is truncated per iteration
+    (localCheckpoint, lazy) so five rounds don't nest five plans.
+    """
+    n = hosts.count()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = hosts.join(F.broadcast(out_deg), hosts.host == out_deg.src, "left").select(
+        "host", F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.lit(scale // n).cast("long").alias("rank"),
+    )
+    for _ in range(iters):
+        ranks = ranks.localCheckpoint(eager=False)
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
+            .select(F.expr(f"d DIV {n}").alias("share"))
+        )
+        contrib = edges.join(F.broadcast(ranks), edges.src == ranks.host).select(
+            "dst", F.expr("rank DIV out_deg").alias("c")
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            ranks.join(F.broadcast(inflow), ranks.host == inflow.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                "out_deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * (coalesce(inflow, 0) + share))"
+                        f" DIV {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.select("host", "out_deg", F.col("rank").alias("rank_scaled"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order write layout
+# ---------------------------------------------------------------------------
+
+def _interleave_bits(x: Column, y: Column, bits: int) -> Column:
+    """Z-value: interleave the low ``bits`` of x (even positions) and y (odd
+    positions) — a sum of constant shift/mask terms, all codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    bits: int = 8,
+    rows_per_file_shift: int = 6,
+) -> DataFrame:
+    """Plan a z-order write layout over two columns and report the resulting
+    zone map: each row's (x, y) is range-bucketed to ``bits`` bits using the
+    column max (integer mult-then-div — exact), the two bucket ids are
+    bit-interleaved into a z-value, and the z-space is cut into files
+    (``z DIV 2^rows_per_file_shift``). Output: per-file row count and
+    min/max of BOTH columns — the zone map a reader's predicate pruning
+    consults; tight ranges on both axes are the whole point of z-order vs a
+    single-column sort.
+
+    Scale: the max() stats pass is the write-planner's statistics collection
+    (scalar, broadcast back); the layout itself is one exchange on file_id.
+    At 100 TB this replaces a full sort with a clustered repartition —
+    OPTIMIZE ZORDER semantics, Spark-native.
+    """
+    mx = df.agg(
+        F.max(col_x).cast("long").alias("mx"), F.max(col_y).cast("long").alias("my")
+    )
+    bx = F.expr(f"(CAST({col_x} AS BIGINT) * {1 << bits}) DIV (mx + 1)")
+    by = F.expr(f"(CAST({col_y} AS BIGINT) * {1 << bits}) DIV (my + 1)")
+    z = _interleave_bits(bx, by, bits)
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .select(
+            F.col(col_x).cast("long").alias("x"),
+            F.col(col_y).cast("long").alias("y"),
+            F.shiftright(z, rows_per_file_shift).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
