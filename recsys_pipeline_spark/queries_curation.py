@@ -923,6 +923,13 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-sized window, not a corpus sort); the encode join broadcasts
     the k-row vocab; the re-group collects (pos, id) structs per doc —
     ONE exchange on the id, array size bounded by document length.
+
+    Output shape: the sequence is emitted as a CSV string
+    (``token_seq_csv``), not ARRAY<INT> — the driver-harness contract is
+    scalar columns only (its pandas canonicalizer cannot sort list cells;
+    CORRECTNESS_r11 recorded exactly that err). Downstream consumers
+    (pack_token_bins / doc_chunks) keep the raw-array form via
+    curation.encode_token_ids directly.
     """
     d = read_table(spark, sf_dir, "documents")
     base = curation.token_positions(d, "doc_id", "text").localCheckpoint(
@@ -930,7 +937,15 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = base.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
     vocab = curation.vocab_topk(counts, VOCAB_SIZE)
-    return curation.encode_token_ids(base, vocab, "doc_id")
+    enc = curation.encode_token_ids(base, vocab, "doc_id")
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_seq_csv"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
 
 
 SQL_TOKENIZE_IDS = f"""
@@ -944,7 +959,9 @@ v AS (
         ORDER BY cnt DESC, tok ASC LIMIT {VOCAB_SIZE})
 )
 SELECT doc_id,
-       list(CAST(coalesce(tok_id, 0) AS INT) ORDER BY pos) AS token_ids,
+       array_to_string(
+         list(CAST(coalesce(tok_id, 0) AS INT) ORDER BY pos), ','
+       ) AS token_seq_csv,
        count(*) AS n_tokens,
        SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS n_oov
 FROM e LEFT JOIN v USING (tok)
