@@ -16,6 +16,7 @@ from recsys_pipeline_spark import queries_analytics as QA
 from recsys_pipeline_spark import queries_curation as QC
 from recsys_pipeline_spark import queries_ext as QX
 from recsys_pipeline_spark import queries_ml as QM
+from recsys_pipeline_spark import queries_web as QW
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -115,9 +116,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vocab_coverage, bpe_pairs, incremental_curate, quantize_embeddings,
     # url_dedup), fully inside the pytest oracle-parity harness
     # (approx_profile_orders carries no oracle — tolerance-gated instead).
+    # QW (crawl ingest) merges last: its four queries land past the recorded
+    # window (entries 51+ — the window still closes at lm_perplexity, pinned
+    # by tests/test_recorded_window.py) and are oracle-checked by the pytest
+    # parity harness like every deferred entry.
     merged = {
         **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,
-        **QC.QUERIES_CUR,
+        **QC.QUERIES_CUR, **QW.QUERIES_WEB,
     }
     ordered = {k: v for k, v in merged.items() if k not in _DEFERRED}
     ordered.update({k: merged[k] for k in _DEFERRED if k in merged})
@@ -127,5 +132,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         **Q.ORACLES, **QA.ORACLES_AN, **QX.ORACLES_EXT, **QM.ORACLES_ML,
-        **QC.ORACLES_CUR,
+        **QC.ORACLES_CUR, **QW.ORACLES_WEB,
     }

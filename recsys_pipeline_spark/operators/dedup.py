@@ -695,10 +695,17 @@ def dup_span_coverage(
     document-frequency aggregates map-side partially after an (id, gram)
     distinct; duplicated occurrences re-join co-keyed on the gram (the df
     side is distinct-gram-sized — AQE decides broadcast vs shuffle); the
-    interval union is a bounded explode (n rows per duplicated occurrence)
-    followed by one distinct+count per doc. No collect, no UDF, no
-    cartesian; every exchange is keyed on gram or id.
+    interval-union length is a per-doc SWEEP — sort the duplicated span
+    starts, each start contributes min(n, next_start - start) tokens
+    (the last contributes n) — one window over the start rows, no
+    per-position explode, no distinct: under FULL duplication (the
+    replication worst case) the old explode+distinct plan shuffled n rows
+    per duplicated occurrence; the sweep shuffles each occurrence once.
+    The per-doc sum rides the window's hash partitioning on the id. No
+    collect, no UDF, no cartesian; every exchange is keyed on gram or id.
     """
+    from pyspark.sql import Window
+
     from recsys_pipeline_spark.operators.text import tokens
 
     t = docs.select(
@@ -731,12 +738,19 @@ def dup_span_coverage(
         .agg(F.count(F.lit(1)).alias("_df"))
     )
     dup = gram_df.filter(F.col("_df") >= 2).select("gram")
+    # interval union over [i, i+n-1] spans: starts are unique per doc, so
+    # with starts sorted each contributes min(n, gap to the next start)
+    w = Window.partitionBy(id_col).orderBy("i")
     covered = (
         occ.join(dup, "gram")
-        .select(id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"))
-        .distinct()
+        .select(
+            id_col,
+            F.least(
+                F.lit(n), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(n))
+            ).alias("_c"),
+        )
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_covered"))
+        .agg(F.sum("_c").alias("_covered"))
     )
     base = t.select(id_col, n_tok.cast("long").alias("n_tokens"))
     cov = F.coalesce(F.col("_covered"), F.lit(0)).cast("long")
@@ -761,13 +775,23 @@ def dup_span_trim(
     Emits (id, trimmed_text, n_kept) for every document — the empty string
     for a fully-duplicated doc.
 
-    Scale: covered positions come from the same bounded-explode pipeline as
-    the coverage signal; the rebuild is one posexplode, one anti-join
-    co-keyed on (id, pos), and one per-doc aggregate whose ordering is an
-    array_sort over (pos, token) structs — order reconstruction without a
-    window or sort exchange (positions are unique per doc, so the struct
-    sort is total). No collect, no UDF.
+    Scale: the dup-gram mining is the same shape as the coverage signal,
+    but covered POSITIONS are computed by an interval SWEEP, not an
+    n-fold position explode: token rows and dup-span start markers union
+    into one per-doc stream, a single window (partition id, order pos,
+    markers first at ties) carries the running max span start, and a token
+    at ``pos`` is covered iff that last start is >= pos-n+1. The sweep is
+    linear in (tokens + duplicated occurrences) — under FULL duplication
+    (the replication worst case that cost the explode plan its 2.7x 8x
+    ratio) the old plan shuffled n rows per duplicated occurrence plus a
+    distinct; the sweep shuffles each row once. The per-doc rebuild
+    aggregate rides the window's hash partitioning on the id (no second
+    exchange); ordering is an array_sort over (pos, token) structs —
+    order reconstruction without a sort exchange (positions are unique
+    per doc, so the struct sort is total). No collect, no UDF.
     """
+    from pyspark.sql import Window
+
     from recsys_pipeline_spark.operators.text import tokens
 
     t = docs.select(
@@ -788,7 +812,7 @@ def dup_span_trim(
         F.concat_ws(
             " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
         ).alias("gram"),
-    ).localCheckpoint(eager=False)  # consumers: df aggregate + coverage join
+    ).localCheckpoint(eager=False)  # consumers: df aggregate + start-marker join
     gram_df = (
         occ.select(id_col, "gram")
         .distinct()
@@ -796,15 +820,34 @@ def dup_span_trim(
         .agg(F.count(F.lit(1)).alias("_df"))
     )
     dup = gram_df.filter(F.col("_df") >= 2).select("gram")
-    covered = (
-        occ.join(dup, "gram")
-        .select(id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"))
-        .distinct()
+    starts = occ.join(dup, "gram").select(
+        id_col,
+        F.col("i").alias("pos"),
+        F.lit(1).alias("_start"),
+        F.lit(None).cast("string").alias("tok"),
     )
     positions = t.select(
         id_col, F.posexplode("toks").alias("pos0", "tok")
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = positions.join(covered, [id_col, "pos"], "left_anti")
+    ).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), F.lit(0).alias("_start"), "tok"
+    )
+    # sweep: markers sort BEFORE tokens at equal pos (a span starting AT pos
+    # covers pos), running max start decides coverage
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc(), F.col("_start").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = positions.unionByName(starts).withColumn(
+        "_last_start", F.max(F.when(F.col("_start") == 1, F.col("pos"))).over(w)
+    )
+    kept = swept.filter(
+        (F.col("_start") == 0)
+        & (
+            F.col("_last_start").isNull()
+            | (F.col("_last_start") < F.col("pos") - (n - 1))
+        )
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",

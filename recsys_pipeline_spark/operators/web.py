@@ -6,13 +6,17 @@ crawl-derived corpus filters on) — plus z-order write-layout planning for
 multi-column data skipping.
 
 All arithmetic is engine-portable by construction: PageRank runs on scaled
-BIGINT mass with truncating division (Spark ``DIV`` == DuckDB ``//`` — both
-truncate toward zero), so five iterations produce bit-identical ranks in
-Spark and the DuckDB oracle; z-values are pure integer bit math.
+BIGINT mass with truncating division on non-negative operands (Spark ``DIV``
+== DuckDB ``//`` there), so a fixed iteration count produces bit-identical
+ranks in Spark and the DuckDB oracle; z-values are pure integer bit math.
+Every regex is RE2-safe (no backreferences, no lookaround) so the SAME
+pattern strings run in Spark (Java regex) and the DuckDB/RE2 oracle —
+see queries_web.py for the registered oracle-checked queries and
+tests/test_web.py for the pinned parse-order/entity semantics.
 
 No reference counterpart: the reference pipeline starts from already-clean
-interaction logs (offline/preprocess/s1_ml1m_to_csv.py reads ml-1m ratings);
-these operators cover the crawl→corpus stages upstream of it.
+interaction logs (offline/preprocess/s1_data_split.py:9-11 reads the ml-1m
+ratings file); these operators cover the crawl→corpus stages upstream of it.
 """
 
 from __future__ import annotations
@@ -28,21 +32,41 @@ from recsys_pipeline_spark.operators.dedup import portable_hash64
 
 # Paragraph-based main-content heuristic (the readability-family contract):
 # content = the concatenation of <p>…</p> block texts, inline tags stripped,
-# entities unescaped, whitespace collapsed. Anchors, nav lists, scripts and
-# styles never reach the content column.
-_SCRIPT_RE = r"(?is)<(script|style)\b[^>]*>.*?</\1>"
+# named entities unescaped, whitespace collapsed. Anchors, nav lists, scripts
+# and styles never reach the content column.
+#
+# Script and style blocks are stripped with two separate literal-tag patterns
+# instead of one backreference pattern (<(script|style)>.*?</\1>): RE2 — the
+# regex engine behind the DuckDB oracle — has no backreferences, and the two
+# literal patterns are bit-equivalent for well-formed blocks.
+_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 _PARA_RE = r"(?is)<p\b[^>]*>(.*?)</p>"
 _HREF_RE = r'(?i)href="([^"]*)"'
 _TAG_RE = r"(?s)<[^>]*>"
 
+# Handled named entities, in application order. &amp; is deliberately LAST —
+# the inverse application order of escaping (escape does & first) — so
+# escape→unescape round trips are exact and double-escaped input unescapes
+# exactly one level (&amp;lt; → &lt;, matching browser semantics). Numeric
+# character references other than &#39; are OUT of contract (documented
+# narrowing): the corpus this stage targets is entity-light crawl text, and
+# partial numeric handling would be worse than a pinned explicit set.
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
 
 def _unescape(col: Column) -> Column:
-    # &lt;/&gt; first, &amp; last — the inverse application order of escaping
-    # (escape does & first), so round trips are exact.
-    col = F.regexp_replace(col, "&lt;", "<")
-    col = F.regexp_replace(col, "&gt;", ">")
-    return F.regexp_replace(col, "&amp;", "&")
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
 
 
 def _clean_block(col: Column) -> Column:
@@ -56,22 +80,25 @@ def _clean_block(col: Column) -> Column:
 def html_extract(df: DataFrame, html_col: str) -> DataFrame:
     """Parse an HTML string column into (title, content, links, n_links).
 
-    The parse order matters and is pinned by tests: script/style blocks are
-    removed FIRST (so a ``</p>`` inside a script cannot terminate a
-    paragraph), then the title is captured, hrefs collected, and paragraph
-    blocks extracted and cleaned.
+    The parse order matters and is pinned by tests/test_web.py: script/style
+    blocks are removed FIRST (so a ``</p>`` inside a script cannot terminate
+    a paragraph and an href inside a script body cannot inflate ``links``),
+    then the title is captured, hrefs collected from the STRIPPED page, and
+    paragraph blocks extracted and cleaned.
 
     Scale: a pure regexp/HOF chain over the page column — zero exchanges,
     whole-stage codegen end to end; at 100 TB this runs as a narrow map on
     the raw-crawl scan, exactly like `parse_warc` upstream of it.
     """
-    stripped = F.regexp_replace(F.col(html_col), _SCRIPT_RE, "")
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _SCRIPT_RE, ""), _STYLE_RE, ""
+    )
     paras = F.regexp_extract_all(stripped, F.lit(_PARA_RE), 1)
     return df.select(
         *[c for c in df.columns if c != html_col],
         _clean_block(F.regexp_extract(stripped, _TITLE_RE, 1)).alias("title"),
         _clean_block(F.array_join(paras, " ")).alias("content"),
-        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1).alias("links"),
+        F.regexp_extract_all(stripped, F.lit(_HREF_RE), 1).alias("links"),
     ).withColumn("n_links", F.size("links").cast("int"))
 
 
@@ -88,9 +115,8 @@ def host_edges(
 ) -> DataFrame:
     """Deterministic host-level link graph derived from the corpus: each
     document's host is ``id % n_hosts``; its outlinks go to ``fanout``
-    hash-drawn hosts (the same md5-fold the html_extract test rig embeds in
-    its synthesized hrefs, so this frame equals "parse every page, group
-    links by host"). Self-loops dropped, parallel edges collapsed.
+    hash-drawn hosts (md5-fold, the oracle-portable hash — salt ``lnk{j}``).
+    Self-loops dropped, parallel edges collapsed.
 
     Scale: the distinct is one shuffle on (src, dst) — at 100 TB this is the
     edge-list build any link-graph job pays once, then amortizes across all
@@ -118,29 +144,42 @@ def host_edges(
 
 
 def pagerank(
-    edges: DataFrame, hosts: DataFrame, iters: int = 5, scale: int = PR_SCALE
+    edges: DataFrame,
+    hosts: DataFrame,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    max_broadcast_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Integer-exact PageRank: rank mass is BIGINT (``scale`` total), each
     iteration sends ``rank DIV out_degree`` along every edge, damps the
     inflow by 85/100 with truncating division, and redistributes dangling
-    mass equally. Every operation is integer +,*,DIV — bit-identical across
-    engines, so a fixed iteration count is exactly reproducible in ANSI SQL
-    (the oracle unrolls the same five steps as CTEs).
+    mass equally. Every operation is integer +,*,DIV on non-negative values
+    — bit-identical across engines, so a fixed iteration count is exactly
+    reproducible in ANSI SQL (the oracle unrolls the same steps as CTEs;
+    see queries_web.SQL_PAGERANK_HOSTS).
 
-    ``hosts`` must be one row per node (column ``host``); nodes missing from
-    ``edges`` still hold and shed rank (as dangling mass).
+    ``hosts`` must be one row per node (column ``host``) and non-empty
+    (raises ValueError otherwise); nodes missing from ``edges`` still hold
+    and shed rank (as dangling mass).
 
     Scale: ranks are |hosts|-sized while edges are corpus-sized — the
-    iteration joins edges⋈ranks on src (ranks broadcast when they fit, as
-    here), then aggregates inflow by dst: one shuffle per iteration, on the
-    same dst key every time, so a cluster pre-partitions edges by src and
-    reuses the exchange. Lineage is truncated per iteration
-    (localCheckpoint, lazy) so five rounds don't nest five plans.
+    iteration joins edges⋈ranks on src, then aggregates inflow by dst: one
+    shuffle per iteration, on the same dst key every time, so a cluster
+    pre-partitions edges by src and reuses the exchange. The node-sized
+    frames (out_deg, ranks, inflow) broadcast ONLY while the node count is
+    under ``max_broadcast_nodes`` — a host-level graph fits, a URL-level
+    graph does not, and there the joins fall back to shuffle joins on the
+    pre-partitioned edge key (the `retrieve.py` max_broadcast_items
+    pattern). Lineage is truncated per iteration (localCheckpoint, lazy) so
+    the rounds don't nest plans.
     """
     n = hosts.count()
+    if n == 0:
+        raise ValueError("pagerank: hosts frame is empty (n == 0)")
+    bcast = (lambda d: F.broadcast(d)) if n <= max_broadcast_nodes else (lambda d: d)
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = hosts.join(F.broadcast(out_deg), hosts.host == out_deg.src, "left").select(
+    ranks = hosts.join(bcast(out_deg), hosts.host == out_deg.src, "left").select(
         "host", F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
         F.lit(scale // n).cast("long").alias("rank"),
     )
@@ -151,13 +190,13 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
             .select(F.expr(f"d DIV {n}").alias("share"))
         )
-        contrib = edges.join(F.broadcast(ranks), edges.src == ranks.host).select(
+        contrib = edges.join(bcast(ranks), edges.src == ranks.host).select(
             "dst", F.expr("rank DIV out_deg").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
         ranks = (
-            ranks.join(F.broadcast(inflow), ranks.host == inflow.dst, "left")
-            .crossJoin(F.broadcast(dangling))
+            ranks.join(bcast(inflow), ranks.host == inflow.dst, "left")
+            .crossJoin(F.broadcast(dangling))  # always 1 row
             .select(
                 "host",
                 "out_deg",
@@ -199,27 +238,36 @@ def zorder_layout(
     rows_per_file_shift: int = 6,
 ) -> DataFrame:
     """Plan a z-order write layout over two columns and report the resulting
-    zone map: each row's (x, y) is range-bucketed to ``bits`` bits using the
-    column max (integer mult-then-div — exact), the two bucket ids are
-    bit-interleaved into a z-value, and the z-space is cut into files
-    (``z DIV 2^rows_per_file_shift``). Output: per-file row count and
-    min/max of BOTH columns — the zone map a reader's predicate pruning
-    consults; tight ranges on both axes are the whole point of z-order vs a
-    single-column sort.
+    zone map: each row's (x, y) is range-bucketed to ``bits`` bits against
+    the column's [min, max] span (offset-then-scale integer mult/div —
+    exact, and valid for negative values because the min offset makes every
+    bucketed operand non-negative before the truncating DIV), the two
+    bucket ids are bit-interleaved into a z-value, and the z-space is cut
+    into files (``z DIV 2^rows_per_file_shift``). Output: per-file row
+    count and min/max of BOTH columns — the zone map a reader's predicate
+    pruning consults; tight ranges on both axes are the whole point of
+    z-order vs a single-column sort.
 
-    Scale: the max() stats pass is the write-planner's statistics collection
-    (scalar, broadcast back); the layout itself is one exchange on file_id.
-    At 100 TB this replaces a full sort with a clustered repartition —
-    OPTIMIZE ZORDER semantics, Spark-native.
+    Scale: the min/max stats pass is the write-planner's statistics
+    collection (scalar, broadcast back); the layout itself is one exchange
+    on file_id. At 100 TB this replaces a full sort with a clustered
+    repartition — OPTIMIZE ZORDER semantics, Spark-native.
     """
-    mx = df.agg(
-        F.max(col_x).cast("long").alias("mx"), F.max(col_y).cast("long").alias("my")
+    stats = df.agg(
+        F.min(col_x).cast("long").alias("mnx"),
+        F.max(col_x).cast("long").alias("mxx"),
+        F.min(col_y).cast("long").alias("mny"),
+        F.max(col_y).cast("long").alias("mxy"),
     )
-    bx = F.expr(f"(CAST({col_x} AS BIGINT) * {1 << bits}) DIV (mx + 1)")
-    by = F.expr(f"(CAST({col_y} AS BIGINT) * {1 << bits}) DIV (my + 1)")
+    bx = F.expr(
+        f"((CAST({col_x} AS BIGINT) - mnx) * {1 << bits}) DIV (mxx - mnx + 1)"
+    )
+    by = F.expr(
+        f"((CAST({col_y} AS BIGINT) - mny) * {1 << bits}) DIV (mxy - mny + 1)"
+    )
     z = _interleave_bits(bx, by, bits)
     return (
-        df.crossJoin(F.broadcast(mx))
+        df.crossJoin(F.broadcast(stats))
         .select(
             F.col(col_x).cast("long").alias("x"),
             F.col(col_y).cast("long").alias("y"),

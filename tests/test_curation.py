@@ -605,9 +605,12 @@ def test_tokenize_ids_round_trips_against_brute_force(spark):
     assert set(rows) == set(texts)
     for doc_id, r in rows.items():
         toks = texts[doc_id]
-        assert len(r["token_ids"]) == r["n_tokens"] == len(toks)
-        assert r["token_ids"] == [id_of.get(t, 0) for t in toks]
-        assert r["n_oov"] == sum(1 for i in r["token_ids"] if i == 0)
+        # the query emits the sequence CSV-joined (scalar-column contract
+        # for the driver's recorded window); parse it back for the check
+        token_ids = [int(x) for x in r["token_seq_csv"].split(",")] if r["token_seq_csv"] else []
+        assert len(token_ids) == r["n_tokens"] == len(toks)
+        assert token_ids == [id_of.get(t, 0) for t in toks]
+        assert r["n_oov"] == sum(1 for i in token_ids if i == 0)
 
 
 def test_incremental_curate_processes_exactly_the_delta(spark):

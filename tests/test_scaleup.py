@@ -58,15 +58,24 @@ CAPS = {
     "lm_perplexity": 8.0,    # measured 1.4 (one pair pass + vocab-sized LM joins)
     "url_dedup": 6.0,        # measured 1.2 (regexp codegen + one canonical-key shuffle)
     # round 10 (measured quiet ratios 0.8-2.2)
-    "dup_span_coverage": 6.0,  # measured 2.2 — and replication is the WORST
-    # case for this query: every gram becomes cross-doc duplicated, so the
-    # coverage join fans out over the whole corpus instead of the dup tail
+    "dup_span_coverage": 6.0,  # measured 2.3 (r12 interval-sweep rework;
+    # no per-position explode) — replication remains the WORST case: every
+    # gram becomes cross-doc duplicated, so the gram-df join fans out over
+    # the whole corpus instead of the dup tail
     "bm25_topk": 4.0,        # measured 1.4 (query-term filter before the tf agg)
     "ann_recall_report": 4.0,  # measured 0.8 (broadcast probes; rerank linear)
     "quantized_ann_overlap": 4.0,  # measured 1.0 (broadcast query crossJoin)
-    "dup_span_trim": 8.0,    # measured 2.7 — same worst-case-under-replication
-    # caveat as dup_span_coverage, plus the rebuild aggregate over kept tokens
+    "dup_span_trim": 4.0,    # measured 1.9 (r12 sweep rework: start markers +
+    # one running-max window replace the n-fold position explode + distinct
+    # + anti-join; was 2.7) — same worst-case-under-replication caveat as
+    # dup_span_coverage
     "warc_extract": 5.0,     # measured 1.5 (narrow Arrow map over capture blobs)
+    # round 12 (measured quiet ratios 1.0-2.0)
+    "html_extract": 4.0,     # measured 1.0 (pure regexp codegen narrow map)
+    "pagerank_hosts": 4.0,   # measured 2.0 (8x edges; iterations host-bounded)
+    "zorder_layout": 4.0,    # measured 1.7 (stats pass + one file_id exchange)
+    "crawl_ingest": 5.0,     # measured 2.0 (8x parse/extract; keeper set and
+    # gate work stay canonical-cell-bounded under replication)
 }
 
 

@@ -1,0 +1,224 @@
+"""Pinned semantics for the web-crawl operators (operators/web.py) and the
+plan shape of the crawl_ingest composite. Value-level cross-engine parity is
+tests/test_oracle_parity.py (html_extract / pagerank_hosts / zorder_layout /
+crawl_ingest all carry DuckDB oracles); these tests pin the behaviors the
+oracles alone cannot distinguish — parse ORDER, the broadcast/shuffle path
+equivalence in pagerank, negative-input bucketing in zorder — plus the
+hazard cases (trap hrefs, entities, empty graphs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators import web as W
+
+SF = "/root/testdata/sf0.001"
+
+
+def _extract_one(spark, html: str) -> dict:
+    df = spark.createDataFrame([(1, html)], "id int, page string")
+    return W.html_extract(df, "page").collect()[0].asDict()
+
+
+# ---------------------------------------------------------------------------
+# html_extract parse order + hazards
+# ---------------------------------------------------------------------------
+
+def test_script_href_does_not_leak_into_links(spark):
+    row = _extract_one(
+        spark,
+        '<html><head><script>var t = \'href="https://trap.example/x"\';'
+        "</script></head><body>"
+        '<a href="https://real.example/a">a</a><p>hi there</p></body></html>',
+    )
+    assert row["links"] == ["https://real.example/a"]
+    assert row["n_links"] == 1
+
+
+def test_style_href_does_not_leak_into_links(spark):
+    row = _extract_one(
+        spark,
+        "<html><head><style>/* href=\"https://trap.example/y\" */</style>"
+        '</head><body><a href="https://real.example/b">b</a></body></html>',
+    )
+    assert row["links"] == ["https://real.example/b"]
+
+
+def test_script_stripped_before_paragraphs(spark):
+    # a literal "</p>" inside a script body must NOT terminate the paragraph
+    # — the parse order (script/style strip FIRST) is the contract
+    row = _extract_one(
+        spark,
+        "<html><body><p>hello <script>var s = \"</p>\";</script>world</p>"
+        "</body></html>",
+    )
+    assert row["content"] == "hello world"
+
+
+def test_inline_tags_stripped_and_whitespace_collapsed(spark):
+    row = _extract_one(
+        spark,
+        "<html><head><title> The\n  <b>Title</b> </title></head>"
+        "<body><p>one  <em>two</em>\nthree</p></body></html>",
+    )
+    assert row["title"] == "The Title"
+    assert row["content"] == "one two three"
+
+
+def test_entities_unescaped_one_level(spark):
+    row = _extract_one(
+        spark,
+        "<html><body><p>&lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39;"
+        "&nbsp;end &amp;lt;stays</p></body></html>",
+    )
+    # &amp;lt; unescapes exactly one level (-> "&lt;"), browser semantics
+    assert row["content"] == '<tag> & "q" \'s\' end &lt;stays'
+
+
+def test_multiple_paragraphs_joined_in_document_order(spark):
+    row = _extract_one(
+        spark, "<html><body><p>first</p><nav>skip</nav><p>second</p></body></html>"
+    )
+    assert row["content"] == "first second"
+
+
+def test_no_title_no_paras_yield_empty_strings(spark):
+    row = _extract_one(spark, "<html><body><div>bare</div></body></html>")
+    assert row["title"] == ""
+    assert row["content"] == ""
+    assert row["n_links"] == 0
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def _tiny_graph(spark):
+    # 0 -> 1, 0 -> 2, 1 -> 2; host 3 is dangling (no out-edges)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    hosts = spark.range(4).select(F.col("id").alias("host"))
+    return edges, hosts
+
+
+def test_pagerank_empty_hosts_raises(spark):
+    edges, _ = _tiny_graph(spark)
+    empty = spark.range(0).select(F.col("id").alias("host"))
+    with pytest.raises(ValueError, match="empty"):
+        W.pagerank(edges, empty)
+
+
+def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
+    edges, hosts = _tiny_graph(spark)
+    bc = {r["host"]: r for r in W.pagerank(edges, hosts).collect()}
+    sh = {
+        r["host"]: r
+        for r in W.pagerank(edges, hosts, max_broadcast_nodes=0).collect()
+    }
+    assert set(bc) == set(sh) == {0, 1, 2, 3}
+    for h in bc:
+        assert bc[h]["rank_scaled"] == sh[h]["rank_scaled"], h
+        assert bc[h]["out_deg"] == sh[h]["out_deg"], h
+
+
+def test_pagerank_mass_and_ordering(spark):
+    edges, hosts = _tiny_graph(spark)
+    rows = {r["host"]: r["rank_scaled"] for r in W.pagerank(edges, hosts).collect()}
+    total = sum(rows.values())
+    # truncating DIV only ever LOSES mass: total stays in (0.99, 1.0] x scale
+    assert total <= W.PR_SCALE
+    assert total > W.PR_SCALE * 99 // 100
+    # host 2 has two in-links (from 0 and 1), host 1 one, host 3 none:
+    # the rank order must reflect the link structure
+    assert rows[2] > rows[1] > rows[3]
+    assert all(v >= 0 for v in rows.values())
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # two nodes, one edge 0 -> 1: node 1 is dangling; without dangling
+    # redistribution node 0 would decay to the base term only
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    hosts = spark.range(2).select(F.col("id").alias("host"))
+    rows = {r["host"]: r["rank_scaled"] for r in W.pagerank(edges, hosts).collect()}
+    n, scale = 2, W.PR_SCALE
+    base = (W.PR_DAMP_DEN - W.PR_DAMP_NUM) * scale // (W.PR_DAMP_DEN * n)
+    # node 0's inflow is purely the dangling share — strictly above base
+    assert rows[0] > base
+    assert rows[1] > rows[0]  # real in-link beats dangling share
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout
+# ---------------------------------------------------------------------------
+
+def _brute_zonemap(points, bits, shift):
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    files = {}
+    for x, y in points:
+        bx = ((x - mnx) * (1 << bits)) // (mxx - mnx + 1)
+        by = ((y - mny) * (1 << bits)) // (mxy - mny + 1)
+        z = 0
+        for i in range(bits):
+            z += ((bx >> i) & 1) << (2 * i)
+            z += ((by >> i) & 1) << (2 * i + 1)
+        fid = z >> shift
+        f = files.setdefault(fid, [0, x, x, y, y])
+        f[0] += 1
+        f[1], f[2] = min(f[1], x), max(f[2], x)
+        f[3], f[4] = min(f[3], y), max(f[4], y)
+    return {
+        fid: tuple(v) for fid, v in files.items()
+    }  # (n_rows, min_x, max_x, min_y, max_y)
+
+
+@pytest.mark.parametrize(
+    "grid",
+    [
+        [(x, y) for x in range(16) for y in range(16)],  # non-negative
+        [(x, y) for x in range(-8, 8) for y in range(-8, 8)],  # negatives
+        [(x, -3) for x in range(-5, 30)],  # constant y incl. all-negative min
+    ],
+    ids=["nonneg", "negatives", "const_y"],
+)
+def test_zorder_matches_bruteforce(spark, grid):
+    bits, shift = 4, 2
+    df = spark.createDataFrame(grid, "x long, y long")
+    got = {
+        r["file_id"]: (r["n_rows"], r["min_x"], r["max_x"], r["min_y"], r["max_y"])
+        for r in W.zorder_layout(
+            df, "x", "y", bits=bits, rows_per_file_shift=shift
+        ).collect()
+    }
+    assert got == _brute_zonemap(grid, bits, shift)
+    assert sum(v[0] for v in got.values()) == len(grid)
+
+
+def test_zorder_files_partition_zspace_tightly(spark):
+    # on a full square grid every file's zone map must span at most the
+    # sqrt(cell) box z-order promises (here 4x4 buckets -> exact x/y tiles)
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    rows = W.zorder_layout(df, "x", "y", bits=4, rows_per_file_shift=4).collect()
+    for r in rows:
+        assert r["max_x"] - r["min_x"] <= 3, r
+        assert r["max_y"] - r["min_y"] <= 3, r
+
+
+# ---------------------------------------------------------------------------
+# crawl_ingest plan shape
+# ---------------------------------------------------------------------------
+
+def test_crawl_ingest_parses_blobs_exactly_once(spark):
+    from recsys_pipeline_spark.queries_web import q_crawl_ingest
+
+    df = q_crawl_ingest(spark, SF)
+    df.count()  # settle AQE + materialize the lazy checkpoint
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # past the keeper checkpoint the WARC parse must be GONE from the plan:
+    # the parse/extract pipeline runs once, not once per gate consumer
+    assert "MapInPandas" not in plan
+    assert "FileScan" not in plan  # documents scanned only upstream of it
