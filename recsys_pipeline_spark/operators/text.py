@@ -192,3 +192,89 @@ def canonical_url(col: Column) -> Column:
     for pat, repl in _URL_CANON_STEPS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (the reference's term-recall channel ranks by ES's
+# BM25, online/readers/es_caller.py; the scoring is re-expressed as
+# relational algebra here so it is engine-checkable and streamable)
+# ---------------------------------------------------------------------------
+
+def bm25_facts(
+    docs: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus facts BM25 needs, as two frames designed to be STATE for
+    the streaming twin: ``tfdl`` = (id, term, tf, dl) for documents
+    matching a query term (append-once per doc — new docs only ever ADD
+    rows), and ``stats`` = one row of LONG counters (n_docs, tot_tokens)
+    — sum-mergeable across epochs. Scoring casts to double at use, so
+    batch-on-corpus and merged-stream-state produce identical floats.
+
+    Scale: one tokenize pass (lazy checkpoint — dl/stats/term stream all
+    read it once); terms are filtered to the query's BEFORE the tf
+    aggregate, so unmatched tokens never shuffle."""
+    t = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=False)
+    dl = t.select(id_col, F.size("toks").cast("long").alias("dl"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("tot_tokens"),
+    )
+    term_rows = t.select(id_col, F.explode("toks").alias("term")).filter(
+        F.col("term").isin(list(terms))
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.join(dl, id_col), stats
+
+
+def bm25_topk_from_facts(
+    tfdl: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    terms: tuple[str, ...],
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """BM25 top-k from the fact frames (see q_bm25_topk for the float
+    discipline: ln() absorbed by 6dp rounding, per-doc summation is a
+    FIXED-ORDER sum of per-term conditional aggregates, both engines order
+    by the rounded score with id tiebreak).
+
+    Scale: df re-derives from tfdl with one tiny aggregate (terms-sized);
+    df and the scalar stats broadcast; one exchange for the per-doc
+    pivot-sum; TakeOrdered for the top-k."""
+    df_ = tfdl.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats_d = stats.select(
+        F.col("n_docs").cast("double").alias("_n_docs"),
+        F.col("tot_tokens").cast("double").alias("_tot"),
+    )
+    avgdl = F.col("_tot") / F.col("_n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    scored = (
+        tfdl.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats_d))
+        .select(id_col, "term", contrib.alias("_s"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == term, F.col("_s"))).alias(f"_s{i}")
+            for i, term in enumerate(terms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return (
+        per_doc.select(id_col, F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

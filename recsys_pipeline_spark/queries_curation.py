@@ -1505,49 +1505,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the exploded stream never shuffles unmatched terms); df and
     the corpus stats are broadcast scalar/K-row frames; one exchange for the
     per-doc tf aggregate, one map-side-limited TakeOrdered for the top-k.
+
+    The fact mining and scoring live in operators/text.bm25_facts /
+    bm25_topk_from_facts — shared verbatim with the streaming twin
+    (streaming/curation_stream.bm25_stream), so the pair cannot diverge.
     """
-    from recsys_pipeline_spark.operators.text import tokens
+    from recsys_pipeline_spark.operators.text import bm25_facts, bm25_topk_from_facts
 
     d = read_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).localCheckpoint(
-        eager=False
-    )  # consumers: dl, corpus stats, term stream
-    dl = t.select("doc_id", F.size("toks").cast("double").alias("dl"))
-    stats = t.agg(
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.sum(F.size("toks")).cast("double").alias("_tot"),
-    )
-    term_rows = t.select("doc_id", F.explode("toks").alias("term")).filter(
-        F.col("term").isin(list(BM25_TERMS))
-    )
-    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    avgdl = F.col("_tot") / F.col("_n_docs")
-    idf = F.log(
-        F.lit(1.0) + (F.col("_n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
-        F.col("tf") + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "term", contrib.alias("_s"))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("term") == term, F.col("_s"))).alias(f"_s{i}")
-            for i, term in enumerate(BM25_TERMS)
-        ]
-    )
-    score = F.lit(0.0)
-    for i in range(len(BM25_TERMS)):
-        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-    return (
-        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
+    tfdl, stats = bm25_facts(d, "doc_id", "text", BM25_TERMS)
+    return bm25_topk_from_facts(
+        tfdl, stats, "doc_id", BM25_TERMS, BM25_K1, BM25_B, 20
     )
 
 

@@ -867,3 +867,55 @@ def url_dedup_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def bm25_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple,
+    k1: float,
+    b: float,
+    k: int,
+    out_dir: str,
+    tfdl_dir: str,
+    stats_dir: str,
+) -> None:
+    """BM25 retrieval online: each epoch emits the top-k over the PREFIX
+    corpus. State is two tables, both bounded and mergeable: per-epoch
+    (id, term, tf, dl) facts — append-once per doc and QUERY-TERM-FILTERED,
+    so the table holds only matching docs, never the corpus — and a
+    per-epoch (n_docs, tot_tokens) counter row (sum-mergeable, the
+    LM/tokenize twins' count-delta shape). An epoch's output equals the
+    batch operator run on the prefix corpus (asserted in tests); on a
+    single micro-batch that IS the batch result. Scores drift as df/avgdl
+    grow — the honest online semantics of any corpus-statistic scorer.
+
+    The fact mining and scoring expressions are the batch operator's own
+    (text.bm25_facts / bm25_topk_from_facts), so the pair cannot diverge.
+    """
+    from recsys_pipeline_spark.operators.text import bm25_facts, bm25_topk_from_facts
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        tfdl, stats = bm25_facts(batch, id_col, text_col, terms)
+        _write_epoch(tfdl, tfdl_dir, epoch_id)
+        _write_epoch(stats, stats_dir, epoch_id)
+        merged_tfdl = _read_state(spark, tfdl_dir, tfdl, epoch_id).unionByName(tfdl)
+        merged_stats = (
+            _read_state(spark, stats_dir, stats, epoch_id)
+            .unionByName(stats)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("tot_tokens").alias("tot_tokens"),
+            )
+        )
+        _write_epoch(
+            bm25_topk_from_facts(merged_tfdl, merged_stats, id_col, terms, k1, b, k),
+            out_dir,
+            epoch_id,
+        )
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

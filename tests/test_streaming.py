@@ -1200,3 +1200,56 @@ def test_streaming_pack_token_bins_exact_on_ordered_ranges(spark, tmp_path):
         .collect()
     }
     assert latest == totals
+
+
+def test_streaming_bm25_matches_batch_on_prefix(spark, tmp_path):
+    """Each epoch's top-k must equal the batch BM25 operator on the PREFIX
+    corpus (top-k is corpus-global, so the epoch output is not restricted
+    to the epoch's docs), with state held as query-term-filtered fact rows
+    plus sum-mergeable (n_docs, tot_tokens) counters; the final epoch
+    (prefix = everything) must equal the full batch result."""
+    from recsys_pipeline_spark.operators.text import bm25_facts, bm25_topk_from_facts
+    from recsys_pipeline_spark.queries_curation import BM25_B, BM25_K1, BM25_TERMS
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "bm_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "bm_out")
+    cs.bm25_stream(
+        stream, "doc_id", "text", BM25_TERMS, BM25_K1, BM25_B, 20,
+        out, str(tmp_path / "bm_tfdl"), str(tmp_path / "bm_stats"),
+    )
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in got_all.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def batch_on(prefix):
+        tfdl, stats = bm25_facts(prefix, "doc_id", "text", BM25_TERMS)
+        return {
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk_from_facts(
+                tfdl, stats, "doc_id", BM25_TERMS, BM25_K1, BM25_B, 20
+            ).collect()
+        }
+
+    # the half0 epoch is the one whose top-k holds only even doc ids
+    def got(e):
+        return {
+            (r["doc_id"], r["bm25"])
+            for r in got_all.filter(F.col("_epoch") == e).collect()
+        }
+
+    e0 = [e for e in epochs if all(d % 2 == 0 for d, _ in got(e))]
+    assert len(e0) == 1
+    e1 = [e for e in epochs if e != e0[0]][0]
+    assert got(e0[0]) == batch_on(half0) and len(got(e0[0])) == 20
+    assert got(e1) == batch_on(docs) and len(got(e1)) == 20
