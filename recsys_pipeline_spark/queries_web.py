@@ -256,6 +256,56 @@ SQL_ZORDER_LAYOUT = _zorder_sql(
 # crawl_ingest composite
 # ---------------------------------------------------------------------------
 
+def warc_blobs(docs: DataFrame) -> DataFrame:
+    """Test-rig synthesis: wrap each document's synthesized page in a
+    Content-Length-framed WARC record (messy URL in WARC-Target-URI) and
+    concatenate 40 records per capture blob — the object-store file shape
+    a real ingest reads. Shared by the batch composite and the streaming
+    twin's test input so both parse the byte-identical captures."""
+    did = F.col("doc_id")
+    page = _synth_page(did)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        _messy_url(did),
+        F.lit("\r\nContent-Length: "), F.octet_length(page).cast("string"),
+        F.lit("\r\n\r\n"), page, F.lit("\r\n\r\n"),
+    )
+    return (
+        docs.select(
+            (did % 40).alias("file_id"),
+            F.struct("doc_id", rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda x: x["rec"]
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("blob")
+        )
+    )
+
+
+def extract_keyed(parsed: DataFrame) -> DataFrame:
+    """parse_warc output → html_extract → the keyed ingest frame
+    (doc_id, canonical_url, content, n_links). The doc id is recovered
+    from the parsed page's title (the synthesis embeds it there — in
+    production this is the crawl record id); the dedup key is the
+    CANONICAL form of the WARC header URL. Shared verbatim by the batch
+    composite and the streaming twin, so the pair cannot diverge."""
+    ex = W.html_extract(parsed, "content")
+    return ex.select(
+        F.regexp_extract("title", r"Doc ([0-9]+) ", 1).cast("long").alias("doc_id"),
+        text.canonical_url(F.col("url")).alias("canonical_url"),
+        "content",
+        "n_links",
+    )
+
+
 def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl ingest — the first stage of every 100 TB corpus
     run, as one registered query: WARC capture blobs (Content-Length
@@ -275,44 +325,17 @@ def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds its usual co-keyed gram exchanges on the (already keeper-sized)
     survivor set.
     """
+    return crawl_ingest_report(read_table(spark, sf_dir, "documents"))
+
+
+def crawl_ingest_report(d: DataFrame) -> DataFrame:
+    """The composite over an explicit documents frame (q_crawl_ingest reads
+    the table; the streaming parity tests run it on prefix slices)."""
     from recsys_pipeline_spark.operators.curation import quality_gate
     from recsys_pipeline_spark.operators.multimodal import parse_warc
 
-    d = read_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    page = _synth_page(did)
-    rec = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
-        _messy_url(did),
-        F.lit("\r\nContent-Length: "), F.octet_length(page).cast("string"),
-        F.lit("\r\n\r\n"), page, F.lit("\r\n\r\n"),
-    )
-    blobs = (
-        d.select(
-            (did % 40).alias("file_id"),
-            F.struct("doc_id", rec.alias("rec")).alias("s"),
-        )
-        .groupBy("file_id")
-        .agg(
-            F.encode(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("s")), lambda x: x["rec"]
-                    ),
-                    "",
-                ),
-                "UTF-8",
-            ).alias("blob")
-        )
-    )
-    parsed = parse_warc(blobs, "blob")
-    ex = W.html_extract(parsed, "content")
-    keyed = ex.select(
-        F.regexp_extract("title", r"Doc ([0-9]+) ", 1).cast("long").alias("doc_id"),
-        text.canonical_url(F.col("url")).alias("canonical_url"),
-        "content",
-        "n_links",
-    )
+    parsed = parse_warc(warc_blobs(d), "blob")
+    keyed = extract_keyed(parsed)
     keeper = (
         keyed.groupBy("canonical_url")
         .agg(

@@ -919,3 +919,81 @@ def bm25_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def crawl_ingest_stream(
+    stream: DataFrame,
+    out_dir: str,
+    *,
+    min_tokens: int,
+    max_tokens: int,
+    min_mtl_x100: int,
+    max_mtl_x100: int,
+    dup3_ppm_max: int,
+) -> None:
+    """The ingest composite online — production crawl ingest IS a stream of
+    capture files: each micro-batch delivers WARC BLOBS; per epoch they run
+    parse → html_extract → canonical-URL admission → quality gate on the
+    extracted content, emitting the batch composite's per-doc report minus
+    the duplicate count (an admission gate cannot know future duplicates).
+
+    Admission semantics (the url_dedup_stream contract): within a batch the
+    winner is min(doc_id) per canonical URL; across batches first-epoch-wins
+    — the arrival-order semantics of an ingest gate. The admitted output IS
+    the state: prior canonical keys re-derive from the sink, so a replayed
+    epoch cannot double-admit. On a single micro-batch the admitted set
+    equals the batch composite's min-id keepers exactly (asserted in
+    tests), and each admitted doc's gate verdict ALWAYS equals the batch
+    gate's (the quality rules are per-document, corpus-independent).
+
+    Parse/extract/key/gate expressions are the batch composite's own
+    (multimodal.parse_warc, queries_web.extract_keyed,
+    curation.quality_gate), so the pair cannot diverge.
+
+    Scale: parse+extract is the same single Arrow narrow map per blob as
+    the batch path; admission is one per-key window (map-side
+    WindowGroupLimit) + an anti-join against seen keys; state reads move
+    only canonical-URL keys, never content.
+    """
+    from recsys_pipeline_spark.operators.curation import quality_gate
+    from recsys_pipeline_spark.operators.multimodal import parse_warc
+    from recsys_pipeline_spark.queries_web import extract_keyed
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        keyed = extract_keyed(parse_warc(batch, "blob"))
+        w = Window.partitionBy("canonical_url").orderBy(F.col("doc_id").asc())
+        firsts = (
+            keyed.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        like = firsts.select(
+            "doc_id", "canonical_url", "n_links",
+            F.lit(0).cast("int").alias("n_tokens"),
+            F.lit("").alias("drop_reasons"),
+            F.lit(0).cast("int").alias("keep"),
+        )
+        seen = _read_state(spark, out_dir, like, epoch_id).select("canonical_url")
+        admitted = firsts.join(seen, "canonical_url", "left_anti").localCheckpoint(
+            eager=False
+        )  # feeds the gate AND the final join
+        gate = quality_gate(
+            admitted.select("doc_id", "content"),
+            "doc_id",
+            "content",
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            min_mtl_x100=min_mtl_x100,
+            max_mtl_x100=max_mtl_x100,
+            dup3_ppm_max=dup3_ppm_max,
+        )
+        report = admitted.join(gate, "doc_id").select(
+            "doc_id", "canonical_url", "n_links",
+            "n_tokens", "drop_reasons", "keep",
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

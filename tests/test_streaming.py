@@ -1253,3 +1253,75 @@ def test_streaming_bm25_matches_batch_on_prefix(spark, tmp_path):
     e1 = [e for e in epochs if e != e0[0]][0]
     assert got(e0[0]) == batch_on(half0) and len(got(e0[0])) == 20
     assert got(e1) == batch_on(docs) and len(got(e1)) == 20
+
+
+def test_streaming_crawl_ingest_matches_batch(spark, tmp_path):
+    """Ingest-gate parity: epoch 0's report must equal the batch composite
+    on the first half's captures (minus the duplicate count an admission
+    gate cannot know); epoch 1's must equal the batch composite on the
+    second half restricted to canonical URLs NOT already admitted —
+    first-epoch-wins, min-id within an epoch. Gate verdicts are
+    per-document, so they match the batch gate's exactly either way."""
+    from recsys_pipeline_spark.queries_curation import (
+        QF_DUP3_PPM_MAX,
+        QF_MAX_TOKENS,
+        QF_MIN_TOKENS,
+        QF_MTL_MAX_X100,
+        QF_MTL_MIN_X100,
+    )
+    from recsys_pipeline_spark.queries_web import crawl_ingest_report, warc_blobs
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "ci_src")
+    warc_blobs(half0).coalesce(1).write.parquet(src)
+    warc_blobs(half1).coalesce(1).write.mode("append").parquet(src)
+    blob_schema = warc_blobs(docs).schema
+    stream = (
+        spark.readStream.schema(blob_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "ci_out")
+    cs.crawl_ingest_stream(
+        stream, out,
+        min_tokens=QF_MIN_TOKENS, max_tokens=QF_MAX_TOKENS,
+        min_mtl_x100=QF_MTL_MIN_X100, max_mtl_x100=QF_MTL_MAX_X100,
+        dup3_ppm_max=QF_DUP3_PPM_MAX,
+    )
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in got_all.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    cols = ["doc_id", "canonical_url", "n_links", "n_tokens", "drop_reasons", "keep"]
+
+    def got(e):
+        return {tuple(r) for r in got_all.filter(F.col("_epoch") == e).select(*cols).collect()}
+
+    def batch_on(prefix, exclude_canon=None):
+        rep = crawl_ingest_report(prefix)
+        if exclude_canon is not None:
+            rep = rep.join(exclude_canon, "canonical_url", "left_anti")
+        return {tuple(r) for r in rep.select(*cols).collect()}
+
+    # which epoch carried half0 (even ids only)?
+    by_ids = {e: {t[0] for t in got(e)} for e in epochs}
+    e0 = [e for e in epochs if all(i % 2 == 0 for i in by_ids[e])]
+    assert len(e0) == 1
+    e0 = e0[0]
+    e1 = [e for e in epochs if e != e0][0]
+    got0 = got(e0)
+    assert got0 == batch_on(half0) and len(got0) > 0
+    seen0 = got_all.filter(F.col("_epoch") == e0).select("canonical_url")
+    got1 = got(e1)
+    assert got1 == batch_on(half1, exclude_canon=seen0) and len(got1) > 0
+    # every canonical admitted exactly once across the stream, and the
+    # admitted key set equals the batch composite's on the full corpus
+    all_canon = [t[1] for t in got0 | got1]
+    assert len(all_canon) == len(set(all_canon))
+    assert set(all_canon) == {
+        r["canonical_url"] for r in crawl_ingest_report(docs).select("canonical_url").collect()
+    }
+    got_all.unpersist()
