@@ -176,7 +176,12 @@ def pagerank(
     n = hosts.count()
     if n == 0:
         raise ValueError("pagerank: hosts frame is empty (n == 0)")
-    bcast = (lambda d: F.broadcast(d)) if n <= max_broadcast_nodes else (lambda d: d)
+    broadcast_ok = n <= max_broadcast_nodes
+    bcast = (lambda d: F.broadcast(d)) if broadcast_ok else (lambda d: d)
+    if not broadcast_ok:
+        # shuffle path: pay the corpus-sized edge exchange ONCE — every
+        # iteration's contrib join then reuses the src partitioning
+        edges = edges.repartition(F.col("src")).localCheckpoint(eager=False)
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = hosts.join(bcast(out_deg), hosts.host == out_deg.src, "left").select(

@@ -212,6 +212,28 @@ def test_zorder_files_partition_zspace_tightly(spark):
 # crawl_ingest plan shape
 # ---------------------------------------------------------------------------
 
+def test_html_extract_query_is_zero_exchange_single_scan(spark):
+    from recsys_pipeline_spark.queries_web import q_html_extract
+
+    df = q_html_extract(spark, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0  # pure regexp codegen narrow map
+    assert plan.count("FileScan") == 1
+
+
+def test_zorder_layout_is_stats_pass_plus_one_layout_exchange(spark):
+    from recsys_pipeline_spark.queries_web import q_zorder_layout
+
+    df = q_zorder_layout(spark, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two scans by design (write-planner stats pass + the layout pass);
+    # exchanges: the scalar stats agg pair + ONE shuffle on file_id
+    assert plan.count("FileScan") == 2
+    assert plan.count("Exchange") <= 3
+
+
 def test_crawl_ingest_parses_blobs_exactly_once(spark):
     from recsys_pipeline_spark.queries_web import q_crawl_ingest
 
