@@ -167,7 +167,10 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.pagerank(edges, hosts, iters=PR_ITERS)
 
 
-def _pagerank_sql(n: int, fanout: int, iters: int, scale: int) -> str:
+def _pagerank_ctes(n: int, fanout: int, iters: int, scale: int) -> str:
+    """The unrolled-iteration CTE block (shared by the standalone oracle
+    and the host_quality_filter composite's oracle); the final ranks frame
+    is CTE ``r{iters}``."""
     base = (W.PR_DAMP_DEN - W.PR_DAMP_NUM) * scale // (W.PR_DAMP_DEN * n)
     union = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id % {n} AS src, "
@@ -199,13 +202,14 @@ def _pagerank_sql(n: int, fanout: int, iters: int, scale: int) -> str:
                  // {W.PR_DAMP_DEN} AS BIGINT) AS rank
      FROM {p} r LEFT JOIN i{k} i ON r.host = i.dst CROSS JOIN d{k} d)"""
         )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT host, out_deg, rank AS rank_scaled FROM r{iters}"
-    )
+    return ",\n".join(ctes)
 
 
-SQL_PAGERANK_HOSTS = _pagerank_sql(WEB_N_HOSTS, WEB_FANOUT, PR_ITERS, W.PR_SCALE)
+SQL_PAGERANK_HOSTS = (
+    "WITH "
+    + _pagerank_ctes(WEB_N_HOSTS, WEB_FANOUT, PR_ITERS, W.PR_SCALE)
+    + f"\nSELECT host, out_deg, rank AS rank_scaled FROM r{PR_ITERS}"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -420,11 +424,113 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# host_quality_filter: rank x gate — the reason a corpus run computes
+# PageRank at all (Common Crawl-style pipelines drop documents from
+# low-rank hosts before any per-document scoring is trusted)
+# ---------------------------------------------------------------------------
+
+def q_host_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep decision combining the HOST-level crawl-quality
+    signal with the per-document rule gate: a doc survives iff its host's
+    PageRank is at least the uniform mass (`scale DIV n_hosts` — hosts the
+    link graph favors) AND the document itself passes the quality rules.
+    Output is the audit row a curation run logs: both verdicts separately
+    plus the conjunction.
+
+    Scale: ranks are a |hosts|-row frame — broadcast into the doc join
+    (never a shuffle of the corpus); the gate signals are the
+    quality_filter plan; threshold is integer algebra, no percentile pass.
+    """
+    from recsys_pipeline_spark.operators.curation import quality_gate
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = W.host_edges(d, "doc_id", WEB_N_HOSTS, fanout=WEB_FANOUT)
+    hosts = spark.range(WEB_N_HOSTS).select(F.col("id").alias("host"))
+    ranks = W.pagerank(edges, hosts, iters=PR_ITERS).select("host", "rank_scaled")
+    uniform = W.PR_SCALE // WEB_N_HOSTS
+    gate = quality_gate(
+        d, "doc_id", "text",
+        min_tokens=QF_MIN_TOKENS, max_tokens=QF_MAX_TOKENS,
+        min_mtl_x100=QF_MTL_MIN_X100, max_mtl_x100=QF_MTL_MAX_X100,
+        dup3_ppm_max=QF_DUP3_PPM_MAX,
+    ).select("doc_id", F.col("keep").alias("doc_ok"))
+    docs_hosted = d.select(
+        "doc_id", (F.col("doc_id") % WEB_N_HOSTS).cast("long").alias("host")
+    )
+    return (
+        docs_hosted.join(F.broadcast(ranks), "host")
+        .join(gate, "doc_id")
+        .select(
+            "doc_id",
+            "host",
+            "rank_scaled",
+            F.when(F.col("rank_scaled") >= uniform, 1).otherwise(0).alias("host_ok"),
+            "doc_ok",
+            (
+                F.when(F.col("rank_scaled") >= uniform, 1).otherwise(0)
+                * F.col("doc_ok")
+            ).alias("keep"),
+        )
+    )
+
+
+_STOP_EN_SQL = _STOP_EN
+
+SQL_HOST_QUALITY_FILTER = (
+    "WITH "
+    + _pagerank_ctes(WEB_N_HOSTS, WEB_FANOUT, PR_ITERS, W.PR_SCALE)
+    + f""",
+qt AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+qsig AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                   * 100 // len(toks)
+              ELSE 0 END AS mean_tok_len_x100,
+         len(list_filter(toks, x -> x IN {_STOP_EN_SQL})) AS stop_hits,
+         CASE WHEN len(toks) >= 3 THEN list_transform(
+                range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [] END AS grams
+  FROM qt
+),
+qd AS (
+  SELECT doc_id, n_tokens, mean_tok_len_x100, stop_hits,
+         CASE WHEN len(grams) > 0
+              THEN (len(grams) - len(list_distinct(grams))) * 1000000
+                   // len(grams)
+              ELSE 0 END AS dup3_ppm
+  FROM qsig
+),
+qg AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+               AND mean_tok_len_x100 >= {QF_MTL_MIN_X100}
+               AND mean_tok_len_x100 <= {QF_MTL_MAX_X100}
+               AND stop_hits > 0 AND dup3_ppm <= {QF_DUP3_PPM_MAX}
+              THEN 1 ELSE 0 END AS doc_ok
+  FROM qd
+)
+SELECT d.doc_id, d.doc_id % {WEB_N_HOSTS} AS host, r.rank AS rank_scaled,
+       CASE WHEN r.rank >= {W.PR_SCALE // WEB_N_HOSTS} THEN 1 ELSE 0 END
+         AS host_ok,
+       qg.doc_ok,
+       (CASE WHEN r.rank >= {W.PR_SCALE // WEB_N_HOSTS} THEN 1 ELSE 0 END)
+         * qg.doc_ok AS keep
+FROM documents d
+JOIN r{PR_ITERS} r ON d.doc_id % {WEB_N_HOSTS} = r.host
+JOIN qg qg ON d.doc_id = qg.doc_id
+"""
+)
+
+
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "pagerank_hosts": q_pagerank_hosts,
     "zorder_layout": q_zorder_layout,
     "crawl_ingest": q_crawl_ingest,
+    "host_quality_filter": q_host_quality_filter,
 }
 
 ORACLES_WEB: dict[str, str] = {
@@ -432,4 +538,5 @@ ORACLES_WEB: dict[str, str] = {
     "pagerank_hosts": SQL_PAGERANK_HOSTS,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "crawl_ingest": SQL_CRAWL_INGEST,
+    "host_quality_filter": SQL_HOST_QUALITY_FILTER,
 }

@@ -76,6 +76,8 @@ CAPS = {
     "zorder_layout": 4.0,    # measured 1.7 (stats pass + one file_id exchange)
     "crawl_ingest": 5.0,     # measured 2.0 (8x parse/extract; keeper set and
     # gate work stay canonical-cell-bounded under replication)
+    "host_quality_filter": 4.0,  # measured 1.4 (iteration-overhead-bound
+    # pagerank + linear gate; ranks broadcast into the doc join)
 }
 
 
