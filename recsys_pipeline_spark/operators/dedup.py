@@ -704,15 +704,28 @@ def dup_span_coverage(
     The per-doc sum rides the window's hash partitioning on the id. No
     collect, no UDF, no cartesian; every exchange is keyed on gram or id.
     """
-    from pyspark.sql import Window
+    t = span_token_frame(docs, id_col, text_col)
+    occ = span_occurrences(t, id_col, n)
+    dup = span_gram_df(occ, id_col).filter(F.col("_df") >= 2).select("gram")
+    return span_coverage_report(t, occ, dup, id_col, n)
 
+
+def span_token_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks), lazily checkpointed — consumers: occurrence mining +
+    per-doc sizes. Shared by the batch span operators and the streaming
+    twin, so tokenization cannot diverge."""
     from recsys_pipeline_spark.operators.text import tokens
 
-    t = docs.select(
+    return docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("toks")
-    ).localCheckpoint(eager=False)  # consumers: occurrence mining + per-doc sizes
+    ).localCheckpoint(eager=False)
+
+
+def span_occurrences(t: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, i, gram) — every fixed-length span occurrence, lazily
+    checkpointed (consumers: the df aggregate + the coverage join)."""
     n_tok = F.size("toks")
-    occ = (
+    return (
         t.select(
             id_col,
             "toks",
@@ -729,20 +742,36 @@ def dup_span_coverage(
                 " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
             ).alias("gram"),
         )
-        .localCheckpoint(eager=False)  # consumers: df aggregate + coverage join
+        .localCheckpoint(eager=False)
     )
-    gram_df = (
+
+
+def span_gram_df(occ: DataFrame, id_col: str) -> DataFrame:
+    """(gram, _df): per-gram DOCUMENT frequency — an (id, gram) distinct
+    then a map-side-partial count. Over an append-only corpus slice this is
+    a sum-mergeable delta (a doc contributes to a gram's df exactly once),
+    which is what makes the streaming twin's state a counter table."""
+    return (
         occ.select(id_col, "gram")
         .distinct()
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
-    dup = gram_df.filter(F.col("_df") >= 2).select("gram")
+
+
+def span_coverage_report(
+    t: DataFrame, occ: DataFrame, dup_grams: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """(id, n_tokens, covered_tokens, coverage_ppm) given the duplicated
+    gram set: the interval-union sweep (sorted starts, each contributes
+    min(n, gap to next)) + the per-doc ppm projection."""
+    from pyspark.sql import Window
+
     # interval union over [i, i+n-1] spans: starts are unique per doc, so
     # with starts sorted each contributes min(n, gap to the next start)
     w = Window.partitionBy(id_col).orderBy("i")
     covered = (
-        occ.join(dup, "gram")
+        occ.join(dup_grams, "gram")
         .select(
             id_col,
             F.least(
@@ -752,7 +781,7 @@ def dup_span_coverage(
         .groupBy(id_col)
         .agg(F.sum("_c").alias("_covered"))
     )
-    base = t.select(id_col, n_tok.cast("long").alias("n_tokens"))
+    base = t.select(id_col, F.size("toks").cast("long").alias("n_tokens"))
     cov = F.coalesce(F.col("_covered"), F.lit(0)).cast("long")
     return base.join(covered, id_col, "left").select(
         id_col,

@@ -997,3 +997,58 @@ def crawl_ingest_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def dup_span_coverage_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out_dir: str,
+    df_dir: str,
+) -> None:
+    """Duplicate-span coverage online: each epoch scores ITS documents
+    against the gram document frequencies of the PREFIX corpus. State =
+    per-epoch (gram, _df) DELTA counters — sum-mergeable because a doc
+    contributes to a gram's df exactly once and the corpus is append-only
+    (the LM/tokenize/BM25 twins' count-delta shape); merging is one grouped
+    SUM, never a re-read of raw documents. A gram is duplicated when its
+    PREFIX df >= 2 — including a single-occurrence gram in an old doc that
+    a new doc now matches, which is exactly the retroactivity the batch
+    operator sees when run on the whole prefix. An epoch's output equals
+    the batch operator on the prefix corpus restricted to the epoch's
+    documents (asserted in tests); earlier epochs' scores are NOT
+    retro-emitted — the honest online semantics (re-run the batch operator
+    on corpus freeze for the final signal).
+
+    Tokenize / occurrence / df / sweep expressions are the batch
+    operator's own (dedup.span_token_frame / span_occurrences /
+    span_gram_df / span_coverage_report), so the pair cannot diverge.
+    """
+    from recsys_pipeline_spark.operators.dedup import (
+        span_coverage_report,
+        span_gram_df,
+        span_occurrences,
+        span_token_frame,
+    )
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        t = span_token_frame(batch, id_col, text_col)
+        occ = span_occurrences(t, id_col, n)
+        batch_df = span_gram_df(occ, id_col)
+        _write_epoch(batch_df, df_dir, epoch_id)
+        merged = (
+            _read_state(spark, df_dir, batch_df, epoch_id)
+            .unionByName(batch_df)
+            .groupBy("gram")
+            .agg(F.sum("_df").alias("_df"))
+        )
+        dup = merged.filter(F.col("_df") >= 2).select("gram")
+        _write_epoch(
+            span_coverage_report(t, occ, dup, id_col, n), out_dir, epoch_id
+        )
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

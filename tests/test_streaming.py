@@ -1325,3 +1325,58 @@ def test_streaming_crawl_ingest_matches_batch(spark, tmp_path):
         r["canonical_url"] for r in crawl_ingest_report(docs).select("canonical_url").collect()
     }
     got_all.unpersist()
+
+
+def test_streaming_dup_span_coverage_matches_batch_on_prefix(spark, tmp_path):
+    """Each epoch's coverage must equal the batch operator on the PREFIX
+    corpus restricted to the epoch's documents — including the cross-epoch
+    case where an epoch-1 doc duplicates a gram that occurred only ONCE in
+    epoch 0 (prefix df reaches 2 across the boundary), with state held as
+    sum-mergeable (gram, df) deltas. The final epoch's scores equal the
+    full batch result for its docs."""
+    from recsys_pipeline_spark.operators.dedup import dup_span_coverage
+    from recsys_pipeline_spark.queries_curation import DUP_SPAN_N
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "sp_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, dfd = str(tmp_path / "sp_out"), str(tmp_path / "sp_df")
+    cs.dup_span_coverage_stream(stream, "doc_id", "text", DUP_SPAN_N, out, dfd)
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in got_all.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    by_epoch = {
+        e: {r["doc_id"] for r in got_all.filter(F.col("_epoch") == e).collect()}
+        for e in epochs
+    }
+    e0 = [e for e, ids in by_epoch.items() if all(i % 2 == 0 for i in ids)]
+    assert len(e0) == 1
+    e0 = e0[0]
+    e1 = [e for e in epochs if e != e0][0]
+
+    def got(e):
+        return {
+            (r["doc_id"], r["n_tokens"], r["covered_tokens"], r["coverage_ppm"])
+            for r in got_all.filter(F.col("_epoch") == e).collect()
+        }
+
+    def batch_on(prefix, members):
+        return {
+            (r["doc_id"], r["n_tokens"], r["covered_tokens"], r["coverage_ppm"])
+            for r in dup_span_coverage(prefix, "doc_id", "text", n=DUP_SPAN_N)
+            .join(members.select("doc_id"), "doc_id")
+            .collect()
+        }
+
+    assert got(e0) == batch_on(half0, half0) and len(got(e0)) > 0
+    assert got(e1) == batch_on(docs, half1) and len(got(e1)) > 0
+    got_all.unpersist()
