@@ -244,3 +244,50 @@ def test_crawl_ingest_parses_blobs_exactly_once(spark):
     # the parse/extract pipeline runs once, not once per gate consumer
     assert "MapInPandas" not in plan
     assert "FileScan" not in plan  # documents scanned only upstream of it
+
+
+# ---------------------------------------------------------------------------
+# html_extract property: escape -> embed -> extract round trip
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# body text drawn from printable-ish chars INCLUDING the html-special ones;
+# the page builder escapes them, html_extract must invert the escaping
+_raw_text = st.text(
+    alphabet=st.sampled_from(list("abcxyz <>&\"'01.")), min_size=0, max_size=60
+)
+
+
+def _escape(s: str) -> str:
+    # forward escaping: & first (the inverse order of _ENTITIES' unescape)
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#39;")
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_raw_text, min_size=1, max_size=4))
+def test_html_extract_roundtrips_escaped_text(spark, texts):
+    """Arbitrary text (including <, >, &, quotes) escaped into paragraph
+    bodies must come back out of html_extract exactly — modulo the
+    documented whitespace collapse — across any number of paragraphs."""
+    import re
+
+    page = (
+        "<html><head><title>t</title></head><body>"
+        + "".join(f"<p>{_escape(t)}</p>" for t in texts)
+        + "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id int, page string")
+    row = W.html_extract(df, "page").collect()[0]
+    expected = re.sub(r"\s+", " ", " ".join(_escape(t) for t in texts)).strip()
+    # undo exactly one escape level, the way _clean_block does
+    for ent, ch in W._ENTITIES:
+        expected = expected.replace(ent, ch)
+    assert row["content"] == expected
