@@ -4,7 +4,9 @@ host-graph quality signal (`pagerank_hosts`, integer-exact so five
 iterations are bit-identical across engines), z-order write-layout planning
 (`zorder_layout`), and the end-to-end ingest composite (`crawl_ingest`:
 WARC parse → HTML extract → URL-canonicalization dedup → quality gate —
-the stage every 100 TB corpus run executes first).
+the stage every 100 TB corpus run executes first), plus
+`host_quality_filter` (PageRank-gated curation: host rank x document
+quality gate — the reason a corpus run computes host ranks at all).
 
 The testdata carries no raw-crawl table, so — like `warc_extract` and
 `url_dedup` before them — these queries SYNTHESIZE deterministic pages
@@ -475,8 +477,6 @@ def q_host_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOP_EN_SQL = _STOP_EN
-
 SQL_HOST_QUALITY_FILTER = (
     "WITH "
     + _pagerank_ctes(WEB_N_HOSTS, WEB_FANOUT, PR_ITERS, W.PR_SCALE)
@@ -488,7 +488,7 @@ qsig AS (
               THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
                    * 100 // len(toks)
               ELSE 0 END AS mean_tok_len_x100,
-         len(list_filter(toks, x -> x IN {_STOP_EN_SQL})) AS stop_hits,
+         len(list_filter(toks, x -> x IN {_STOP_EN})) AS stop_hits,
          CASE WHEN len(toks) >= 3 THEN list_transform(
                 range(1, len(toks) - 1),
                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
@@ -520,7 +520,7 @@ SELECT d.doc_id, d.doc_id % {WEB_N_HOSTS} AS host, r.rank AS rank_scaled,
          * qg.doc_ok AS keep
 FROM documents d
 JOIN r{PR_ITERS} r ON d.doc_id % {WEB_N_HOSTS} = r.host
-JOIN qg qg ON d.doc_id = qg.doc_id
+JOIN qg ON d.doc_id = qg.doc_id
 """
 )
 
