@@ -892,3 +892,65 @@ def dup_span_trim(
         F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact line dedup (C4's "discard all but one of any three-sentence span /
+# repeated line" hygiene stage, at line granularity: Raffel et al. 2020)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup: any line that occurred EARLIER in the
+    corpus (global order = (doc id, line position)) is removed; the first
+    occurrence survives — C4's repeated-line discard, order-deterministic
+    so both engines keep the same survivor. Emits (id, cleaned_text,
+    n_kept, n_dropped) for every document; a fully-duplicated document
+    cleans to the empty string.
+
+    Distinct from the span family (sliding n-grams measure PARTIAL
+    overlap) and from boilerplate_ngrams (per-source template mining):
+    this is the global exact-line discard every C4-style corpus pass runs.
+
+    Scale: one posexplode off the scan; the first-occurrence rule is a
+    rank-1 filter over a window keyed on the line — Spark rewrites it to
+    WindowGroupLimit, so each partition keeps only its per-line minimum
+    before the ONE line-keyed exchange (plan-pinned); the rebuild is the
+    span-trim regroup (array_sort over (pos, line) structs — no sort
+    exchange) on the doc key. No collect, no UDF; super-common lines cost
+    one surviving row per partition, not their full duplication count.
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).localCheckpoint(eager=False)  # consumers: the rank filter + per-doc totals
+    w = Window.partitionBy("line").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = (
+        lines.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("_n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )

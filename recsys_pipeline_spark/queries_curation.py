@@ -1547,6 +1547,64 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 20
 """
 
 
+LINE_TOKENS = 6  # tokens per synthesized line (261 duplicate lines dropped
+# at sf0.01 — the discard genuinely bites at test scale)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide exact LINE dedup (Raffel et al. 2020: discard
+    every repeated line, keep the first occurrence) — the hygiene pass
+    between URL dedup and the quality gate in a C4-shaped pipeline. The
+    testdata's documents are single-line, so the query synthesizes
+    line-structured text first (fixed 6-token lines — deterministic, and
+    aligned lines genuinely collide across documents at test scale), then
+    runs the operator; see operators/dedup.line_dedup for the
+    WindowGroupLimit scale shape.
+    """
+    from recsys_pipeline_spark.operators.dedup import line_dedup
+    from recsys_pipeline_spark.operators.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    k = LINE_TOKENS
+    lined = d.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(sequence(1, (size(toks) + {k - 1}) DIV {k}),"
+            f" i -> array_join(slice(toks, (i - 1) * {k} + 1, {k}), ' ')), '\\n')"
+        ).alias("text_lines"),
+    )
+    return line_dedup(lined, "doc_id", "text_lines")
+
+
+SQL_LINE_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+l AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(
+           toks[(i - 1) * {LINE_TOKENS} + 1 : (i - 1) * {LINE_TOKENS} + {LINE_TOKENS}],
+           ' ') AS line
+  FROM t, unnest(range(1, (len(toks) + {LINE_TOKENS - 1}) // {LINE_TOKENS} + 1)) u(i)
+),
+r AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM l
+),
+k AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM r WHERE rk = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT tot.doc_id, COALESCE(k.cleaned_text, '') AS cleaned_text,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_lines - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "negative_sample": q_negative_sample,
@@ -1591,6 +1649,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_survivors": _QX.q_semdedup_survivors,
     "dup_span_trim": q_dup_span_trim,
     "warc_extract": q_warc_extract,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1601,6 +1660,7 @@ ORACLES_CUR: dict[str, str] = {
     "semdedup_survivors": _QX.SQL_SEMDEDUP_SURVIVORS,
     "dup_span_trim": SQL_DUP_SPAN_TRIM,
     "warc_extract": SQL_WARC_EXTRACT,
+    "line_dedup": SQL_LINE_DEDUP,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -588,3 +588,53 @@ def test_parse_warc_content_length_framing_beats_delimiters(spark):
     assert ("u/2", "plain body", 10) in got
     assert not any(u == "u/3" for u, _, _ in got)
     assert len(got) == 2  # dup records across the two blobs collapse in the set
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (C4 repeated-line discard)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_keeps_first_global_occurrence(spark):
+    from recsys_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon line\ngamma"),
+            (2, "common line\ndelta"),        # line 1 seen in doc 1 -> dropped
+            (3, "common line\ncommon line"),  # fully duplicated -> empty
+            (4, "delta"),                     # seen in doc 2 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert got[1]["cleaned_text"] == "alpha beta\ncommon line\ngamma"
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (3, 0)
+    assert got[2]["cleaned_text"] == "delta"
+    assert (got[2]["n_kept"], got[2]["n_dropped"]) == (1, 1)
+    assert got[3]["cleaned_text"] == ""
+    assert (got[3]["n_kept"], got[3]["n_dropped"]) == (0, 2)
+    assert (got[4]["n_kept"], got[4]["n_dropped"]) == (0, 1)
+
+
+def test_line_dedup_within_doc_duplicates_also_collapse(spark):
+    from recsys_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "x y\nx y\nz")], "doc_id long, text string"
+    )
+    row = line_dedup(docs, "doc_id", "text").collect()[0]
+    assert row["cleaned_text"] == "x y\nz"
+    assert (row["n_kept"], row["n_dropped"]) == (2, 1)
+
+
+def test_line_dedup_rank_filter_is_map_side_group_limit(spark):
+    """The first-occurrence rule must compile to WindowGroupLimit (each
+    partition keeps only its per-line minimum BEFORE the line-keyed
+    exchange) — the property that keeps super-common lines from shipping
+    their full duplication count through the shuffle."""
+    from recsys_pipeline_spark.queries_curation import q_line_dedup
+
+    df = q_line_dedup(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

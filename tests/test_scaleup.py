@@ -78,6 +78,8 @@ CAPS = {
     # gate work stay canonical-cell-bounded under replication)
     "host_quality_filter": 4.0,  # measured 1.4 (iteration-overhead-bound
     # pagerank + linear gate; ranks broadcast into the doc join)
+    "line_dedup": 4.0,       # measured 1.6 (WindowGroupLimit keeps per-line
+    # minima map-side; one line-keyed exchange + the doc regroup)
 }
 
 
