@@ -921,20 +921,43 @@ def line_dedup(
     exchange) on the doc key. No collect, no UDF; super-common lines cost
     one surviving row per partition, not their full duplication count.
     """
-    from pyspark.sql import Window
+    lines = line_rows(docs, id_col, text_col, sep)
+    return line_rebuild(lines, line_firsts(lines, id_col), id_col, sep)
 
-    lines = docs.select(
+
+def line_rows(
+    docs: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(id, pos, line), lazily checkpointed — consumers: the rank filter +
+    per-doc totals. Shared with the streaming twin so the line split
+    cannot diverge."""
+    return docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).localCheckpoint(eager=False)  # consumers: the rank filter + per-doc totals
+    ).localCheckpoint(eager=False)
+
+
+def line_firsts(lines: DataFrame, id_col: str) -> DataFrame:
+    """The globally-first occurrence of each line ((id, pos) order) — the
+    rank-1 filter Spark compiles to WindowGroupLimit."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("line").orderBy(
         F.col(id_col).asc(), F.col("pos").asc()
     )
-    kept = (
+    return (
         lines.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def line_rebuild(
+    lines: DataFrame, kept: DataFrame, id_col: str, sep: str
+) -> DataFrame:
+    """(id, cleaned_text, n_kept, n_dropped) from the full line stream and
+    its surviving subset — the span-trim struct-sort regroup, with totals
+    joined back so fully-duplicated docs still emit (empty string)."""
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,

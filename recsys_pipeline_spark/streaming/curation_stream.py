@@ -1052,3 +1052,58 @@ def dup_span_coverage_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def line_dedup_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    lines_dir: str,
+    sep: str = "\n",
+) -> None:
+    """C4's repeated-line discard online: per micro-batch, a document keeps
+    a line iff that line's first occurrence across PREFIX + batch is this
+    (doc, pos) — within the batch the (id, pos)-minimum wins (the batch
+    operator's rule), and lines already admitted by earlier epochs drop
+    entirely. State = the admitted line set as per-epoch APPEND-ONCE deltas
+    (the decontaminate twin's set-delta shape): each epoch writes exactly
+    its newly-admitted lines, so the table is distinct-line-bounded and a
+    replayed epoch re-derives the same admissions. (A production deployment
+    stores line DIGESTS to bound row width; the twin stores the line itself
+    so parity with the batch operator is exact by construction, not
+    modulo hash collisions.) Admission is ARRIVAL-ordered across epochs
+    (first epoch wins), id-ordered within one — so an epoch's output
+    equals the batch operator on the prefix corpus restricted to the
+    epoch's documents exactly when arrival order matches id order
+    (asserted in tests over an id-ordered corpus); with out-of-order
+    arrival the admitted SET of lines is the same but a line's surviving
+    (doc, pos) is the first to ARRIVE, the ingest-gate semantics every
+    admission twin here shares (url_dedup_stream, crawl_ingest_stream).
+
+    Split / first-occurrence / rebuild expressions are the batch
+    operator's own (dedup.line_rows / line_firsts / line_rebuild), so the
+    pair cannot diverge.
+    """
+    from recsys_pipeline_spark.operators.dedup import (
+        line_firsts,
+        line_rebuild,
+        line_rows,
+    )
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        lines = line_rows(batch, id_col, text_col, sep)
+        firsts = line_firsts(lines, id_col)
+        seen = _read_state(
+            spark, lines_dir, firsts.select("line"), epoch_id
+        ).select("line")
+        kept = firsts.join(seen, "line", "left_anti").localCheckpoint(
+            eager=False
+        )  # feeds the rebuild AND the state delta
+        _write_epoch(line_rebuild(lines, kept, id_col, sep), out_dir, epoch_id)
+        _write_epoch(kept.select("line"), lines_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -1380,3 +1380,76 @@ def test_streaming_dup_span_coverage_matches_batch_on_prefix(spark, tmp_path):
     assert got(e0) == batch_on(half0, half0) and len(got(e0)) > 0
     assert got(e1) == batch_on(docs, half1) and len(got(e1)) > 0
     got_all.unpersist()
+
+
+def test_streaming_line_dedup_matches_batch_on_prefix(spark, tmp_path):
+    """Each epoch's cleaned documents must equal the batch line-dedup run
+    on the PREFIX corpus restricted to the epoch's documents — including
+    lines whose first occurrence was in an earlier epoch (they drop from
+    later docs entirely), with state held as append-once admitted-line
+    deltas."""
+    from recsys_pipeline_spark.operators.dedup import line_dedup
+    from recsys_pipeline_spark.operators.text import tokens
+    from recsys_pipeline_spark.queries_curation import LINE_TOKENS
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    k = LINE_TOKENS
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(sequence(1, (size(toks) + {k - 1}) DIV {k}),"
+            f" i -> array_join(slice(toks, (i - 1) * {k} + 1, {k}), ' ')), '\\n')"
+        ).alias("text_lines"),
+    )
+    # halves split by ID RANGE, not parity: the stream admits lines in
+    # ARRIVAL order while the batch operator keeps the smallest (doc, pos)
+    # GLOBALLY — the two agree exactly when arrival order == id order,
+    # which is the honest "prefix corpus" reading for an ordered corpus
+    # (with interleaved ids a line first ARRIVING in a big-id doc is
+    # admitted there, while the batch assigns it to a later-arriving
+    # smaller id — arrival semantics, not a bug; pinned by this choice)
+    half0 = docs.filter(F.col("doc_id") < 250)
+    half1 = docs.filter(F.col("doc_id") >= 250)
+    src = str(tmp_path / "ln_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, lnd = str(tmp_path / "ln_out"), str(tmp_path / "ln_lines")
+    cs.line_dedup_stream(stream, "doc_id", "text_lines", out, lnd)
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in got_all.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    by_epoch = {
+        e: {r["doc_id"] for r in got_all.filter(F.col("_epoch") == e).collect()}
+        for e in epochs
+    }
+    e0 = [e for e, ids in by_epoch.items() if all(i < 250 for i in ids)]
+    assert len(e0) == 1
+    e0 = e0[0]
+    e1 = [e for e in epochs if e != e0][0]
+
+    def got(e):
+        return {
+            (r["doc_id"], r["cleaned_text"], r["n_kept"], r["n_dropped"])
+            for r in got_all.filter(F.col("_epoch") == e).collect()
+        }
+
+    def batch_on(prefix, members):
+        return {
+            (r["doc_id"], r["cleaned_text"], r["n_kept"], r["n_dropped"])
+            for r in line_dedup(prefix, "doc_id", "text_lines")
+            .join(members.select("doc_id"), "doc_id")
+            .collect()
+        }
+
+    assert got(e0) == batch_on(half0, half0) and len(got(e0)) > 0
+    assert got(e1) == batch_on(docs, half1) and len(got(e1)) > 0
+    # cross-epoch bite: at least one epoch-1 doc must actually lose a line
+    assert any(t[3] > 0 for t in got(e1))
+    got_all.unpersist()
