@@ -178,9 +178,13 @@ def pagerank(
         raise ValueError("pagerank: hosts frame is empty (n == 0)")
     broadcast_ok = n <= max_broadcast_nodes
     bcast = (lambda d: F.broadcast(d)) if broadcast_ok else (lambda d: d)
-    if not broadcast_ok:
-        # shuffle path: pay the corpus-sized edge exchange ONCE — every
-        # iteration's contrib join then reuses the src partitioning
+    # pay the edge-list build (scan -> explode -> distinct shuffle) ONCE:
+    # without the checkpoint every iteration's contrib join re-executes it.
+    # The shuffle path additionally pre-partitions by src so each
+    # iteration's join reuses the exchange.
+    if broadcast_ok:
+        edges = edges.localCheckpoint(eager=False)
+    else:
         edges = edges.repartition(F.col("src")).localCheckpoint(eager=False)
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
