@@ -1605,6 +1605,81 @@ FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id
 """
 
 
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health dashboard every curation run publishes: per
+    (source, lang) — with ROLLUP subtotals and a grand total — document
+    count, keep-rate (ppm), total tokens, and the mean duplicate-3-gram
+    rate (ppm), all derived from the quality gate's audit rows. Metrics
+    are integer-exact (ppm via integer division) so the oracle matches
+    bit-for-bit; ROLLUP null keys are labeled '(all)' to keep the result
+    scalar-and-null-free in both engines.
+
+    Scale: the gate signals are the quality_filter plan; the rollup is
+    Spark's single-pass Expand (one scan, one grouping exchange — the
+    rollup_revenue shape, plan-pinned there)."""
+    d = read_table(spark, sf_dir, "documents")
+    gate = curation.quality_gate(
+        d, "doc_id", "text",
+        min_tokens=QF_MIN_TOKENS, max_tokens=QF_MAX_TOKENS,
+        min_mtl_x100=QF_MTL_MIN_X100, max_mtl_x100=QF_MTL_MAX_X100,
+        dup3_ppm_max=QF_DUP3_PPM_MAX,
+    ).select("doc_id", "n_tokens", "dup3_ppm", "keep")
+    joined = d.select("doc_id", "source", "lang").join(gate, "doc_id")
+    agg = joined.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(keep) * 1000000 DIV count(*)").alias("keep_ppm"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("sum(dup3_ppm) DIV count(*)").alias("mean_dup3_ppm"),
+    )
+    return agg.select(
+        F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+        "n_docs", "keep_ppm", "total_tokens", "mean_dup3_ppm",
+    )
+
+
+SQL_CORPUS_HEALTH = f"""
+WITH t AS (SELECT doc_id, source, lang, {_TOKENS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id, source, lang, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                   * 100 // len(toks)
+              ELSE 0 END AS mean_tok_len_x100,
+         len(list_filter(toks, x -> x IN {_STOP_EN})) AS stop_hits,
+         CASE WHEN len(toks) >= 3 THEN list_transform(
+                range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [] END AS grams
+  FROM t
+),
+d2 AS (
+  SELECT doc_id, source, lang, n_tokens, mean_tok_len_x100, stop_hits,
+         CASE WHEN len(grams) > 0
+              THEN (len(grams) - len(list_distinct(grams))) * 1000000
+                   // len(grams)
+              ELSE 0 END AS dup3_ppm
+  FROM sig
+),
+g AS (
+  SELECT source, lang, n_tokens, dup3_ppm,
+         CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+               AND mean_tok_len_x100 >= {QF_MTL_MIN_X100}
+               AND mean_tok_len_x100 <= {QF_MTL_MAX_X100}
+               AND stop_hits > 0 AND dup3_ppm <= {QF_DUP3_PPM_MAX}
+              THEN 1 ELSE 0 END AS keep
+  FROM d2
+)
+SELECT COALESCE(source, '(all)') AS source, COALESCE(lang, '(all)') AS lang,
+       count(*) AS n_docs,
+       CAST(SUM(keep) * 1000000 // count(*) AS BIGINT) AS keep_ppm,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(dup3_ppm) // count(*) AS BIGINT) AS mean_dup3_ppm
+FROM g
+GROUP BY ROLLUP(source, lang)
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "negative_sample": q_negative_sample,
@@ -1650,6 +1725,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_trim": q_dup_span_trim,
     "warc_extract": q_warc_extract,
     "line_dedup": q_line_dedup,
+    "corpus_health": q_corpus_health,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1661,6 +1737,7 @@ ORACLES_CUR: dict[str, str] = {
     "dup_span_trim": SQL_DUP_SPAN_TRIM,
     "warc_extract": SQL_WARC_EXTRACT,
     "line_dedup": SQL_LINE_DEDUP,
+    "corpus_health": SQL_CORPUS_HEALTH,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

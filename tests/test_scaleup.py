@@ -80,6 +80,7 @@ CAPS = {
     # pagerank + linear gate; ranks broadcast into the doc join)
     "line_dedup": 4.0,       # measured 1.6 (WindowGroupLimit keeps per-line
     # minima map-side; one line-keyed exchange + the doc regroup)
+    "corpus_health": 4.0,    # measured 1.2 (gate signals + one-pass Expand)
 }
 
 
