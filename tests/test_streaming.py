@@ -1453,3 +1453,45 @@ def test_streaming_line_dedup_matches_batch_on_prefix(spark, tmp_path):
     # cross-epoch bite: at least one epoch-1 doc must actually lose a line
     assert any(t[3] > 0 for t in got(e1))
     got_all.unpersist()
+
+
+def test_streaming_line_dedup_replay_is_idempotent(spark, tmp_path):
+    """A full replay over the same sink/state dirs must leave both the
+    cleaned output AND the admitted-line state byte-identical — the
+    admission twins derive state from their own epochs, so a replayed
+    epoch must re-derive the same admissions, never double-admit."""
+    from recsys_pipeline_spark.operators.text import tokens
+    from recsys_pipeline_spark.queries_curation import LINE_TOKENS
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    k = LINE_TOKENS
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(sequence(1, (size(toks) + {k - 1}) DIV {k}),"
+            f" i -> array_join(slice(toks, (i - 1) * {k} + 1, {k}), ' ')), '\\n')"
+        ).alias("text_lines"),
+    )
+    src = str(tmp_path / "lr_src")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    out, lnd = str(tmp_path / "lr_out"), str(tmp_path / "lr_lines")
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        cs.line_dedup_stream(stream, "doc_id", "text_lines", out, lnd)
+
+    def snap(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    run()
+    out1, st1 = snap(out), snap(lnd)
+    run()  # full replay, same epoch ids
+    assert snap(out) == out1 and len(out1) > 0
+    assert snap(lnd) == st1 and len(st1) > 0
