@@ -1616,25 +1616,55 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the gate signals are the quality_filter plan; the rollup is
     Spark's single-pass Expand (one scan, one grouping exchange — the
-    rollup_revenue shape, plan-pinned there)."""
+    rollup_revenue shape, plan-pinned there). The per-group COUNTER
+    partials (health_partials) are sum-mergeable and the ppm divisions
+    happen only in the finisher (health_rollup) — the split that lets the
+    streaming twin hold partials as per-epoch count deltas."""
     d = read_table(spark, sf_dir, "documents")
+    return health_rollup(health_partials(d))
+
+
+def health_partials(d: DataFrame) -> DataFrame:
+    """Per-(source, lang) counter partials off the quality gate's audit
+    rows: (n_docs, keep_sum, tokens_sum, dup3_sum) — pure sums, so deltas
+    from disjoint corpus slices merge by one grouped SUM. Shared with the
+    streaming twin."""
     gate = curation.quality_gate(
         d, "doc_id", "text",
         min_tokens=QF_MIN_TOKENS, max_tokens=QF_MAX_TOKENS,
         min_mtl_x100=QF_MTL_MIN_X100, max_mtl_x100=QF_MTL_MAX_X100,
         dup3_ppm_max=QF_DUP3_PPM_MAX,
     ).select("doc_id", "n_tokens", "dup3_ppm", "keep")
-    joined = d.select("doc_id", "source", "lang").join(gate, "doc_id")
-    agg = joined.rollup("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("sum(keep) * 1000000 DIV count(*)").alias("keep_ppm"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.expr("sum(dup3_ppm) DIV count(*)").alias("mean_dup3_ppm"),
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(gate, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("keep_sum"),
+            F.sum("n_tokens").cast("long").alias("tokens_sum"),
+            F.sum("dup3_ppm").alias("dup3_sum"),
+        )
+    )
+
+
+def health_rollup(partials: DataFrame) -> DataFrame:
+    """ROLLUP finisher over the counter partials: the ppm divisions run
+    only here, on fully-summed counters, so batch-on-corpus and
+    merged-stream-state produce identical integers."""
+    agg = partials.rollup("source", "lang").agg(
+        F.sum("n_docs").alias("_n"),
+        F.sum("keep_sum").alias("_k"),
+        F.sum("tokens_sum").alias("_t"),
+        F.sum("dup3_sum").alias("_d"),
     )
     return agg.select(
         F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
         F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
-        "n_docs", "keep_ppm", "total_tokens", "mean_dup3_ppm",
+        F.col("_n").cast("long").alias("n_docs"),
+        F.expr("_k * 1000000 DIV _n").alias("keep_ppm"),
+        F.col("_t").cast("long").alias("total_tokens"),
+        F.expr("_d DIV _n").alias("mean_dup3_ppm"),
     )
 
 

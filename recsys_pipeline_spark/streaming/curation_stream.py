@@ -1107,3 +1107,52 @@ def line_dedup_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def corpus_health_stream(
+    stream: DataFrame,
+    out_dir: str,
+    partials_dir: str,
+) -> None:
+    """The corpus-health dashboard online — the report IS consumed
+    incrementally in production (per-crawl keep rates feed alerting).
+    State = per-epoch (source, lang) COUNTER deltas (n_docs, keep_sum,
+    tokens_sum, dup3_sum) — the gate signals are per-document and
+    corpus-independent, so disjoint slices' counters are exact partials
+    and merging is one grouped SUM over a (sources x langs)-bounded
+    table. Each epoch emits the FULL rollup over the prefix corpus
+    (a dashboard describes the whole corpus, so the epoch output is not
+    restricted to the epoch's documents); it equals the batch operator on
+    the prefix exactly because the ppm divisions run only in the shared
+    finisher, on fully-summed counters (asserted in tests; on a single
+    micro-batch it IS the batch result).
+
+    Partials/finisher expressions are the batch operator's own
+    (queries_curation.health_partials / health_rollup), so the pair
+    cannot diverge.
+    """
+    from recsys_pipeline_spark.queries_curation import (
+        health_partials,
+        health_rollup,
+    )
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = health_partials(batch)
+        _write_epoch(delta, partials_dir, epoch_id)
+        merged = (
+            _read_state(spark, partials_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("source", "lang")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("keep_sum").alias("keep_sum"),
+                F.sum("tokens_sum").alias("tokens_sum"),
+                F.sum("dup3_sum").alias("dup3_sum"),
+            )
+        )
+        _write_epoch(health_rollup(merged), out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

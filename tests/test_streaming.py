@@ -1495,3 +1495,54 @@ def test_streaming_line_dedup_replay_is_idempotent(spark, tmp_path):
     run()  # full replay, same epoch ids
     assert snap(out) == out1 and len(out1) > 0
     assert snap(lnd) == st1 and len(st1) > 0
+
+
+def test_streaming_corpus_health_matches_batch_on_prefix(spark, tmp_path):
+    """Each epoch must emit the FULL dashboard of the prefix corpus —
+    identical to the batch operator on the prefix (ppm divisions run only
+    on fully-summed counters); the final epoch equals the full batch
+    result exactly."""
+    from recsys_pipeline_spark.queries_curation import (
+        health_partials,
+        health_rollup,
+        q_corpus_health,
+    )
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "ch_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, pts = str(tmp_path / "ch_out"), str(tmp_path / "ch_pts")
+    cs.corpus_health_stream(stream, out, pts)
+    got_all = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in got_all.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def got(e):
+        return {
+            tuple(r)
+            for r in got_all.filter(F.col("_epoch") == e).drop("_epoch").collect()
+        }
+
+    def batch_on(prefix):
+        return {tuple(r) for r in health_rollup(health_partials(prefix)).collect()}
+
+    # epochs are cumulative dashboards: one equals half0's, one the full
+    # corpus's; the full one must match the registered batch query verbatim
+    outs = [got(e) for e in epochs]
+    want0, want_full = batch_on(half0), batch_on(docs)
+    assert (outs[0] == want0 and outs[1] == want_full) or (
+        outs[1] == want0 and outs[0] == want_full
+    )
+    assert want_full == {
+        tuple(r) for r in q_corpus_health(spark, "/root/testdata/sf0.001").collect()
+    }
+    got_all.unpersist()
