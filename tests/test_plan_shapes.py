@@ -307,3 +307,13 @@ def test_multi_query_ann_candidates_broadcast_the_query_side(spark):
         plan = _final_plan(cand)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_corpus_health_is_single_pass_expand(spark):
+    from recsys_pipeline_spark.queries_curation import q_corpus_health
+
+    df = q_corpus_health(spark, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1  # one ROLLUP pass, not per-level unions
+    assert plan.count("FileScan") == 1
