@@ -38,6 +38,7 @@ from recsys_pipeline_spark.io import read_table
 from recsys_pipeline_spark.operators import text
 from recsys_pipeline_spark.operators import web as W
 from recsys_pipeline_spark.queries_curation import (
+    _H,
     _TOKENS,
     _URL_CANON_SQL,
     _URL_RAW,
@@ -47,8 +48,6 @@ from recsys_pipeline_spark.queries_curation import (
     QF_MTL_MAX_X100,
     QF_MTL_MIN_X100,
 )
-
-_H = "('0x' || substr(md5({salt} || ':' || CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
 
 
 def _sqlq(s: str) -> str:

@@ -291,3 +291,68 @@ def test_html_extract_roundtrips_escaped_text(spark, texts):
     for ent, ch in W._ENTITIES:
         expected = expected.replace(ent, ch)
     assert row["content"] == expected
+
+
+# ---------------------------------------------------------------------------
+# pagerank / zorder properties over random inputs (hypothesis)
+# ---------------------------------------------------------------------------
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=20,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_edges_strategy)
+def test_pagerank_invariants_on_random_graphs(spark, edge_list):
+    """On arbitrary graphs over 8 hosts: rank mass never exceeds the scale
+    and truncating DIV loses at most a bounded amount per host per step;
+    every rank is at least the damped-base floor; out_deg matches the edge
+    list; the broadcast and shuffle paths agree exactly."""
+    hosts = spark.range(8).select(F.col("id").alias("host"))
+    if edge_list:
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+    else:
+        edges = spark.createDataFrame([], "src long, dst long")
+    bc = {r["host"]: r for r in W.pagerank(edges, hosts, iters=3).collect()}
+    n, scale = 8, W.PR_SCALE
+    base = (W.PR_DAMP_DEN - W.PR_DAMP_NUM) * scale // (W.PR_DAMP_DEN * n)
+    total = sum(r["rank_scaled"] for r in bc.values())
+    assert total <= scale
+    # each host loses < 1 unit per truncating DIV; 3 divisions per host
+    # per iteration (share, contrib, damp) over 3 iterations bounds the loss
+    assert total >= scale - n * 3 * 3 - n  # + initial scale//n remainder
+    out_deg = {h: 0 for h in range(8)}
+    for s, _ in edge_list:
+        out_deg[s] += 1
+    for h in range(8):
+        assert bc[h]["out_deg"] == out_deg[h], h
+        assert bc[h]["rank_scaled"] >= base, h
+    sh = {
+        r["host"]: r["rank_scaled"]
+        for r in W.pagerank(edges, hosts, iters=3, max_broadcast_nodes=0).collect()
+    }
+    assert sh == {h: r["rank_scaled"] for h, r in bc.items()}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_matches_bruteforce_on_random_points(spark, points):
+    bits, shift = 4, 2
+    df = spark.createDataFrame(points, "x long, y long")
+    got = {
+        r["file_id"]: (r["n_rows"], r["min_x"], r["max_x"], r["min_y"], r["max_y"])
+        for r in W.zorder_layout(
+            df, "x", "y", bits=bits, rows_per_file_shift=shift
+        ).collect()
+    }
+    assert got == _brute_zonemap(points, bits, shift)
