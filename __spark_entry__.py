@@ -93,6 +93,11 @@ _DEFERRED = [
     "ann_exclude_seen",  # J6 seen-item anti-join stays recorded via
     # negative_sample (training-side twin); the ANN surface keeps
     # cosine_topk + ann_ivf_topk recorded
+    # Round-12 additions (defined in queries_ext with the ANN family;
+    # deferred so the recorded window still closes at lm_perplexity):
+    "pq_codes",  # product-quantization encoder — the stored IVF-PQ index
+    "pq_ann_overlap",  # flat-ADC top-10 vs exact L2 (the 32x-cut cost row)
+    "ivfpq_topk",  # coarse-probe + ADC-rerank — the composed architecture
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the

@@ -1,0 +1,256 @@
+"""Product quantization (PQ — Jégou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011): the vector-compression half of the
+FAISS-style IVF-PQ architecture that large-scale ANN deployments actually
+run. Each 64-dim vector splits into ``PQ_M`` = 8 subvectors; every subvector
+is replaced by the id of its nearest of ``PQ_K`` = 16 per-subspace centroids,
+so the stored index holds 8 small ints (1 byte each at K<=256) instead of
+64 floats — a 32x storage cut, 8x beyond the scalar-int8 path
+(`curation.quantize_embeddings`). Queries score documents with asymmetric
+distance computation (ADC): a per-query lookup table of
+query-subvector-to-centroid distances, summed across subspaces by code — the
+corpus scan reads CODES ONLY and never touches (or shuffles) the original
+vectors.
+
+Engine-portable by construction, like the rest of the ANN surface:
+
+- Codebooks are deterministic, not k-means: the ``PQ_K`` corpus vectors with
+  the smallest salted md5-fold hash (``dedup.portable_hash64``, salt
+  ``pqc``) are the pivots; pivot rank r contributes its m-th subvector as
+  centroid k=r of subspace m. Hash-designation is the house technique for
+  oracle-reproducible "training" slices (`lm_perplexity`'s reference slice,
+  `decontaminate`'s eval set) — the DuckDB oracle re-derives the exact same
+  codebook from the same hash.
+- Subspace distances are squared-L2 computed as the same left-associated
+  IEEE-double fold in both engines (`similarity.unrolled_dot` note), then
+  fixed-pointed to integer micro-units (floor(d2*1e6 + 0.5) — half-up, the
+  `quantize_embeddings` rounding). All downstream arithmetic (argmin code
+  assignment, ADC sums) is BIGINT: order-free, overflow-free, bit-identical
+  across engines.
+
+No reference counterpart: the reference serves ANN through Elasticsearch
+dense-vector search (online/readers/es_caller.py); this module supplies the
+quantized-index layer a 100 TB self-hosted deployment needs.
+
+Scale shape (100 TB): encode is one narrow posexplode over the corpus, a
+broadcast join against the 128-row codebook, and two map-side-combined
+exchanges of 8-int rows; the ADC scan is ZERO-exchange — codes crossJoin a
+broadcast Q-row LUT frame, score in whole-stage codegen (unrolled
+element_at sums, no higher-order-function fallback), then per-query top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from recsys_pipeline_spark.operators.dedup import portable_hash64
+
+PQ_M = 8  # subspaces -> one code byte each
+PQ_K = 16  # centroids per subspace
+PQ_SALT = "pqc"  # pivot-designation hash salt
+MICRO = 1_000_000  # fixed-point scale for squared-L2 distances
+
+
+def sq_l2(a: Column, b: Column, dim: int) -> Column:
+    """Squared L2 distance as an unrolled left-associated sum of squared
+    element differences — bit-identical to DuckDB's sequential
+    ``list_sum(list_transform(list_zip(a, b), ...))`` fold (same IEEE op
+    order), and whole-stage-codegen on the Spark side (element_at/+ are
+    codegen expressions; aggregate()/zip_with() HOFs are CodegenFallback)."""
+    terms = []
+    for i in range(dim):
+        d = F.element_at(a, i + 1) - F.element_at(b, i + 1)
+        terms.append(d * d)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def d2_micro(a: Column, b: Column, dim: int) -> Column:
+    """sq_l2 fixed-pointed to BIGINT micro-units (half-up; operands are
+    non-negative so floor(x + 0.5) is portable)."""
+    return F.floor(sq_l2(a, b, dim) * MICRO + F.lit(0.5)).cast("long")
+
+
+def _subvectors(vec: Column, m_sub: int, sub: int) -> Column:
+    """ARRAY of the m_sub contiguous sub-slices of a (double-cast) vector."""
+    v = vec.cast("array<double>")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(v, m * sub + 1, sub),
+    )
+
+
+def pq_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = 64,
+    salt: str = PQ_SALT,
+) -> DataFrame:
+    """Deterministic codebook frame ``(m, k, cvec)`` — ``m_sub * k_cent``
+    rows. Pivots = the k_cent ids with the smallest (md5-fold hash, id);
+    orderBy+limit executes as per-partition TakeOrdered + driver merge, so
+    pivot selection never globally sorts the corpus."""
+    sub = dim // m_sub
+    h = portable_hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    piv = (
+        corpus.select(
+            h.alias("_h"),
+            F.col(id_col).alias("_pid"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_h", "_pid")
+        .limit(k_cent)
+    )
+    # the window runs over the k_cent-row frame only (single tiny partition)
+    ranked = piv.withColumn(
+        "k", F.row_number().over(Window.orderBy("_h", "_pid")) - 1
+    )
+    return ranked.select(
+        F.col("k"),
+        F.posexplode(_subvectors(F.col("_v"), m_sub, sub)).alias("m", "cvec"),
+    ).select("m", "k", "cvec")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode the corpus against a codebook: ``(id, codes ARRAY<INT>)`` with
+    ``codes[m]`` = argmin_k d2(subvec_m, centroid[m][k]), ties to the
+    smallest k (min over (d2i, k) structs — deterministic in both engines).
+
+    Plan: posexplode to (id, m, svec) [narrow] -> broadcast join the
+    codebook [narrow] -> partial-aggregated min per (id, m) -> regroup to
+    one codes row per id. The two exchanges ship 8-int rows, never vectors.
+    """
+    sub = dim // m_sub
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(_subvectors(F.col(vec_col), m_sub, sub)).alias("m", "svec"),
+    )
+    scored = subs.join(F.broadcast(cents), "m").select(
+        F.col(id_col),
+        F.col("m"),
+        F.struct(
+            d2_micro(F.col("svec"), F.col("cvec"), sub).alias("d"),
+            F.col("k").alias("k"),
+        ).alias("_dk"),
+    )
+    best = scored.groupBy(id_col, "m").agg(F.min("_dk").alias("_mn"))
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("m"), F.col("_mn.k").alias("code")))
+            ),
+            lambda s: s["code"].cast("int"),
+        ).alias("codes")
+    )
+
+
+def adc_lut(
+    queries: DataFrame,
+    cents: DataFrame,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    m_sub: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-query ADC lookup table ``(qid, lut ARRAY<BIGINT>)``: lut is the
+    m_sub*k_cent distances query-subvector-to-centroid in (m, k) order, so
+    ``lut[m*k_cent + code]`` (0-based) is the summand for subspace m."""
+    sub = dim // m_sub
+    qsubs = queries.select(
+        F.col(query_id),
+        F.posexplode(_subvectors(F.col(query_vec), m_sub, sub)).alias("m", "svec"),
+    )
+    cells = qsubs.join(F.broadcast(cents), "m").select(
+        F.col(query_id),
+        F.col("m"),
+        F.col("k"),
+        d2_micro(F.col("svec"), F.col("cvec"), sub).alias("d2i"),
+    )
+    return cells.groupBy(query_id).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("m"), F.col("k"), F.col("d2i")))
+            ),
+            lambda s: s["d2i"],
+        ).alias("lut")
+    )
+
+
+def adc_score(
+    codes_col: Column, lut_col: Column, m_sub: int = PQ_M, k_cent: int = PQ_K
+) -> Column:
+    """ADC distance = sum over subspaces of the LUT entry the code points at.
+    Unrolled BIGINT adds (order-free, codegen); indices are 1-based."""
+    terms = [
+        F.element_at(lut_col, F.lit(m * k_cent + 1) + F.element_at(codes_col, m + 1))
+        for m in range(m_sub)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def adc_topk(
+    codes: DataFrame,
+    lut: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    m_sub: int = PQ_M,
+    k_cent: int = PQ_K,
+) -> DataFrame:
+    """Per-query ADC top-k over the FULL codes table (the flat-PQ scan):
+    codes crossJoin the broadcast Q-row LUT frame — zero exchanges until the
+    final per-query top-k. Ties break on id in both engines."""
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        F.col(query_id),
+        F.col(id_col),
+        adc_score(F.col("codes"), F.col("lut"), m_sub, k_cent).alias("adc_d2_micro"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d2_micro").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, id_col, "adc_d2_micro", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def l2_topk_for_queries(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact squared-L2 top-k (the ground truth PQ approximates), on the same
+    micro-unit fixed point so ranking is integer-deterministic."""
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        F.col(query_id),
+        F.col(id_col),
+        d2_micro(
+            F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>"), dim
+        ).alias("d2i"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("d2i").asc(), F.col(id_col).asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recsys_pipeline_spark.io import read_table, spread
@@ -909,6 +909,194 @@ FROM q LEFT JOIN hits h ON q.qid = h.qid
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (round 12): the FAISS-style IVF-PQ index layer —
+# deterministic hash-designated codebooks, BIGINT ADC arithmetic, every stage
+# oracle-reproducible (operators/pq.py). pq_codes pins the encoder itself,
+# pq_ann_overlap the flat-ADC ranking cost vs exact L2, ivfpq_topk the
+# composed coarse-probe + ADC-rerank architecture.
+# ---------------------------------------------------------------------------
+
+_PQ_H = "('0x' || substr(md5('pqc:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+# squared-L2 in integer micro-units — the same left-associated double fold +
+# half-up fixed-pointing as pq.d2_micro
+_PQ_SUB_D2 = (
+    "CAST(floor(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT)"
+)
+
+# codebook + corpus codes (M=8 subspaces of 8 dims, K=16 hash-pivot centroids)
+_PQ_CTES = f"""piv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         row_number() OVER (ORDER BY {_PQ_H}, vec_id) - 1 AS k
+  FROM embeddings
+),
+cents AS (SELECT t.m, k, v[t.m*8+1 : t.m*8+8] AS cvec
+          FROM piv, range(8) t(m) WHERE k < 16),
+subs AS (SELECT vec_id, t.m, (embedding::DOUBLE[])[t.m*8+1 : t.m*8+8] AS svec
+         FROM embeddings, range(8) t(m)),
+dists AS (SELECT vec_id, m, k, {_PQ_SUB_D2.format(a='svec', b='cvec')} AS d2i
+          FROM subs JOIN cents USING (m)),
+codes AS (SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2i, k) AS rk
+            FROM dists) WHERE rk = 1)"""
+
+# per-query ADC: LUT rows (qid, m, k, d2i) joined on the code — the integer
+# SUM is order-free, so the relational form equals Spark's unrolled adds
+_PQ_ADC_CTES = f"""qsubs AS (
+  SELECT vec_id AS qid, t.m, (embedding::DOUBLE[])[t.m*8+1 : t.m*8+8] AS svec
+  FROM embeddings, range(8) t(m) WHERE vec_id IN ({{qids}})),
+lutc AS (SELECT qid, m, k, {_PQ_SUB_D2.format(a='svec', b='cvec')} AS d2i
+         FROM qsubs JOIN cents USING (m)),
+adc AS (SELECT l.qid, co.vec_id, CAST(SUM(l.d2i) AS BIGINT) AS adc_d2_micro
+        FROM codes co JOIN lutc l ON l.m = co.m AND l.k = co.code
+        GROUP BY l.qid, co.vec_id)"""
+
+
+def _pq_frames(spark: SparkSession, sf_dir: str):
+    """(embeddings, codebook, codes) with the shared frames lazily
+    checkpointed: the 128-row codebook feeds both the encoder and the query
+    LUT, and the codes table feeds every scoring consumer — each must
+    materialize once (on a cluster these ARE the stored index tables)."""
+    from recsys_pipeline_spark.operators import pq
+
+    e = _emb(spark, sf_dir)
+    cents = pq.pq_centroids(e).localCheckpoint(eager=False)
+    codes = pq.pq_encode(e, cents).localCheckpoint(eager=False)
+    return e, cents, codes
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encoder's output — the stored ANN index itself: per vector the
+    8 subspace codes (32x smaller than the fp32 vector), stringified per the
+    scalar-column result contract."""
+    from recsys_pipeline_spark.operators import pq
+
+    e = _emb(spark, sf_dir)
+    cents = pq.pq_centroids(e)
+    codes = pq.pq_encode(e, cents)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+SQL_PQ_CODES = f"""
+WITH {_PQ_CTES}
+SELECT vec_id,
+       array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ',') AS codes_csv
+FROM codes GROUP BY vec_id
+"""
+
+
+def q_pq_ann_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured ranking cost of the 32x PQ storage cut: flat-ADC top-10
+    (codes-only scan, zero-exchange scoring) vs exact squared-L2 top-10 per
+    query, reported as overlap@10 (integer ppm) — the PQ row of the
+    accuracy/cost frontier that ann_recall_report and quantized_ann_overlap
+    chart for the sketch and int8 paths."""
+    from recsys_pipeline_spark.operators import pq
+
+    e, cents, codes = _pq_frames(spark, sf_dir)
+    queries = _ann_queries_df(spark, sf_dir)
+    lut = pq.adc_lut(queries, cents)
+    pq_topk = pq.adc_topk(codes, lut, k=10).select("qid", "vec_id")
+    exact = pq.l2_topk_for_queries(queries, e, k=10).select("qid", "vec_id")
+    hits = pq_topk.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    return queries.select("qid").join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("overlap10"),
+        (F.coalesce(F.col("_hits"), F.lit(0)) * 100000).cast("long").alias("overlap_ppm"),
+    )
+
+
+_PQ_EXACT_CTE = f"""exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_PQ_SUB_D2.format(a='e.embedding::DOUBLE[]', b='q.qvec')}, e.vec_id) AS rk
+    FROM embeddings e, q) WHERE rk <= 10)"""
+
+SQL_PQ_ANN_OVERLAP = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN ({_ANN_QIDS_SQL})),
+{_PQ_CTES},
+{_PQ_ADC_CTES.format(qids=_ANN_QIDS_SQL)},
+pq_topk AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_d2_micro, vec_id) AS rk
+    FROM adc) WHERE rk <= 10),
+{_PQ_EXACT_CTE},
+hits AS (SELECT p.qid, COUNT(*) AS h FROM pq_topk p JOIN exact x
+         ON p.qid = x.qid AND p.vec_id = x.vec_id GROUP BY p.qid)
+SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS overlap10,
+       CAST(COALESCE(h.h, 0) * 100000 AS BIGINT) AS overlap_ppm
+FROM q LEFT JOIN hits h ON q.qid = h.qid
+"""
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed 100 TB ANN architecture: the deterministic
+    coarse quantizer prunes to each query's 4 probed cells (of 8; the cell
+    is the partition key at scale, so pruning is partition pruning), then
+    ADC reranks candidates on their 8-byte codes — the original vectors are
+    touched by NEITHER stage. Output = per-query ADC top-10 with the
+    integer ADC distance, fully hash-checkable."""
+    from recsys_pipeline_spark.operators import pq
+
+    e, cents, codes = _pq_frames(spark, sf_dir)
+    queries = _ann_queries_df(spark, sf_dir)
+    lut = pq.adc_lut(queries, cents)
+    cand = similarity.ivf_sketch_candidates_multi(
+        e, queries, cell_bits=3, n_probe=4, seed=7
+    ).select("qid", "vec_id")
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            pq.adc_score(F.col("codes"), F.col("lut")).alias("adc_d2_micro"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_d2_micro").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "adc_d2_micro")
+    )
+
+
+SQL_IVFPQ_TOPK = f"""
+WITH mem_i AS ({_sketch_mem_sql(bits=3, tables=1, seed=7)}),
+qc AS (SELECT vec_id AS qid, sketch AS qcell FROM mem_i WHERE vec_id IN ({_ANN_QIDS_SQL})),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT qc.qid, t.c AS cell,
+           row_number() OVER (PARTITION BY qc.qid
+                              ORDER BY bit_count(xor(t.c, qc.qcell)), t.c) AS rk
+    FROM range(8) t(c), qc) WHERE rk <= 4
+),
+cand AS (SELECT p.qid, m.vec_id FROM mem_i m JOIN probe p ON m.sketch = p.cell),
+{_PQ_CTES},
+{_PQ_ADC_CTES.format(qids=_ANN_QIDS_SQL)},
+scored AS (SELECT a.qid, a.vec_id, a.adc_d2_micro FROM adc a
+           JOIN cand c ON c.qid = a.qid AND c.vec_id = a.vec_id)
+SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, adc_d2_micro FROM (
+  SELECT qid, vec_id, adc_d2_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2_micro, vec_id) AS rk
+  FROM scored) WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skew-proof aggregation (salted two-stage) — value-identical to plain GROUP BY
 # ---------------------------------------------------------------------------
 
@@ -956,6 +1144,9 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "dup_clusters": q_dup_clusters,
+    "pq_codes": q_pq_codes,
+    "pq_ann_overlap": q_pq_ann_overlap,
+    "ivfpq_topk": q_ivfpq_topk,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -980,4 +1171,7 @@ ORACLES_EXT: dict[str, str] = {
     "simhash_fingerprint": SQL_SIMHASH_FINGERPRINT,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "pq_codes": SQL_PQ_CODES,
+    "pq_ann_overlap": SQL_PQ_ANN_OVERLAP,
+    "ivfpq_topk": SQL_IVFPQ_TOPK,
 }

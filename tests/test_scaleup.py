@@ -81,6 +81,11 @@ CAPS = {
     "line_dedup": 4.0,       # measured 1.6 (WindowGroupLimit keeps per-line
     # minima map-side; one line-keyed exchange + the doc regroup)
     "corpus_health": 4.0,    # measured 1.2 (gate signals + one-pass Expand)
+    # round 12, PQ family (measured quiet ratios 1.2-1.4 — overhead-bound:
+    # encode is a narrow explode + broadcast codebook join, ADC scans codes)
+    "pq_codes": 4.0,         # measured 1.3
+    "pq_ann_overlap": 4.0,   # measured 1.2 (exact-L2 side is the linear term)
+    "ivfpq_topk": 4.0,       # measured 1.4 (probe prune + codes-only rerank)
 }
 
 
