@@ -1156,3 +1156,53 @@ def corpus_health_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def pq_index_stream(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    cents_dir: str,
+) -> None:
+    """Online ANN-index ingestion — the production IVF-PQ lifecycle (FAISS's
+    train-then-add): the codebook trains ONCE, on the first non-empty
+    micro-batch, and freezes; every arriving vector thereafter is encoded
+    against the frozen codebook and appended to the codes index. State is
+    the 128-row codebook table itself (written exactly once) — the appended
+    codes ARE the output, immutable because the codebook never moves, the
+    append-once contract of the admission twins.
+
+    Semantic distinction vs the batch operator (the honest online
+    semantics, like the tokenize twin's vocabulary drift): batch
+    `pq_centroids` hash-designates pivots over the FULL corpus, the stream
+    over the first batch only. The two coincide exactly when the first
+    batch contains the full corpus' pivot set (asserted in tests — the
+    streamed index then equals batch `pq_encode` verbatim); otherwise the
+    deployment answer is re-encode on codebook refresh, exactly as deployed
+    PQ indexes retrain their quantizer out of band.
+
+    Replay safety: a replayed first epoch re-derives the SAME codebook
+    (hash-designation is deterministic in the batch content) and dynamic
+    partition overwrite rewrites its own epoch; later epochs read only
+    codebook state from earlier epochs (`_read_state` excludes the current
+    one). Codebook/encode expressions are the batch operator's own
+    (pq.pq_centroids / pq.pq_encode), so the pair cannot diverge.
+    """
+    from recsys_pipeline_spark.operators import pq
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        like = pq.pq_centroids(batch.limit(0), id_col=id_col, vec_col=vec_col)
+        cents = _read_state(spark, cents_dir, like, epoch_id)
+        if cents.first() is None:
+            if batch.first() is None:
+                return  # nothing to train on, nothing to encode
+            cents = pq.pq_centroids(batch, id_col=id_col, vec_col=vec_col)
+            _write_epoch(cents, cents_dir, epoch_id)
+        codes = pq.pq_encode(batch, cents, id_col=id_col, vec_col=vec_col)
+        _write_epoch(codes, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

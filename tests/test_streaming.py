@@ -1546,3 +1546,66 @@ def test_streaming_corpus_health_matches_batch_on_prefix(spark, tmp_path):
         tuple(r) for r in q_corpus_health(spark, "/root/testdata/sf0.001").collect()
     }
     got_all.unpersist()
+
+
+def test_streaming_pq_index_freezes_codebook_and_matches_batch(spark, tmp_path):
+    """Online ANN-index ingestion: the codebook trains on the FIRST batch
+    and freezes (written exactly once); every epoch's vectors encode against
+    it. The first batch is constructed to contain the full corpus' pivot
+    set, so the frozen codebook equals the batch codebook and the streamed
+    index must equal batch pq_encode over the whole corpus verbatim."""
+    import time
+
+    from recsys_pipeline_spark.operators import pq
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents_batch = pq.pq_centroids(emb)
+    pivot_ids = {
+        int(r["vec_id"])
+        for r in emb.select(
+            "vec_id",
+            pq.portable_hash64(
+                F.concat(F.lit("pqc:"), F.col("vec_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(pq.PQ_K)
+        .collect()
+    }
+    first = emb.filter(
+        F.col("vec_id").isin([*pivot_ids]) | (F.col("vec_id") % 2 == 0)
+    )
+    second = emb.subtract(first)
+    src = str(tmp_path / "pq_src")
+    first.coalesce(1).write.parquet(src)
+    time.sleep(1.5)  # distinct mtimes: the file source processes oldest first
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out, cdir = str(tmp_path / "pq_out"), str(tmp_path / "pq_cents")
+    cs.pq_index_stream(stream, "vec_id", "embedding", out, cdir)
+
+    # codebook written exactly once, identical to the batch codebook
+    cents_tbl = spark.read.parquet(cdir)
+    assert cents_tbl.select("_epoch").distinct().count() == 1
+    got_cents = {
+        (int(r["m"]), int(r["k"]), tuple(r["cvec"])) for r in cents_tbl.collect()
+    }
+    want_cents = {
+        (int(r["m"]), int(r["k"]), tuple(r["cvec"])) for r in cents_batch.collect()
+    }
+    assert got_cents == want_cents
+
+    # two epochs, every vector encoded exactly once, codes == batch verbatim
+    codes_tbl = spark.read.parquet(out).cache()
+    assert codes_tbl.select("_epoch").distinct().count() == 2
+    got = {int(r["vec_id"]): list(r["codes"]) for r in codes_tbl.collect()}
+    assert len(got) == codes_tbl.count()  # no vector twice
+    want = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in pq.pq_encode(emb, cents_batch).collect()
+    }
+    assert got == want
+    codes_tbl.unpersist()
