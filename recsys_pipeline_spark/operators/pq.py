@@ -168,7 +168,13 @@ def adc_lut(
 ) -> DataFrame:
     """Per-query ADC lookup table ``(qid, lut ARRAY<BIGINT>)``: lut is the
     m_sub*k_cent distances query-subvector-to-centroid in (m, k) order, so
-    ``lut[m*k_cent + code]`` (0-based) is the summand for subspace m."""
+    ``lut[m*k_cent + code]`` (0-based) is the summand for subspace m.
+
+    The array is DENSE at the k_cent stride even when the codebook holds
+    fewer than k_cent pivots (a corpus smaller than the codebook — caught
+    by the random-corpus property test): absent (m, k) slots pad with a
+    sentinel that codes can never reference, so adc_score's static-stride
+    indexing stays in bounds."""
     sub = dim // m_sub
     qsubs = queries.select(
         F.col(query_id),
@@ -176,17 +182,20 @@ def adc_lut(
     )
     cells = qsubs.join(F.broadcast(cents), "m").select(
         F.col(query_id),
-        F.col("m"),
-        F.col("k"),
+        (F.col("m") * k_cent + F.col("k")).cast("int").alias("_idx"),
         d2_micro(F.col("svec"), F.col("cvec"), sub).alias("d2i"),
     )
+    pad = F.lit(2**62).cast("long")  # never indexed: codes argmin over real k
     return cells.groupBy(query_id).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_idx"), F.col("d2i")))
+        ).alias("_lutmap")
+    ).select(
+        F.col(query_id),
         F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("m"), F.col("k"), F.col("d2i")))
-            ),
-            lambda s: s["d2i"],
-        ).alias("lut")
+            F.sequence(F.lit(0), F.lit(m_sub * k_cent - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_lutmap"), i.cast("int")), pad),
+        ).alias("lut"),
     )
 
 

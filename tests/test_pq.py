@@ -175,3 +175,94 @@ def test_encode_plan_never_shuffles_vectors(spark):
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "svec" not in m.group(0)
         assert "embedding" not in m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# Property: on arbitrary (double) corpora and a smaller PQ geometry, codes
+# and ADC rankings equal a sequential NumPy/Python simulation of the contract
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PDIM, _PM, _PK = 16, 4, 4
+_PSUB = _PDIM // _PM
+
+_vec = st.lists(
+    st.floats(min_value=-4, max_value=4, allow_nan=False, allow_infinity=False),
+    min_size=_PDIM,
+    max_size=_PDIM,
+)
+_corpus = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=200), _vec),
+    min_size=2,
+    max_size=24,
+)
+
+
+def _sim_pq(emb: dict[int, list[float]]):
+    pivots = sorted(emb, key=lambda v: (_h(v), v))[:_PK]
+    cents = {
+        (m, k): emb[pid][m * _PSUB : (m + 1) * _PSUB]
+        for k, pid in enumerate(pivots)
+        for m in range(_PM)
+    }
+
+    def d2i(a, b):
+        import math
+
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc += d * d
+        return int(math.floor(acc * pq.MICRO + 0.5))
+
+    codes = {
+        vid: [
+            min(
+                range(len(pivots)),
+                key=lambda k: (d2i(v[m * _PSUB : (m + 1) * _PSUB], cents[(m, k)]), k),
+            )
+            for m in range(_PM)
+        ]
+        for vid, v in emb.items()
+    }
+    return pivots, cents, codes, d2i
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus)
+def test_pq_codes_and_adc_equal_simulation_on_random_corpora(spark, data):
+    emb = {i: v for i, v in data}  # last write wins on duplicate ids
+    df = spark.createDataFrame(
+        [(i, v) for i, v in emb.items()], "vec_id long, embedding array<double>"
+    )
+    cents = pq.pq_centroids(df, m_sub=_PM, k_cent=_PK, dim=_PDIM)
+    codes = pq.pq_encode(df, cents, m_sub=_PM, k_cent=_PK, dim=_PDIM)
+    pivots, cents_sim, codes_sim, d2i = _sim_pq(emb)
+    got = {int(r["vec_id"]): list(r["codes"]) for r in codes.collect()}
+    assert got == codes_sim
+
+    qids = sorted(emb)[:2]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    lut = pq.adc_lut(queries, cents, m_sub=_PM, k_cent=_PK, dim=_PDIM)
+    top = pq.adc_topk(codes, lut, k=3, m_sub=_PM, k_cent=_PK)
+    got_top = {
+        (int(r["qid"]), int(r["rk"])): (int(r["vec_id"]), int(r["adc_d2_micro"]))
+        for r in top.collect()
+    }
+    for qid in qids:
+        q = emb[qid]
+        lut_sim = {
+            (m, k): d2i(q[m * _PSUB : (m + 1) * _PSUB], cents_sim[(m, k)])
+            for m in range(_PM)
+            for k in range(len(pivots))
+        }
+        scored = sorted(
+            (sum(lut_sim[(m, codes_sim[vid][m])] for m in range(_PM)), vid)
+            for vid in emb
+        )
+        for rk, (d, vid) in enumerate(scored[:3], start=1):
+            assert got_top[(qid, rk)] == (vid, d)
