@@ -953,3 +953,137 @@ def encode_token_ids(pos_frame: DataFrame, vocab: DataFrame, id_col: str) -> Dat
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0)).alias("n_oov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training (Sennrich, Haddow, Birch 2016): the full iterative trainer —
+# count adjacent pairs, pick the best merge, APPLY it, repeat. bpe_pairs (the
+# registered one-round statistics query) is one iteration's first half; this
+# is the whole loop, run on the distinct-WORD dictionary so every round after
+# the initial corpus scan is corpus-size-independent (the word dict is
+# vocabulary-bounded — the 100 TB property real BPE trainers rely on).
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_dict(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wcnt): whitespace-word frequency dictionary — ONE corpus scan,
+    map-side-combined into a vocabulary-sized table; all training rounds run
+    on this, never on the corpus again."""
+    from recsys_pipeline_spark.operators import text as T
+
+    return (
+        docs.select(F.explode(T.tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def bpe_char_state(word_dict: DataFrame) -> DataFrame:
+    """Initial trainer state (word, wcnt, pos, tok): each word split into
+    single characters, pos dense 1-based."""
+    return word_dict.select(
+        "word",
+        "wcnt",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("_i"),
+    ).select(
+        "word",
+        "wcnt",
+        F.col("_i").cast("long").alias("pos"),
+        F.substr(F.col("word"), F.col("_i"), F.lit(1)).alias("tok"),
+    )
+
+
+def bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE iteration: returns (best, new_state).
+
+    ``best`` is the 0-or-1-row frame (lhs, rhs, cnt) — the most frequent
+    adjacent token pair weighted by word frequency, ties lexical on
+    (lhs, rhs) so the merge choice is engine-deterministic. ``new_state``
+    applies the merge GREEDY LEFT-TO-RIGHT, the real BPE semantics: within
+    a maximal run of consecutive match positions only every other position
+    starting at the run head merges ("aaaa" + (a,a) -> "aa","aa", not three
+    overlapping merges). Relationally: match positions group into runs via
+    the pos - row_number constant, and even offsets within a run are the
+    merge starts — no per-row sequential fold needed, so the round is pure
+    window algebra in both engines.
+
+    Scale: everything keys on the word column of the vocabulary-bounded
+    dictionary — windows and joins co-partition on it; the only global step
+    is the charset²-bounded pair count (map-side combined) and its 1-row
+    TakeOrdered best."""
+    w_ord = Window.partitionBy("word").orderBy("pos")
+    paired = state.withColumn("nxt", F.lead("tok").over(w_ord))
+    counts = (
+        paired.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("lhs"), F.col("nxt").alias("rhs"))
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+    best = counts.orderBy(
+        F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+    ).limit(1)
+
+    m = paired.join(
+        F.broadcast(best),
+        (paired["tok"] == best["lhs"]) & (paired["nxt"] == best["rhs"]),
+    ).select("word", "pos", F.concat("tok", "nxt").alias("merged"))
+    runs = m.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w_ord)
+    )
+    w_run = Window.partitionBy("word", "_grp").orderBy("pos")
+    starts = (
+        runs.withColumn("_off", F.row_number().over(w_run) - 1)
+        .filter(F.col("_off") % 2 == 0)
+        .select("word", "pos", "merged")
+    )
+    new_state = (
+        state.join(starts, ["word", "pos"], "left")
+        .join(
+            starts.select(
+                "word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("_dr")
+            ),
+            ["word", "pos"],
+            "left",
+        )
+        .filter(F.col("_dr").isNull())
+        .select(
+            "word",
+            "wcnt",
+            "pos",
+            F.coalesce("merged", F.col("tok")).alias("tok"),
+        )
+        .select(
+            "word",
+            "wcnt",
+            F.row_number().over(w_ord).cast("long").alias("pos"),
+            "tok",
+        )
+    )
+    return best, new_state
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """The learned merge table (merge_round, lhs, rhs, merged, cnt) after
+    ``rounds`` iterations — the artifact a BPE tokenizer ships. Each round's
+    state is lazily checkpointed: rounds are inherently sequential (real BPE
+    is an iterative algorithm), so the checkpoint bounds plan depth exactly
+    like pagerank's iteration truncation."""
+    state = bpe_char_state(bpe_word_dict(docs, text_col))
+    outs = []
+    for r in range(1, rounds + 1):
+        state = state.localCheckpoint(eager=False)
+        best, state = bpe_round(state)
+        outs.append(
+            best.select(
+                F.lit(r).cast("long").alias("merge_round"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "cnt",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

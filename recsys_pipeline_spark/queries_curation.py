@@ -1710,6 +1710,65 @@ GROUP BY ROLLUP(source, lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# bpe_train (round 12): the FULL iterative BPE trainer — bpe_pairs is one
+# round's counting half; this runs count -> pick best merge -> APPLY ->
+# repeat, the whole Sennrich 2016 loop, as window algebra on the distinct-
+# word dictionary (corpus scanned exactly once; every round after that is
+# vocabulary-bounded — the property real 100 TB BPE trainers rely on). The
+# greedy left-to-right merge ("aaaa" + (a,a) -> "aa","aa") is relational:
+# match runs group via the pos - row_number constant, even offsets within a
+# run are the merge starts. The oracle unrolls the rounds as CTE blocks,
+# pagerank-style — merge choice ties break lexically so both engines learn
+# the identical merge table.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return curation.bpe_train(d, "text", rounds=BPE_ROUNDS)
+
+
+def _bpe_round_cte(r: int) -> str:
+    return f"""p{r} AS (SELECT word, wcnt, pos, tok,
+             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s{r - 1}),
+c{r} AS (SELECT tok AS lhs, nxt AS rhs, CAST(SUM(wcnt) AS BIGINT) AS cnt
+         FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+b{r} AS (SELECT lhs, rhs, cnt FROM c{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+m{r} AS (SELECT p.word, p.pos, p.tok || p.nxt AS merged
+         FROM p{r} p JOIN b{r} b ON p.tok = b.lhs AND p.nxt = b.rhs),
+g{r} AS (SELECT word, pos, merged,
+                pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+         FROM m{r}),
+st{r} AS (SELECT word, pos, merged FROM (
+            SELECT word, pos, merged,
+                   row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1 AS off
+            FROM g{r}) WHERE off % 2 = 0),
+s{r} AS (SELECT word, wcnt,
+                row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, tok
+         FROM (SELECT s.word, s.wcnt, s.pos, COALESCE(st.merged, s.tok) AS tok
+               FROM s{r - 1} s
+               LEFT JOIN st{r} st ON s.word = st.word AND s.pos = st.pos
+               LEFT JOIN st{r} dr ON s.word = dr.word AND s.pos = dr.pos + 1
+               WHERE dr.pos IS NULL))"""
+
+
+SQL_BPE_TRAIN = f"""
+WITH wd AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+            FROM (SELECT unnest({_TOKENS}) AS word FROM documents) GROUP BY 1),
+s0 AS (SELECT word, wcnt, CAST(i AS BIGINT) AS pos,
+              substr(word, CAST(i AS INT), 1) AS tok
+       FROM (SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS i FROM wd)),
+{",".join(_bpe_round_cte(r) for r in range(1, BPE_ROUNDS + 1))}
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, cnt FROM b{r}"
+    for r in range(1, BPE_ROUNDS + 1)
+)}
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "negative_sample": q_negative_sample,
@@ -1756,6 +1815,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,
     "line_dedup": q_line_dedup,
     "corpus_health": q_corpus_health,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1768,6 +1828,7 @@ ORACLES_CUR: dict[str, str] = {
     "warc_extract": SQL_WARC_EXTRACT,
     "line_dedup": SQL_LINE_DEDUP,
     "corpus_health": SQL_CORPUS_HEALTH,
+    "bpe_train": SQL_BPE_TRAIN,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

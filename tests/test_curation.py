@@ -746,3 +746,40 @@ def test_bm25_planted_ordering(spark):
     assert all(any(t in texts[i].split() for t in BM25_TERMS) for i in top_ids)
     # the rare term dominates: every top-5 doc contains 'dup'
     assert all("dup" in texts[i].split() for i in top_ids[:5])
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: the full iterative trainer (count -> best merge -> apply)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_greedy_overlap_and_state_evolution(spark):
+    """Hand-computed 3-round trace on a planted corpus pinning BOTH the
+    greedy left-to-right overlap rule and that later rounds count MERGED
+    tokens: 'aaaa ab ab' -> r1 merges (a,a) cnt 3 (overlapping run: aaaa
+    contributes 3 adjacencies but collapses to aa,aa), r2 (a,b) cnt 2, r3
+    (aa,aa) cnt 1 — which only exists because r1 rewrote the state."""
+    from recsys_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame([(1, "aaaa ab ab")], ["doc_id", "text"])
+    got = [
+        (int(r["merge_round"]), r["lhs"], r["rhs"], r["merged"], int(r["cnt"]))
+        for r in curation.bpe_train(docs, "text", rounds=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 3),
+        (2, "a", "b", "ab", 2),
+        (3, "aa", "aa", "aaaa", 1),
+    ]
+
+
+def test_bpe_train_word_frequency_weighting(spark):
+    """Pair counts weight by word FREQUENCY, not dictionary membership:
+    'xy' twice beats 'zw' once."""
+    from recsys_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame([(1, "xy xy zw")], ["doc_id", "text"])
+    got = curation.bpe_train(docs, "text", rounds=1).collect()
+    assert [(r["lhs"], r["rhs"], int(r["cnt"])) for r in got] == [("x", "y", 2)]

@@ -321,3 +321,60 @@ def test_dup_span_coverage_equals_interval_union_simulation(spark, data):
                 covered |= set(range(s, s + n))
         want[i] = (len(toks), len(covered))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: on arbitrary corpora the learned merge table equals a direct
+# sequential simulation of the Sennrich loop (greedy left-to-right apply)
+# ---------------------------------------------------------------------------
+
+_bpe_word = st.text(alphabet="ab", min_size=1, max_size=5)
+_bpe_doc = st.lists(_bpe_word, min_size=1, max_size=8)
+_bpe_corpus = st.lists(_bpe_doc, min_size=1, max_size=6)
+
+
+def _bpe_sim(word_counts: dict[str, int], rounds: int):
+    state = {w: list(w) for w in word_counts}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            toks = state[w]
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = counts.get((toks[i], toks[i + 1]), 0) + c
+        if not counts:
+            continue  # no adjacent pairs left: the round learns nothing
+        (l, rr), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, l, rr, l + rr, cnt))
+        for w in state:
+            toks, new, i = state[w], [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == rr:
+                    new.append(l + rr)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            state[w] = new
+    return merges
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_bpe_corpus, st.integers(min_value=1, max_value=3))
+def test_bpe_train_equals_sequential_simulation(spark, docs_words, rounds):
+    from recsys_pipeline_spark.operators import curation as cur
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc: dict[str, int] = {}
+    for _, text in rows:
+        for w in text.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_sim(wc, rounds)
+    got = [
+        (int(r["merge_round"]), r["lhs"], r["rhs"], r["merged"], int(r["cnt"]))
+        for r in cur.bpe_train(df, "text", rounds=rounds)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == want
