@@ -1061,15 +1061,15 @@ def bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     return best, new_state
 
 
-def bpe_train(
-    docs: DataFrame, text_col: str = "text", rounds: int = 3
-) -> DataFrame:
+def bpe_train_from_dict(word_dict: DataFrame, rounds: int = 3) -> DataFrame:
     """The learned merge table (merge_round, lhs, rhs, merged, cnt) after
-    ``rounds`` iterations — the artifact a BPE tokenizer ships. Each round's
-    state is lazily checkpointed: rounds are inherently sequential (real BPE
-    is an iterative algorithm), so the checkpoint bounds plan depth exactly
-    like pagerank's iteration truncation."""
-    state = bpe_char_state(bpe_word_dict(docs, text_col))
+    ``rounds`` iterations over a (word, wcnt) dictionary — the artifact a
+    BPE tokenizer ships. Each round's state is lazily checkpointed: rounds
+    are inherently sequential (real BPE is an iterative algorithm), so the
+    checkpoint bounds plan depth exactly like pagerank's iteration
+    truncation. Factored off the docs scan so the streaming twin can train
+    on its prefix-merged dictionary state."""
+    state = bpe_char_state(word_dict)
     outs = []
     for r in range(1, rounds + 1):
         state = state.localCheckpoint(eager=False)
@@ -1087,3 +1087,10 @@ def bpe_train(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """bpe_train_from_dict over the corpus' word dictionary (one scan)."""
+    return bpe_train_from_dict(bpe_word_dict(docs, text_col), rounds=rounds)

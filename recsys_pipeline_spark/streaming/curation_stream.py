@@ -1206,3 +1206,49 @@ def pq_index_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def bpe_train_stream(
+    stream: DataFrame,
+    text_col: str,
+    rounds: int,
+    out_dir: str,
+    dict_dir: str,
+) -> None:
+    """BPE training online — prefix-corpus merge tables. BPE merges are a
+    batch artifact (rounds depend on each other), but the trainer's ONLY
+    corpus-dependent input is the word frequency dictionary, which IS
+    sum-mergeable: state = per-epoch (word, wcnt) DELTA counters, merging
+    one grouped SUM over a vocabulary-bounded table (the compact-counter
+    shape of the tokenize/LM twins). Each epoch re-trains the full
+    ``rounds`` iterations on the prefix dictionary — cheap because training
+    cost is dictionary-bounded, not corpus-bounded (the measured flat-8x
+    property) — and emits the complete merge table for the prefix corpus;
+    it equals batch bpe_train on the prefix exactly (asserted in tests; on
+    a single micro-batch it IS the batch result). Merge choices can drift
+    as counts grow — the honest online semantics (freeze the merge table
+    before tokenizing, as with the tokenize twin's vocabulary).
+
+    Dictionary/trainer expressions are the batch operator's own
+    (bpe_word_dict / bpe_train_from_dict), so the pair cannot diverge.
+    """
+    from recsys_pipeline_spark.operators.curation import (
+        bpe_train_from_dict,
+        bpe_word_dict,
+    )
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = bpe_word_dict(batch, text_col)
+        _write_epoch(delta, dict_dir, epoch_id)
+        merged = (
+            _read_state(spark, dict_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("word")
+            .agg(F.sum("wcnt").alias("wcnt"))
+        )
+        _write_epoch(bpe_train_from_dict(merged, rounds=rounds), out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

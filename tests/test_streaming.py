@@ -1609,3 +1609,44 @@ def test_streaming_pq_index_freezes_codebook_and_matches_batch(spark, tmp_path):
     }
     assert got == want
     codes_tbl.unpersist()
+
+
+def test_streaming_bpe_train_matches_batch_on_prefix(spark, tmp_path):
+    """Prefix-dictionary BPE: each epoch's merge table equals batch
+    bpe_train on the prefix corpus; the second epoch's table is the
+    registered batch query's result verbatim."""
+    from recsys_pipeline_spark.operators.curation import bpe_train
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    src = str(tmp_path / "bpe_src")
+    half0.coalesce(1).write.parquet(src)
+    import time
+
+    time.sleep(1.5)  # distinct mtimes: oldest file processes first
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out, ddir = str(tmp_path / "bpe_out"), str(tmp_path / "bpe_dict")
+    cs.bpe_train_stream(stream, "text", 3, out, ddir)
+    table = spark.read.parquet(out).cache()
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def got(e):
+        return [
+            (int(r["merge_round"]), r["lhs"], r["rhs"], r["merged"], int(r["cnt"]))
+            for r in table.filter(F.col("_epoch") == e).orderBy("merge_round").collect()
+        ]
+
+    def want(prefix):
+        return [
+            (int(r["merge_round"]), r["lhs"], r["rhs"], r["merged"], int(r["cnt"]))
+            for r in bpe_train(prefix, "text", rounds=3).orderBy("merge_round").collect()
+        ]
+
+    assert got(epochs[0]) == want(half0)
+    assert got(epochs[1]) == want(docs)
+    table.unpersist()
