@@ -1769,6 +1769,39 @@ s0 AS (SELECT word, wcnt, CAST(i AS BIGINT) AS pos,
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's inference half: train the 3-round merge table, then
+    ENCODE the corpus with it (curation.bpe_encode — merges applied in
+    round order, greedy left-to-right, on the distinct-word frame; docs
+    join their words' subword sequences back in word order). The oracle
+    reuses the training CTE chain — its final state IS the encoded word
+    dictionary — plus the word-position join, so train and apply are
+    hash-checked as one pipeline."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.bpe_train_encode(d, "doc_id", "text", rounds=BPE_ROUNDS)
+
+
+SQL_BPE_ENCODE = f"""
+WITH wd AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+            FROM (SELECT unnest({_TOKENS}) AS word FROM documents) GROUP BY 1),
+s0 AS (SELECT word, wcnt, CAST(i AS BIGINT) AS pos,
+              substr(word, CAST(i AS INT), 1) AS tok
+       FROM (SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS i FROM wd)),
+{",".join(_bpe_round_cte(r) for r in range(1, BPE_ROUNDS + 1))},
+wt AS (SELECT word, list(tok ORDER BY pos) AS toks,
+              CAST(count(*) AS BIGINT) AS ntok
+       FROM s{BPE_ROUNDS} GROUP BY word),
+dt AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+dw AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wpos, ws FROM dt),
+dwp AS (SELECT doc_id, wpos, ws[wpos] AS word FROM dw)
+SELECT doc_id,
+       array_to_string(flatten(list(toks ORDER BY wpos)), ' ') AS bpe_text,
+       CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+FROM dwp JOIN wt USING (word)
+GROUP BY doc_id
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "negative_sample": q_negative_sample,
@@ -1816,6 +1849,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "corpus_health": q_corpus_health,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1829,6 +1863,7 @@ ORACLES_CUR: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "corpus_health": SQL_CORPUS_HEALTH,
     "bpe_train": SQL_BPE_TRAIN,
+    "bpe_encode": SQL_BPE_ENCODE,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

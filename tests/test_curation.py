@@ -783,3 +783,31 @@ def test_bpe_train_word_frequency_weighting(spark):
     docs = spark.createDataFrame([(1, "xy xy zw")], ["doc_id", "text"])
     got = curation.bpe_train(docs, "text", rounds=1).collect()
     assert [(r["lhs"], r["rhs"], int(r["cnt"])) for r in got] == [("x", "y", 2)]
+
+
+def test_bpe_encode_applies_frozen_merges_to_new_docs(spark):
+    """The deployment shape: merges trained on one corpus, applied frozen to
+    ANOTHER. Train on 'aaaa ab ab' (merges aa, ab, aaaa), encode 'aab ba':
+    aab -> [aa, b] (r1 fires, r2 (a,b) can't — the 'a' is inside 'aa'),
+    ba -> [b, a] (no merge matches)."""
+    from recsys_pipeline_spark.operators import curation
+
+    train = spark.createDataFrame([(1, "aaaa ab ab")], ["doc_id", "text"])
+    merges = curation.bpe_train(train, "text", rounds=3)
+    new = spark.createDataFrame([(7, "aab ba")], ["doc_id", "text"])
+    got = curation.bpe_encode(new, merges, "doc_id", "text", rounds=3).collect()
+    assert [(int(r["doc_id"]), r["bpe_text"], int(r["n_bpe_tokens"])) for r in got] == [
+        (7, "aa b b a", 4)
+    ]
+
+
+def test_bpe_encode_roundtrip_on_training_corpus(spark):
+    """Encoding the training corpus reflects every learned merge: 'aaaa ab
+    ab' tokenizes to single units after the 3 rounds that learned exactly
+    those merges."""
+    from recsys_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame([(1, "aaaa ab ab")], ["doc_id", "text"])
+    merges = curation.bpe_train(docs, "text", rounds=3)
+    got = curation.bpe_encode(docs, merges, "doc_id", "text", rounds=3).collect()
+    assert [(r["bpe_text"], int(r["n_bpe_tokens"])) for r in got] == [("aaaa ab ab", 3)]

@@ -371,10 +371,36 @@ def test_bpe_train_equals_sequential_simulation(spark, docs_words, rounds):
         for w in text.split():
             wc[w] = wc.get(w, 0) + 1
     want = _bpe_sim(wc, rounds)
+    merges = cur.bpe_train(df, "text", rounds=rounds)
     got = [
         (int(r["merge_round"]), r["lhs"], r["rhs"], r["merged"], int(r["cnt"]))
-        for r in cur.bpe_train(df, "text", rounds=rounds)
-        .orderBy("merge_round")
-        .collect()
+        for r in merges.orderBy("merge_round").collect()
     ]
     assert got == want
+
+    # encode with the learned merges == the simulation's final word state
+    state = {w: list(w) for w in wc}
+    for _, l, rr, _, _ in want:
+        for w in state:
+            toks, new, i = state[w], [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == rr:
+                    new.append(l + rr)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            state[w] = new
+    want_enc = {
+        i: (
+            " ".join(t for w in text.split() for t in state[w]),
+            sum(len(state[w]) for w in text.split()),
+        )
+        for i, text in rows
+        if text.split()
+    }
+    got_enc = {
+        int(r["doc_id"]): (r["bpe_text"], int(r["n_bpe_tokens"]))
+        for r in cur.bpe_encode(df, merges, "doc_id", "text", rounds=rounds).collect()
+    }
+    assert got_enc == want_enc

@@ -89,6 +89,8 @@ CAPS = {
     "bpe_train": 4.0,        # measured 1.0 — replication preserves the word
     # DICTIONARY (only counts scale), so every round after the one corpus
     # scan costs exactly the same: the vocabulary-bounded property
+    "bpe_encode": 5.0,       # measured 2.0 — training side flat (dictionary-
+    # bounded), the words-to-subwords join + per-doc regroup scale linearly
 }
 
 
