@@ -317,3 +317,33 @@ def test_corpus_health_is_single_pass_expand(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") == 1  # one ROLLUP pass, not per-level unions
     assert plan.count("FileScan") == 1
+
+
+def test_bpe_train_no_cartesian_and_broadcast_merge_join(spark):
+    """Every bpe_round join is equi-keyed: the 1-row best-pair frame joins
+    by BroadcastHashJoin (never a nested loop) and the state rebuild keys on
+    (word, pos) — a refactor that degrades either to a cartesian fails.
+    The registered query truncates rounds behind checkpoints, so the join
+    shape is pinned on one un-truncated bpe_round application."""
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.operators import curation
+
+    docs = read_table(spark, SF, "documents")
+    state = curation.bpe_char_state(curation.bpe_word_dict(docs))
+    _, new_state = curation.bpe_round(state)
+    plan = _final_plan(new_state)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_encode_bounded_corpus_scans(spark):
+    """Train+encode reads documents at most twice (word dictionary side +
+    doc-words side); the round chain must stay checkpoint-truncated, never
+    re-deriving the dictionary per round."""
+    from recsys_pipeline_spark.queries_curation import q_bpe_encode
+
+    plan = _final_plan(q_bpe_encode(spark, SF))
+    assert plan.count("FileScan") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
