@@ -1177,8 +1177,17 @@ def bpe_train_encode(
     encoded word dictionary (what the unrolled oracle computes), so the
     merge-application chain runs once instead of train-then-reapply —
     measured 6.4s -> 3.2s at sf0.1."""
+    return bpe_encode_from_state(
+        docs, bpe_final_state(docs, text_col, rounds), id_col=id_col, text_col=text_col
+    )
+
+
+def bpe_final_state(docs: DataFrame, text_col: str = "text", rounds: int = 3) -> DataFrame:
+    """The trainer's final (word, pos, tok) subword state — the encoded word
+    dictionary; shared by bpe_train_encode and the training_batches
+    composite (which only needs per-word subword COUNTS)."""
     state = bpe_char_state(bpe_word_dict(docs, text_col))
     for _ in range(rounds):
         state = state.localCheckpoint(eager=False)
         _, state = bpe_round(state)
-    return bpe_encode_from_state(docs, state, id_col=id_col, text_col=text_col)
+    return state

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recsys_pipeline_spark.io import read_table
@@ -867,8 +867,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_EN = "('the','a','of','and','to','in','is','it','that','for')"
 
-SQL_QUALITY_FILTER = f"""
-WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+# t/sig/d/r CTE chain shared with composed oracles (training_batches)
+_QF_CTES = f"""t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
 sig AS (
   SELECT doc_id, len(toks) AS n_tokens,
          CASE WHEN len(toks) > 0
@@ -901,7 +901,10 @@ r AS (
     (CASE WHEN dup3_ppm > {QF_DUP3_PPM_MAX} THEN 'repetitive,' ELSE '' END),
     ',') AS drop_reasons
   FROM d
-)
+)"""
+
+SQL_QUALITY_FILTER = f"""
+WITH {_QF_CTES}
 SELECT doc_id, n_tokens, mean_tok_len_x100, stop_hits, dup3_ppm, drop_reasons,
        CASE WHEN drop_reasons = '' THEN 1 ELSE 0 END AS keep
 FROM r
@@ -1755,12 +1758,19 @@ s{r} AS (SELECT word, wcnt,
                WHERE dr.pos IS NULL))"""
 
 
-SQL_BPE_TRAIN = f"""
-WITH wd AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
-            FROM (SELECT unnest({_TOKENS}) AS word FROM documents) GROUP BY 1),
+def _bpe_dict_ctes(rel: str) -> str:
+    """wd/s0 CTE pair over any relation with a ``text`` column — the BPE
+    blocks are composed into larger oracles (training_batches), so the
+    source relation is a parameter."""
+    return f"""wd AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+            FROM (SELECT unnest({_TOKENS}) AS word FROM {rel}) GROUP BY 1),
 s0 AS (SELECT word, wcnt, CAST(i AS BIGINT) AS pos,
               substr(word, CAST(i AS INT), 1) AS tok
-       FROM (SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS i FROM wd)),
+       FROM (SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS i FROM wd))"""
+
+
+SQL_BPE_TRAIN = f"""
+WITH {_bpe_dict_ctes("documents")},
 {",".join(_bpe_round_cte(r) for r in range(1, BPE_ROUNDS + 1))}
 {" UNION ALL ".join(
     f"SELECT CAST({r} AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, cnt FROM b{r}"
@@ -1782,11 +1792,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BPE_ENCODE = f"""
-WITH wd AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
-            FROM (SELECT unnest({_TOKENS}) AS word FROM documents) GROUP BY 1),
-s0 AS (SELECT word, wcnt, CAST(i AS BIGINT) AS pos,
-              substr(word, CAST(i AS INT), 1) AS tok
-       FROM (SELECT word, wcnt, unnest(range(1, length(word) + 1)) AS i FROM wd)),
+WITH {_bpe_dict_ctes("documents")},
 {",".join(_bpe_round_cte(r) for r in range(1, BPE_ROUNDS + 1))},
 wt AS (SELECT word, list(tok ORDER BY pos) AS toks,
               CAST(count(*) AS BIGINT) AS ntok
@@ -1799,6 +1805,82 @@ SELECT doc_id,
        CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
 FROM dwp JOIN wt USING (word)
 GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training_batches (round 12): the FINAL-MILE composite — what turns a raw
+# corpus into the training input stream: quality-gate -> BPE-train on the
+# SURVIVOR corpus (the production order: tokenizers train on curated text)
+# -> per-document subword counts -> greedy per-source packing into
+# PACK_BUDGET-subword bins. One registered oracle-checked query pinning the
+# wiring of three independently-verified operators (the tokenization analog
+# of curate_corpus / crawl_ingest); the oracle composes the shared quality
+# CTE chain with the parametrized BPE blocks over the kept-docs relation.
+# ---------------------------------------------------------------------------
+
+
+def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    audit = curation.quality_gate(
+        d,
+        "doc_id",
+        "text",
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        min_mtl_x100=QF_MTL_MIN_X100,
+        max_mtl_x100=QF_MTL_MAX_X100,
+        dup3_ppm_max=QF_DUP3_PPM_MAX,
+    )
+    # survivors feed the BPE dictionary AND the per-doc count join: one
+    # materialization (at cluster scale this is the curated staging table)
+    kept = d.join(
+        audit.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    state = curation.bpe_final_state(kept, "text", rounds=BPE_ROUNDS)
+    ntok = state.groupBy("word").agg(F.count(F.lit(1)).alias("ntok"))
+    doc_words = kept.select(
+        "doc_id", "source", F.explode(text.tokens(F.col("text"))).alias("word")
+    )
+    sized = (
+        doc_words.join(ntok, "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("ntok").alias("n_bpe_tokens"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    offs = sized.withColumn(
+        "bin_offset", F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens")
+    )
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_bpe_tokens",
+        F.floor(F.col("bin_offset") / float(PACK_BUDGET)).cast("long").alias("bin_id"),
+    )
+
+
+SQL_TRAINING_BATCHES = f"""
+WITH {_QF_CTES},
+kdocs AS (SELECT dd.doc_id, dd.source, dd.text
+          FROM documents dd JOIN r USING (doc_id)
+          WHERE r.drop_reasons = ''),
+{_bpe_dict_ctes("kdocs")},
+{",".join(_bpe_round_cte(rr) for rr in range(1, BPE_ROUNDS + 1))},
+wt AS (SELECT word, CAST(count(*) AS BIGINT) AS ntok
+       FROM s{BPE_ROUNDS} GROUP BY word),
+dwx AS (SELECT doc_id, unnest({_TOKENS}) AS word FROM kdocs),
+nd AS (SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+       FROM dwx JOIN wt USING (word) GROUP BY doc_id),
+sized AS (SELECT k.doc_id, k.source, n.n_bpe_tokens
+          FROM kdocs k JOIN nd n USING (doc_id)),
+offs AS (SELECT doc_id, source, n_bpe_tokens,
+                SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                  - n_bpe_tokens AS bin_offset
+         FROM sized)
+SELECT doc_id, source, n_bpe_tokens,
+       CAST(floor(bin_offset / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+FROM offs
 """
 
 
@@ -1850,6 +1932,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_health": q_corpus_health,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "training_batches": q_training_batches,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1864,6 +1947,7 @@ ORACLES_CUR: dict[str, str] = {
     "corpus_health": SQL_CORPUS_HEALTH,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_encode": SQL_BPE_ENCODE,
+    "training_batches": SQL_TRAINING_BATCHES,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

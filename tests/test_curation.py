@@ -811,3 +811,34 @@ def test_bpe_encode_roundtrip_on_training_corpus(spark):
     merges = curation.bpe_train(docs, "text", rounds=3)
     got = curation.bpe_encode(docs, merges, "doc_id", "text", rounds=3).collect()
     assert [(r["bpe_text"], int(r["n_bpe_tokens"])) for r in got] == [("aaaa ab ab", 3)]
+
+
+def test_training_batches_composite_semantics(spark):
+    """The final-mile composite: exactly the quality-gate survivors appear,
+    bin ids are the greedy running-sum pack over BPE subword counts (within
+    each source, ordered by doc_id, bin = floor(prefix_offset / budget) —
+    re-simulated from the query's own rows), and counts are positive."""
+    from recsys_pipeline_spark.queries_curation import (
+        PACK_BUDGET,
+        q_quality_filter,
+        q_training_batches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_training_batches(spark, sf).collect()
+    kept = {
+        int(r["doc_id"]) for r in q_quality_filter(spark, sf).collect() if r["keep"] == 1
+    }
+    assert {int(r["doc_id"]) for r in rows} == kept and kept
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(
+            (int(r["doc_id"]), int(r["n_bpe_tokens"]), int(r["bin_id"]))
+        )
+    for docs in by_source.values():
+        docs.sort()
+        off = 0
+        for _, n, bin_id in docs:
+            assert n > 0
+            assert bin_id == off // PACK_BUDGET
+            off += n

@@ -91,6 +91,8 @@ CAPS = {
     # scan costs exactly the same: the vocabulary-bounded property
     "bpe_encode": 5.0,       # measured 2.0 — training side flat (dictionary-
     # bounded), the words-to-subwords join + per-doc regroup scale linearly
+    "training_batches": 5.0,  # measured 2.3 — gate + count join linear, BPE
+    # dictionary side flat; the pack window is survivor-sized
 }
 
 
