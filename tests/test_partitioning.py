@@ -143,3 +143,31 @@ def test_spread_is_identity_at_production_split_counts(spark):
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     # and the rescue preserves the rows exactly
     assert out.count() == 10_000
+
+
+def test_pq_codes_partitioned_by_sketch_cell_prune(spark, tmp_path_factory):
+    """The ivfpq_topk 100 TB story made concrete: the stored index = PQ
+    codes written partitioned by the deterministic sketch cell; probing a
+    cell subset must prune to those directories, so an IVF-PQ query reads
+    n_probe/n_cells of an index that is ALREADY 32x smaller than the fp
+    corpus — neither stage ever touches the original vectors."""
+    from recsys_pipeline_spark.operators import pq
+    from recsys_pipeline_spark.operators.dedup import sketch_memberships, sketch_planes
+
+    emb = read_table(spark, SF, "embeddings")
+    cents = pq.pq_centroids(emb)
+    codes = pq.pq_encode(emb, cents)
+    planes = sketch_planes(64, bits=3, tables=1, seed=7)
+    cells = sketch_memberships(emb, planes).select(
+        F.col("_id").alias("vec_id"), F.col("sketch").alias("cell")
+    )
+    index = codes.join(cells, "vec_id").withColumn(
+        "codes_csv", F.array_join(F.col("codes").cast("array<string>"), ",")
+    ).drop("codes")
+    out = str(tmp_path_factory.mktemp("pq") / "codes_by_cell")
+    write_parquet(index, out, partition_by=["cell"])
+
+    probed = spark.read.parquet(out).filter(F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert probed.count() == index.filter(F.col("cell").isin([0, 1])).count()
