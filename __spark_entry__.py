@@ -98,6 +98,7 @@ _DEFERRED = [
     "pq_codes",  # product-quantization encoder — the stored IVF-PQ index
     "pq_ann_overlap",  # flat-ADC top-10 vs exact L2 (the 32x-cut cost row)
     "ivfpq_topk",  # coarse-probe + ADC-rerank — the composed architecture
+    "ivfpq_recall",  # the composed system's (n_cand, recall@10) frontier row
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the

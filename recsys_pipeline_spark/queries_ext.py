@@ -1096,6 +1096,83 @@ SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, adc_d2_micro FROM (
 """
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ system's row on the accuracy/cost frontier:
+    per-query candidate-set size (the probe cost) and recall@10 of the
+    coarse-probe + ADC-rerank pipeline against exact squared-L2 top-10 —
+    alongside ann_recall_report (sketch LSH/IVF vs exact cosine),
+    quantized_ann_overlap (int8) and pq_ann_overlap (flat ADC), this
+    completes the frontier: every deployed index layout has a hash-checked
+    (n_cand, recall) point."""
+    from recsys_pipeline_spark.operators import pq
+
+    e, cents, codes = _pq_frames(spark, sf_dir)
+    queries = _ann_queries_df(spark, sf_dir)
+    lut = pq.adc_lut(queries, cents)
+    cand = (
+        similarity.ivf_sketch_candidates_multi(
+            e, queries, cell_bits=3, n_probe=4, seed=7
+        )
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=False)  # feeds n_cand AND the rerank
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            pq.adc_score(F.col("codes"), F.col("lut")).alias("_adc"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_adc").asc(), F.col("vec_id").asc())
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+    )
+    exact = pq.l2_topk_for_queries(queries, e, k=10).select("qid", "vec_id")
+    hits = topk.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    return ncand.join(hits, "qid", "left").select(
+        "qid",
+        "n_cand",
+        (F.coalesce(F.col("_hits"), F.lit(0)) * 100000).cast("long").alias("recall_ppm"),
+    )
+
+
+SQL_IVFPQ_RECALL = f"""
+WITH mem_i AS ({_sketch_mem_sql(bits=3, tables=1, seed=7)}),
+qc AS (SELECT vec_id AS qid, sketch AS qcell FROM mem_i WHERE vec_id IN ({_ANN_QIDS_SQL})),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT qc.qid, t.c AS cell,
+           row_number() OVER (PARTITION BY qc.qid
+                              ORDER BY bit_count(xor(t.c, qc.qcell)), t.c) AS rk
+    FROM range(8) t(c), qc) WHERE rk <= 4
+),
+cand AS (SELECT p.qid, m.vec_id FROM mem_i m JOIN probe p ON m.sketch = p.cell),
+{_PQ_CTES},
+{_PQ_ADC_CTES.format(qids=_ANN_QIDS_SQL)},
+topk AS (
+  SELECT qid, vec_id FROM (
+    SELECT a.qid, a.vec_id,
+           row_number() OVER (PARTITION BY a.qid ORDER BY a.adc_d2_micro, a.vec_id) AS rk
+    FROM adc a JOIN cand c ON c.qid = a.qid AND c.vec_id = a.vec_id) WHERE rk <= 10),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id IN ({_ANN_QIDS_SQL})),
+{_PQ_EXACT_CTE},
+hits AS (SELECT t.qid, COUNT(*) AS h FROM topk t JOIN exact x
+         ON t.qid = x.qid AND t.vec_id = x.vec_id GROUP BY t.qid),
+ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY qid)
+SELECT n.qid, n.n_cand,
+       CAST(COALESCE(h.h, 0) * 100000 AS BIGINT) AS recall_ppm
+FROM ncand n LEFT JOIN hits h ON n.qid = h.qid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Skew-proof aggregation (salted two-stage) — value-identical to plain GROUP BY
 # ---------------------------------------------------------------------------
@@ -1147,6 +1224,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "pq_ann_overlap": q_pq_ann_overlap,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_recall": q_ivfpq_recall,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -1174,4 +1252,5 @@ ORACLES_EXT: dict[str, str] = {
     "pq_codes": SQL_PQ_CODES,
     "pq_ann_overlap": SQL_PQ_ANN_OVERLAP,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ivfpq_recall": SQL_IVFPQ_RECALL,
 }

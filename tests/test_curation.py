@@ -842,3 +842,23 @@ def test_training_batches_composite_semantics(spark):
             assert n > 0
             assert bin_id == off // PACK_BUDGET
             off += n
+
+
+def test_bpe_train_invariant_to_input_partitioning(spark):
+    """Rerun-stability: the merge table is a pure function of corpus content
+    — identical under any input partitioning (window orders and tie rules
+    are fully deterministic)."""
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.operators import curation
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def table(df):
+        return [
+            tuple(r)
+            for r in curation.bpe_train(df, "text", rounds=3)
+            .orderBy("merge_round")
+            .collect()
+        ]
+
+    assert table(d.repartition(1)) == table(d.repartition(7))

@@ -266,3 +266,18 @@ def test_pq_codes_and_adc_equal_simulation_on_random_corpora(spark, data):
         )
         for rk, (d, vid) in enumerate(scored[:3], start=1):
             assert got_top[(qid, rk)] == (vid, d)
+
+
+def test_pq_encode_invariant_to_input_partitioning(spark, spark_frames):
+    """Rerun-stability contract: codes are a pure function of row content —
+    identical under any input partitioning (AQE/speculation-proof)."""
+    e, cents, _ = spark_frames
+    a = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in pq.pq_encode(e.repartition(1), cents).collect()
+    }
+    b = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in pq.pq_encode(e.repartition(7), cents).collect()
+    }
+    assert a == b

@@ -86,6 +86,7 @@ CAPS = {
     "pq_codes": 4.0,         # measured 1.3
     "pq_ann_overlap": 4.0,   # measured 1.2 (exact-L2 side is the linear term)
     "ivfpq_topk": 4.0,       # measured 1.4 (probe prune + codes-only rerank)
+    "ivfpq_recall": 4.0,     # measured 1.2 (same pipeline + exact-L2 baseline)
     "bpe_train": 4.0,        # measured 1.0 — replication preserves the word
     # DICTIONARY (only counts scale), so every round after the one corpus
     # scan costs exactly the same: the vocabulary-bounded property
