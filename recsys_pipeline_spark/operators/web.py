@@ -291,3 +291,86 @@ def zorder_layout(
             F.max("y").alias("max_y"),
         )
     )
+
+
+def zone_map_prune(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    bits: int = 8,
+    rows_per_file_shift: int = 6,
+) -> DataFrame:
+    """Make the data-skipping contract EXECUTABLE: plan two write layouts
+    over the same rows — the z-order layout (`zorder_layout`) and the 1-D
+    range-partitioned layout every table starts with (equal-WIDTH buckets
+    of ``col_x`` at the same file granularity: 2^(2*bits - shift) files,
+    pure offset-scale integer algebra, no global rank and therefore no
+    tie-order dependence) — then evaluate the canonical two-column range
+    predicate (the first 1/8 of each column's span, derived from the same
+    stats so the query is scale-free) against both zone maps. A file is
+    read iff its [min, max] span intersects the predicate on BOTH axes.
+
+    Output, one row per layout: file/row totals, how many a pruning reader
+    must touch, and integer-ppm read fractions — the measured benefit
+    z-order exists for (the x-partitioned layout prunes only on x; z-order
+    prunes on both axes).
+
+    Scale: two grouped passes over (x, y) projections plus a broadcast
+    stats row — the write-planner's cost, not the reader's.
+    """
+    n_files = 1 << (2 * bits - rows_per_file_shift)
+    stats = df.agg(
+        F.min(col_x).cast("long").alias("mnx"),
+        F.max(col_x).cast("long").alias("mxx"),
+        F.min(col_y).cast("long").alias("mny"),
+        F.max(col_y).cast("long").alias("mxy"),
+    )
+    zmap = zorder_layout(
+        df, col_x, col_y, bits=bits, rows_per_file_shift=rows_per_file_shift
+    )
+    xmap = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(col_x).cast("long").alias("x"),
+            F.col(col_y).cast("long").alias("y"),
+            F.expr(
+                f"((CAST({col_x} AS BIGINT) - mnx) * {n_files}) DIV (mxx - mnx + 1)"
+            ).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+    def report(zone_map: DataFrame, layout: str) -> DataFrame:
+        j = zone_map.crossJoin(F.broadcast(stats))
+        x_hi = F.expr("mnx + (mxx - mnx) DIV 8")
+        y_hi = F.expr("mny + (mxy - mny) DIV 8")
+        read = (
+            (F.col("max_x") >= F.col("mnx"))
+            & (F.col("min_x") <= x_hi)
+            & (F.col("max_y") >= F.col("mny"))
+            & (F.col("min_y") <= y_hi)
+        )
+        flagged = j.select(
+            F.col("n_rows"), read.cast("long").alias("_read")
+        )
+        row = flagged.agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum("_read").alias("files_read"),
+            F.expr("SUM(_read) * 1000000 DIV COUNT(*)").alias("files_read_ppm"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.col("n_rows") * F.col("_read")).alias("rows_read"),
+            F.expr("SUM(n_rows * _read) * 1000000 DIV SUM(n_rows)").alias(
+                "rows_read_ppm"
+            ),
+        )
+        return row.select(F.lit(layout).alias("layout"), "*")
+
+    return report(zmap, "zorder").unionByName(report(xmap, "xpart"))

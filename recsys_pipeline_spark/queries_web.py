@@ -258,6 +258,69 @@ SQL_ZORDER_LAYOUT = _zorder_sql(
 
 
 # ---------------------------------------------------------------------------
+# zone_map_prune: the data-skipping contract, executable
+# ---------------------------------------------------------------------------
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-order vs 1-D range partitioning, measured: plan both layouts over
+    lineitem (l_partkey x l_suppkey) at the same file granularity,
+    evaluate the canonical 1/8 x 1/8 range predicate against both zone
+    maps, and report file/row read fractions in integer ppm. The whole
+    reason to z-order — pruning on BOTH axes — becomes a hash-checked
+    number instead of a docstring claim."""
+    d = read_table(spark, sf_dir, "lineitem")
+    return W.zone_map_prune(
+        d, "l_partkey", "l_suppkey",
+        bits=ZORDER_BITS, rows_per_file_shift=ZORDER_SHIFT,
+    )
+
+
+def _zone_prune_sql(table: str, cx: str, cy: str, bits: int, shift: int) -> str:
+    inter = " + ".join(
+        f"((((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(bits)
+    )
+    n_files = 1 << (2 * bits - shift)
+    rep = """SELECT '{name}' AS layout,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(SUM(rd) AS BIGINT) AS files_read,
+       CAST(SUM(rd) * 1000000 // count(*) AS BIGINT) AS files_read_ppm,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(n_rows * rd) AS BIGINT) AS rows_read,
+       CAST(SUM(n_rows * rd) * 1000000 // SUM(n_rows) AS BIGINT) AS rows_read_ppm
+FROM (SELECT n_rows,
+             CASE WHEN max_x >= x1 AND min_x <= x2
+                   AND max_y >= y1 AND min_y <= y2 THEN 1 ELSE 0 END AS rd
+      FROM {zm}, pr)"""
+    return f"""
+WITH s AS (SELECT CAST(min({cx}) AS BIGINT) AS mnx, CAST(max({cx}) AS BIGINT) AS mxx,
+                  CAST(min({cy}) AS BIGINT) AS mny, CAST(max({cy}) AS BIGINT) AS mxy
+           FROM {table}),
+b AS (SELECT CAST({cx} AS BIGINT) AS x, CAST({cy} AS BIGINT) AS y,
+             ((CAST({cx} AS BIGINT) - mnx) * {1 << bits}) // (mxx - mnx + 1) AS qx,
+             ((CAST({cy} AS BIGINT) - mny) * {1 << bits}) // (mxy - mny + 1) AS qy,
+             ((CAST({cx} AS BIGINT) - mnx) * {n_files}) // (mxx - mnx + 1) AS xf
+      FROM {table}, s),
+zf AS (SELECT x, y, ({inter}) // {1 << shift} AS file_id FROM b),
+zmap AS (SELECT file_id, count(*) AS n_rows, min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y FROM zf GROUP BY 1),
+xmap AS (SELECT xf AS file_id, count(*) AS n_rows, min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y FROM b GROUP BY 1),
+pr AS (SELECT mnx AS x1, mnx + (mxx - mnx) // 8 AS x2,
+              mny AS y1, mny + (mxy - mny) // 8 AS y2 FROM s)
+{rep.format(name="zorder", zm="zmap")}
+UNION ALL
+{rep.format(name="xpart", zm="xmap")}
+"""
+
+
+SQL_ZONE_MAP_PRUNE = _zone_prune_sql(
+    "lineitem", "l_partkey", "l_suppkey", ZORDER_BITS, ZORDER_SHIFT,
+)
+
+
+# ---------------------------------------------------------------------------
 # crawl_ingest composite
 # ---------------------------------------------------------------------------
 
@@ -528,6 +591,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "pagerank_hosts": q_pagerank_hosts,
     "zorder_layout": q_zorder_layout,
+    "zone_map_prune": q_zone_map_prune,
     "crawl_ingest": q_crawl_ingest,
     "host_quality_filter": q_host_quality_filter,
 }
@@ -536,6 +600,7 @@ ORACLES_WEB: dict[str, str] = {
     "html_extract": SQL_HTML_EXTRACT,
     "pagerank_hosts": SQL_PAGERANK_HOSTS,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "zone_map_prune": SQL_ZONE_MAP_PRUNE,
     "crawl_ingest": SQL_CRAWL_INGEST,
     "host_quality_filter": SQL_HOST_QUALITY_FILTER,
 }

@@ -81,6 +81,7 @@ CAPS = {
     "line_dedup": 4.0,       # measured 1.6 (WindowGroupLimit keeps per-line
     # minima map-side; one line-keyed exchange + the doc regroup)
     "corpus_health": 4.0,    # measured 1.2 (gate signals + one-pass Expand)
+    "zone_map_prune": 4.0,   # measured 1.1 (two grouped passes + broadcast stats)
     # round 12, PQ family (measured quiet ratios 1.2-1.4 — overhead-bound:
     # encode is a narrow explode + broadcast codebook join, ADC scans codes)
     "pq_codes": 4.0,         # measured 1.3

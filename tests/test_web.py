@@ -356,3 +356,34 @@ def test_zorder_matches_bruteforce_on_random_points(spark, points):
         ).collect()
     }
     assert got == _brute_zonemap(points, bits, shift)
+
+
+def test_zone_map_prune_is_sound_and_zorder_wins(spark):
+    """Pruning soundness: each layout's read-file row total must COVER the
+    predicate's true matching rows (zone-map pruning never drops a match);
+    and the measured point of the query — z-order's two-axis pruning beats
+    the 1-D x-partitioned layout on the same predicate."""
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.queries_web import q_zone_map_prune
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["layout"]: r for r in q_zone_map_prune(spark, sf).collect()}
+    li = read_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("x"),
+        F.col("l_suppkey").cast("long").alias("y"),
+    )
+    st = li.agg(
+        F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+        F.min("y").alias("mny"), F.max("y").alias("mxy"),
+    ).first()
+    x_hi = st["mnx"] + (st["mxx"] - st["mnx"]) // 8
+    y_hi = st["mny"] + (st["mxy"] - st["mny"]) // 8
+    true_rows = li.filter(
+        (F.col("x") >= st["mnx"]) & (F.col("x") <= x_hi)
+        & (F.col("y") >= st["mny"]) & (F.col("y") <= y_hi)
+    ).count()
+    for r in rows.values():
+        assert int(r["rows_read"]) >= true_rows  # sound: never skips a match
+        assert int(r["rows_total"]) == li.count()
+    assert int(rows["zorder"]["files_read_ppm"]) < int(rows["xpart"]["files_read_ppm"])
+    assert int(rows["zorder"]["rows_read_ppm"]) < int(rows["xpart"]["rows_read_ppm"])
