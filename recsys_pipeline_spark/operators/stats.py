@@ -116,3 +116,31 @@ def approx_distinct(
     return df.groupBy(group_col).agg(
         F.approx_count_distinct(value_col, rsd).alias("approx_uniques")
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data-quality profile (column_name, n_rows, n_null,
+    n_distinct) in long form — the generic core of profile_orders, reused
+    by the version-drift report (profile_drift). One scan + one aggregate;
+    the exact distincts share a single Expand pass; the 1-row wide result
+    unpivots on the executors."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+            for c in cols
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"_dist_{c}") for c in cols],
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(arr).alias("s")).select("s.*")

@@ -558,8 +558,17 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     spawns a new id) — added/removed/changed by content fingerprint; the
     incremental-reprocessing primitive. Unchanged keys emit nothing."""
     d = read_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
     base = d.select("doc_id", "text", "lang")
+    return curation.snapshot_diff(
+        base, _next_snapshot(base), "doc_id", ["text", "lang"]
+    )
+
+
+def _next_snapshot(base: DataFrame) -> DataFrame:
+    """The deterministically derived next dataset version shared by
+    snapshot_diff and profile_drift: doc_id%17==0 deleted, %10==0 revised,
+    %23==0 spawns a new id with lang 'xx'."""
+    did = F.col("doc_id")
     revised = base.filter(did % 17 != 0).select(
         "doc_id",
         F.when(did % 10 == 0, F.concat(F.col("text"), F.lit(" rev2")))
@@ -572,8 +581,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("fresh "), F.col("text")).alias("text"),
         F.lit("xx").alias("lang"),
     )
-    snap_b = revised.unionByName(fresh)
-    return curation.snapshot_diff(base, snap_b, "doc_id", ["text", "lang"])
+    return revised.unionByName(fresh)
 
 
 SQL_SNAPSHOT_DIFF = """
@@ -1884,6 +1892,125 @@ FROM offs
 """
 
 
+# ---------------------------------------------------------------------------
+# profile_drift (round 12): per-column statistical drift between two dataset
+# versions — the data-contract monitoring report a production pipeline runs
+# on every snapshot before training reads it (row-count shifts, null-rate
+# regressions, cardinality collapse/explosion). Versions: the corpus and the
+# _next_snapshot synthesis shared with snapshot_diff, so the diff primitive
+# and the drift report describe the SAME version pair. Shifts are signed
+# integer ppm computed as (b * 1e6 DIV a) - 1e6 — both operands of the
+# truncating division stay non-negative, the Spark DIV == DuckDB // contract
+# (negative-operand division disagrees between engines and never appears).
+# ---------------------------------------------------------------------------
+
+PROFILE_DRIFT_COLS = ["doc_id", "text", "lang"]
+DRIFT_ROWS_PPM = 50000  # alert at >5% row-count shift
+DRIFT_NULL_PPM = 1000  # alert at >0.1% null-rate change
+DRIFT_DIST_PPM = 100000  # alert at >10% cardinality shift
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recsys_pipeline_spark.operators.stats import column_profile
+
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pa = column_profile(base, PROFILE_DRIFT_COLS).select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_null").alias("n_null_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+    )
+    pb = column_profile(_next_snapshot(base), PROFILE_DRIFT_COLS).select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_null").alias("n_null_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+    )
+    j = pa.join(pb, "column_name")
+    null_ppm_a = F.expr("n_null_a * 1000000 DIV n_rows_a")
+    null_ppm_b = F.expr("n_null_b * 1000000 DIV n_rows_b")
+    rows_shift = F.expr("n_rows_b * 1000000 DIV n_rows_a - 1000000")
+    dist_shift = F.expr("n_distinct_b * 1000000 DIV n_distinct_a - 1000000")
+    out = j.select(
+        "column_name",
+        "n_rows_a",
+        "n_rows_b",
+        null_ppm_a.alias("null_ppm_a"),
+        null_ppm_b.alias("null_ppm_b"),
+        "n_distinct_a",
+        "n_distinct_b",
+        rows_shift.alias("rows_shift_ppm"),
+        dist_shift.alias("distinct_shift_ppm"),
+    )
+    return out.withColumn(
+        "alerts",
+        F.rtrim(
+            F.concat(
+                F.when(
+                    F.abs(F.col("rows_shift_ppm")) > DRIFT_ROWS_PPM,
+                    F.lit("row_count,"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.abs(F.col("null_ppm_b") - F.col("null_ppm_a")) > DRIFT_NULL_PPM,
+                    F.lit("null_rate,"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.abs(F.col("distinct_shift_ppm")) > DRIFT_DIST_PPM,
+                    F.lit("cardinality,"),
+                ).otherwise(F.lit("")),
+            ),
+            F.lit(","),
+        ),
+    )
+
+
+def _profile_sql(rel: str, cols: list[str]) -> str:
+    return " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {rel}"""
+        for c in cols
+    )
+
+
+SQL_PROFILE_DRIFT = f"""
+WITH a AS (SELECT doc_id, text, lang FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, 'fresh ' || text, 'xx'
+  FROM documents WHERE doc_id % 23 = 0
+),
+pa AS ({_profile_sql("a", PROFILE_DRIFT_COLS)}),
+pb AS ({_profile_sql("b", PROFILE_DRIFT_COLS)}),
+j AS (
+  SELECT pa.column_name,
+         pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+         pa.n_null * 1000000 // pa.n_rows AS null_ppm_a,
+         pb.n_null * 1000000 // pb.n_rows AS null_ppm_b,
+         pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+         pb.n_rows * 1000000 // pa.n_rows - 1000000 AS rows_shift_ppm,
+         pb.n_distinct * 1000000 // pa.n_distinct - 1000000 AS distinct_shift_ppm
+  FROM pa JOIN pb USING (column_name)
+)
+SELECT column_name, n_rows_a, n_rows_b,
+       CAST(null_ppm_a AS BIGINT) AS null_ppm_a,
+       CAST(null_ppm_b AS BIGINT) AS null_ppm_b,
+       n_distinct_a, n_distinct_b,
+       CAST(rows_shift_ppm AS BIGINT) AS rows_shift_ppm,
+       CAST(distinct_shift_ppm AS BIGINT) AS distinct_shift_ppm,
+       rtrim(
+         (CASE WHEN abs(rows_shift_ppm) > {DRIFT_ROWS_PPM} THEN 'row_count,' ELSE '' END) ||
+         (CASE WHEN abs(null_ppm_b - null_ppm_a) > {DRIFT_NULL_PPM} THEN 'null_rate,' ELSE '' END) ||
+         (CASE WHEN abs(distinct_shift_ppm) > {DRIFT_DIST_PPM} THEN 'cardinality,' ELSE '' END),
+         ',') AS alerts
+FROM j
+"""
+
+
 QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "negative_sample": q_negative_sample,
@@ -1933,6 +2060,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "training_batches": q_training_batches,
+    "profile_drift": q_profile_drift,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -1948,6 +2076,7 @@ ORACLES_CUR: dict[str, str] = {
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_encode": SQL_BPE_ENCODE,
     "training_batches": SQL_TRAINING_BATCHES,
+    "profile_drift": SQL_PROFILE_DRIFT,
     "pii_redaction": _sql_pii_redaction(),
     "doc_chunks": SQL_DOC_CHUNKS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -862,3 +862,19 @@ def test_bpe_train_invariant_to_input_partitioning(spark):
         ]
 
     assert table(d.repartition(1)) == table(d.repartition(7))
+
+
+def test_profile_drift_alerts_follow_planted_churn(spark):
+    """The synthesized next version deletes ~1/17 of rows (under the 5%
+    row-count alert), leaves nulls untouched, and introduces the 'xx'
+    language (5 -> 6 distinct = +20% cardinality): exactly one alert fires,
+    on lang/cardinality."""
+    from recsys_pipeline_spark.queries_curation import q_profile_drift
+
+    rows = {r["column_name"]: r for r in q_profile_drift(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"doc_id", "text", "lang"}
+    assert rows["lang"]["alerts"] == "cardinality"
+    assert rows["doc_id"]["alerts"] == "" and rows["text"]["alerts"] == ""
+    for r in rows.values():
+        assert int(r["null_ppm_a"]) == 0 and int(r["null_ppm_b"]) == 0
+        assert int(r["rows_shift_ppm"]) < 0  # deletions outnumber additions
