@@ -262,34 +262,69 @@ def zorder_layout(
     on file_id. At 100 TB this replaces a full sort with a clustered
     repartition — OPTIMIZE ZORDER semantics, Spark-native.
     """
-    stats = df.agg(
+    stats = zorder_stats(df, col_x, col_y)
+    return zone_map(
+        zorder_files(
+            df, col_x, col_y, stats, bits=bits, rows_per_file_shift=rows_per_file_shift
+        )
+    )
+
+
+def zorder_stats(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """The write-planner's statistics row (mnx/mxx/mny/mxy) — factored so
+    the streaming twin can FREEZE it after the first epoch (deployed zone
+    grids are pinned per table, not re-derived per write)."""
+    return df.agg(
         F.min(col_x).cast("long").alias("mnx"),
         F.max(col_x).cast("long").alias("mxx"),
         F.min(col_y).cast("long").alias("mny"),
         F.max(col_y).cast("long").alias("mxy"),
     )
+
+
+def zorder_files(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    stats: DataFrame,
+    *,
+    bits: int = 8,
+    rows_per_file_shift: int = 6,
+) -> DataFrame:
+    """Per-row (x, y, file_id) against a GIVEN stats grid (broadcast).
+
+    Bucketing inputs CLAMP into the grid (greatest/least against the stats
+    row) — a no-op when the stats come from ``df`` itself (the registered
+    query's and the oracle's case, so values are unchanged), load-bearing
+    when the grid is pinned and later rows fall outside it (the streaming
+    twin): out-of-grid rows land in the edge buckets instead of
+    bit-wrapping into arbitrary files."""
     bx = F.expr(
-        f"((CAST({col_x} AS BIGINT) - mnx) * {1 << bits}) DIV (mxx - mnx + 1)"
+        f"((greatest(mnx, least(mxx, CAST({col_x} AS BIGINT))) - mnx)"
+        f" * {1 << bits}) DIV (mxx - mnx + 1)"
     )
     by = F.expr(
-        f"((CAST({col_y} AS BIGINT) - mny) * {1 << bits}) DIV (mxy - mny + 1)"
+        f"((greatest(mny, least(mxy, CAST({col_y} AS BIGINT))) - mny)"
+        f" * {1 << bits}) DIV (mxy - mny + 1)"
     )
     z = _interleave_bits(bx, by, bits)
-    return (
-        df.crossJoin(F.broadcast(stats))
-        .select(
-            F.col(col_x).cast("long").alias("x"),
-            F.col(col_y).cast("long").alias("y"),
-            F.shiftright(z, rows_per_file_shift).alias("file_id"),
-        )
-        .groupBy("file_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("x").alias("min_x"),
-            F.max("x").alias("max_x"),
-            F.min("y").alias("min_y"),
-            F.max("y").alias("max_y"),
-        )
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(col_x).cast("long").alias("x"),
+        F.col(col_y).cast("long").alias("y"),
+        F.shiftright(z, rows_per_file_shift).alias("file_id"),
+    )
+
+
+def zone_map(files: DataFrame) -> DataFrame:
+    """Per-file zone map off (x, y, file_id) rows. count/min/max are
+    MERGEABLE, so partial maps from disjoint slices combine by one more
+    grouped pass — the streaming twin's state shape."""
+    return files.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
     )
 
 

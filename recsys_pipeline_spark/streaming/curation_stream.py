@@ -1252,3 +1252,71 @@ def bpe_train_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def zorder_stream(
+    stream: DataFrame,
+    col_x: str,
+    col_y: str,
+    out_dir: str,
+    stats_dir: str,
+    partials_dir: str,
+    *,
+    bits: int = 8,
+    rows_per_file_shift: int = 6,
+) -> None:
+    """z-order write-layout planning online — how a table with a pinned
+    zone grid actually ingests: the bucketing STATS freeze on the first
+    non-empty micro-batch (deployed zone grids are per-table constants, not
+    re-derived per write — the frozen-codebook contract of the PQ twin);
+    each epoch's rows bucket against the frozen grid and contribute a
+    PARTIAL per-file zone map. count/min/max are mergeable, so state =
+    per-epoch partial-map deltas and the merge is one grouped pass; every
+    epoch emits the FULL prefix zone map (a zone map describes the whole
+    table). It equals batch `zorder_layout` on the prefix whenever the
+    frozen grid equals the prefix's stats — in particular when the first
+    batch carries both columns' extremes (asserted in tests); otherwise
+    out-of-grid rows clamp into edge buckets (zorder_files clamps the
+    bucketing inputs against the grid — a no-op under self-stats), and
+    the deployment answer is re-layout on grid refresh (OPTIMIZE),
+    mirroring the codebook/vocabulary twins.
+
+    Stats/bucketing/zone-map expressions are the batch operator's own
+    (web.zorder_stats / zorder_files / zone_map), so the pair cannot
+    diverge.
+    """
+    from recsys_pipeline_spark.operators.web import zone_map, zorder_files, zorder_stats
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        like = zorder_stats(batch.limit(0), col_x, col_y)
+        stats = _read_state(spark, stats_dir, like, epoch_id)
+        if stats.first() is None:
+            if batch.first() is None:
+                return
+            stats = zorder_stats(batch, col_x, col_y)
+            _write_epoch(stats, stats_dir, epoch_id)
+        delta = zone_map(
+            zorder_files(
+                batch, col_x, col_y, stats,
+                bits=bits, rows_per_file_shift=rows_per_file_shift,
+            )
+        )
+        _write_epoch(delta, partials_dir, epoch_id)
+        merged = (
+            _read_state(spark, partials_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("file_id")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.min("min_x").alias("min_x"),
+                F.max("max_x").alias("max_x"),
+                F.min("min_y").alias("min_y"),
+                F.max("max_y").alias("max_y"),
+            )
+        )
+        _write_epoch(merged, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -1650,3 +1650,97 @@ def test_streaming_bpe_train_matches_batch_on_prefix(spark, tmp_path):
     assert got(epochs[0]) == want(half0)
     assert got(epochs[1]) == want(docs)
     table.unpersist()
+
+
+def test_streaming_zorder_matches_batch_when_grid_freezes_on_extremes(spark, tmp_path):
+    """Online write-layout planning: the zone grid freezes on the first
+    batch; per-file zone-map partials merge by one grouped pass. The first
+    batch is constructed to carry both columns' extremes, so the frozen
+    grid equals the full-corpus grid and the final emitted zone map must
+    equal batch zorder_layout verbatim. Out-of-grid handling (clamping) is
+    pinned separately on a planted frame."""
+    import time
+
+    from recsys_pipeline_spark.operators import web as W
+    from recsys_pipeline_spark.queries_web import ZORDER_BITS, ZORDER_SHIFT
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    st = li.agg(
+        F.min("l_partkey").alias("mnx"), F.max("l_partkey").alias("mxx"),
+        F.min("l_suppkey").alias("mny"), F.max("l_suppkey").alias("mxy"),
+    ).first()
+    extreme = (
+        (F.col("l_partkey") == st["mnx"]) | (F.col("l_partkey") == st["mxx"])
+        | (F.col("l_suppkey") == st["mny"]) | (F.col("l_suppkey") == st["mxy"])
+    )
+    keep_first = extreme | (F.col("l_orderkey") % 2 == 0)
+    first = li.filter(keep_first)
+    second = li.filter(~keep_first)  # NOT subtract: it would dedupe repeats
+    src = str(tmp_path / "zo_src")
+    first.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "zo_out")
+    cs.zorder_stream(
+        stream, "l_partkey", "l_suppkey", out,
+        str(tmp_path / "zo_stats"), str(tmp_path / "zo_parts"),
+        bits=ZORDER_BITS, rows_per_file_shift=ZORDER_SHIFT,
+    )
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    got = {
+        int(r["file_id"]): (int(r["n_rows"]), int(r["min_x"]), int(r["max_x"]),
+                            int(r["min_y"]), int(r["max_y"]))
+        for r in table.filter(F.col("_epoch") == epochs[-1]).collect()
+    }
+    want = {
+        int(r["file_id"]): (int(r["n_rows"]), int(r["min_x"]), int(r["max_x"]),
+                            int(r["min_y"]), int(r["max_y"]))
+        for r in W.zorder_layout(
+            li, "l_partkey", "l_suppkey",
+            bits=ZORDER_BITS, rows_per_file_shift=ZORDER_SHIFT,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_zorder_files_clamps_out_of_grid_rows(spark):
+    """Pinned-grid semantics: rows outside the frozen stats land in the
+    edge buckets (greatest/least clamp), never bit-wrap into interior
+    files."""
+    from recsys_pipeline_spark.operators import web as W
+
+    grid_src = spark.createDataFrame(
+        [(0, 0), (15, 15)], "x long, y long"
+    )
+    stats = W.zorder_stats(grid_src, "x", "y")
+    outside = spark.createDataFrame(
+        [(-100, 5), (300, 5), (5, -100), (5, 300), (300, 300)], "x long, y long"
+    )
+    got = {
+        (int(r["x"]), int(r["y"])): int(r["file_id"])
+        for r in W.zorder_files(
+            outside, "x", "y", stats, bits=4, rows_per_file_shift=0
+        ).collect()
+    }
+    edge = {
+        (int(r["x"]), int(r["y"])): int(r["file_id"])
+        for r in W.zorder_files(
+            spark.createDataFrame(
+                [(0, 5), (15, 5), (5, 0), (5, 15), (15, 15)], "x long, y long"
+            ),
+            "x", "y", stats, bits=4, rows_per_file_shift=0,
+        ).collect()
+    }
+    assert got[(-100, 5)] == edge[(0, 5)]
+    assert got[(300, 5)] == edge[(15, 5)]
+    assert got[(5, -100)] == edge[(5, 0)]
+    assert got[(5, 300)] == edge[(5, 15)]
+    assert got[(300, 300)] == edge[(15, 15)]
