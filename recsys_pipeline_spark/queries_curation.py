@@ -2028,6 +2028,8 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # simhash_fingerprint, ann_exclude_seen — see __spark_entry__._DEFERRED).
     "quality_filter": q_quality_filter,
     "tokenize_ids": q_tokenize_ids,
+    "bpe_train": q_bpe_train,
+    "training_batches": q_training_batches,
     "lm_perplexity": q_lm_perplexity,
     "cap_per_source": q_cap_per_source,
     "pack_token_bins": q_pack_token_bins,
@@ -2057,9 +2059,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,
     "line_dedup": q_line_dedup,
     "corpus_health": q_corpus_health,
-    "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
-    "training_batches": q_training_batches,
     "profile_drift": q_profile_drift,
 }
 
