@@ -114,6 +114,9 @@ _DEFERRED = [
     "doc_quality",  # the quality SIGNALS stay driver-recorded through
     # quality_filter (the thresholded gate over the same integer signals);
     # doc_token_stats + lang_id keep the raw text-quality representation
+    "item_transitions",  # covisitation recall channel (beyond-reference);
+    # the retrieval family keeps recall_terms + cosine_topk + ann_ivf_topk
+    # + ivfpq_topk recorded
     "embedding_near_dup_lsh",  # hyperplane-sketch family keeps
     # minhash_dup_pairs + ann_ivf_topk + cosine_topk recorded (the same
     # bucket machinery — the round-9 ann_lsh_topk deferral's argument)

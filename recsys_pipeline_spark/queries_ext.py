@@ -1174,6 +1174,68 @@ FROM ncand n LEFT JOIN hits h ON n.qid = h.qid
 
 
 # ---------------------------------------------------------------------------
+# Item-to-item transitions (covisitation): the classic "users who viewed X
+# next viewed Y" retrieval primitive — the third recall channel next to the
+# reference's term (V5) and vector (V1-V4) channels. Sequential first-order
+# transitions over each user's event stream; self-loops dropped; top-k next
+# items per source item with deterministic (count desc, item asc) ties.
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_TOPK = 5
+
+
+def q_item_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item top-5 next items by transition count over user event
+    streams (item = the props.k JSON field, ordered by (ts, event_id)
+    within user — a total order, so lead() is engine-deterministic).
+
+    Scale: one window per user (co-partitioned by the user exchange);
+    transition counts collapse map-side to an item²-bounded dictionary
+    before ONE small shuffle; the per-item top-k is a row_number over a
+    deterministic ordering, so Catalyst's WindowGroupLimit bounds shuffle
+    volume per item — covisitation at 100 TB is exactly this plan plus a
+    per-user history cap upstream."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_item", F.lead("item").over(w))
+        .filter(F.col("next_item").isNotNull() & (F.col("next_item") != F.col("item")))
+        .groupBy("item", "next_item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = Window.partitionBy("item").orderBy(
+        F.col("cnt").desc(), F.col("next_item").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= TRANSITIONS_TOPK)
+        .select("item", F.col("rk").cast("long").alias("rk"), "next_item", "cnt")
+    )
+
+
+SQL_ITEM_TRANSITIONS = f"""
+WITH ev AS (SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events),
+pr AS (SELECT item,
+              lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_item
+       FROM ev),
+c AS (SELECT item, next_item, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pr WHERE next_item IS NOT NULL AND next_item <> item
+      GROUP BY 1, 2)
+SELECT item, CAST(rk AS BIGINT) AS rk, next_item, cnt FROM (
+  SELECT item, next_item, cnt,
+         row_number() OVER (PARTITION BY item ORDER BY cnt DESC, next_item) AS rk
+  FROM c) WHERE rk <= {TRANSITIONS_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skew-proof aggregation (salted two-stage) — value-identical to plain GROUP BY
 # ---------------------------------------------------------------------------
 
@@ -1225,6 +1287,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_overlap": q_pq_ann_overlap,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_recall": q_ivfpq_recall,
+    "item_transitions": q_item_transitions,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -1253,4 +1316,5 @@ ORACLES_EXT: dict[str, str] = {
     "pq_ann_overlap": SQL_PQ_ANN_OVERLAP,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ivfpq_recall": SQL_IVFPQ_RECALL,
+    "item_transitions": SQL_ITEM_TRANSITIONS,
 }

@@ -138,3 +138,42 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
             ]
             want = max(cands)[1] if cands else None
             assert out[lid] == want, (lid, strict, out[lid], want)
+
+
+def test_item_transitions_planted_counts_and_self_loop_drop(spark, tmp_path):
+    """Planted streams: self-transitions drop, counts aggregate across
+    users, ties rank by (cnt desc, next_item asc)."""
+    import json
+
+    from recsys_pipeline_spark.queries_ext import q_item_transitions
+
+    rows = [
+        # user 1: A A B C  -> A->B, B->C (A->A self-loop dropped)
+        (1, 1, 100, "view", 0.0, json.dumps({"k": 1})),
+        (2, 1, 200, "view", 0.0, json.dumps({"k": 1})),
+        (3, 1, 300, "view", 0.0, json.dumps({"k": 2})),
+        (4, 1, 400, "view", 0.0, json.dumps({"k": 3})),
+        # user 2: B C -> B->C (now cnt 2)
+        (5, 2, 100, "view", 0.0, json.dumps({"k": 2})),
+        (6, 2, 200, "view", 0.0, json.dumps({"k": 3})),
+        # user 3: B D -> B->D (tie-breaks after C at cnt 1)
+        (7, 3, 100, "view", 0.0, json.dumps({"k": 2})),
+        (8, 3, 200, "view", 0.0, json.dumps({"k": 4})),
+    ]
+    df = spark.createDataFrame(
+        [(e, __import__("datetime").datetime.fromtimestamp(t), u, et, v, p)
+         for e, u, t, et, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "ev")
+    df.write.parquet(sf + "/events.parquet")
+    got = {
+        (int(r["item"]), int(r["rk"])): (int(r["next_item"]), int(r["cnt"]))
+        for r in q_item_transitions(spark, sf).collect()
+    }
+    # C (item 3) is every stream's last event, so it sources no transition
+    assert got == {
+        (1, 1): (2, 1),  # A -> B
+        (2, 1): (3, 2),  # B -> C: cnt 2 outranks ...
+        (2, 2): (4, 1),  # ... B -> D at cnt 1
+    }

@@ -83,6 +83,8 @@ CAPS = {
     "corpus_health": 4.0,    # measured 1.2 (gate signals + one-pass Expand)
     "zone_map_prune": 4.0,   # measured 1.1 (two grouped passes + broadcast stats)
     "profile_drift": 4.0,    # measured 1.5 (two shared-Expand profile passes)
+    "item_transitions": 4.0,  # measured 1.0 (per-user window + item2-bounded
+    # pair dictionary + WindowGroupLimit top-k)
     # round 12, PQ family (measured quiet ratios 1.2-1.4 — overhead-bound:
     # encode is a narrow explode + broadcast codebook join, ADC scans codes)
     "pq_codes": 4.0,         # measured 1.3
