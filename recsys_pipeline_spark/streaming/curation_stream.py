@@ -1320,3 +1320,81 @@ def zorder_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def item_transitions_stream(
+    stream: DataFrame,
+    out_dir: str,
+    pairs_dir: str,
+    carry_dir: str,
+    topk: int = 5,
+) -> None:
+    """The covisitation channel online — transition counting is the
+    rare twin with EXACT batch parity: state is (a) sum-mergeable
+    (item, next_item) count deltas and (b) one CARRY row per user (the
+    user's latest event), so the transition that straddles a micro-batch
+    boundary — last event of one epoch to first event of the next — is
+    counted exactly once, by prepending the carry to the user's stream
+    before the lead() window. With time-ordered arrival (a stream's
+    delivery contract) the final emitted top-k table equals the batch
+    operator on the full corpus verbatim, asserted in tests.
+
+    State bounds: counts are item²-bounded; the carry table is one row per
+    user per epoch before compaction (`compact_latest_state` folds it to
+    one per user)."""
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        ev = batch.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        carry_rows = _read_state(spark, carry_dir, ev, epoch_id)
+        w_last = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        carry = (
+            carry_rows.withColumn("_rk", F.row_number().over(w_last))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        aug = carry.unionByName(ev)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        delta = (
+            aug.withColumn("next_item", F.lead("item").over(w))
+            .filter(
+                F.col("next_item").isNotNull()
+                & (F.col("next_item") != F.col("item"))
+            )
+            .groupBy("item", "next_item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _write_epoch(delta, pairs_dir, epoch_id)
+        new_carry = (
+            aug.withColumn("_rk", F.row_number().over(w_last))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        _write_epoch(new_carry, carry_dir, epoch_id)
+        merged = (
+            _read_state(spark, pairs_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("item", "next_item")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        rk = Window.partitionBy("item").orderBy(
+            F.col("cnt").desc(), F.col("next_item").asc()
+        )
+        _write_epoch(
+            merged.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") <= topk)
+            .select("item", F.col("rk").cast("long").alias("rk"), "next_item", "cnt"),
+            out_dir,
+            epoch_id,
+        )
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

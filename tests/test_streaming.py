@@ -1744,3 +1744,72 @@ def test_zorder_files_clamps_out_of_grid_rows(spark):
     assert got[(5, -100)] == edge[(5, 0)]
     assert got[(5, 300)] == edge[(5, 15)]
     assert got[(300, 300)] == edge[(15, 15)]
+
+
+def test_streaming_item_transitions_exact_parity_via_carry(spark, tmp_path):
+    """Covisitation online: the per-user carry row bridges micro-batch
+    boundaries, so with time-ordered arrival the twin has EXACT batch
+    parity — the merged pair counts equal the batch operator's counts in
+    full (boundary transitions counted exactly once), and the final
+    emitted top-k table equals the registered query verbatim."""
+    import time
+
+    from recsys_pipeline_spark.queries_ext import q_item_transitions
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = ev.filter(ts_us <= t_med)
+    second = ev.filter(ts_us > t_med)
+    assert first.count() > 0 and second.count() > 0
+    src = str(tmp_path / "it_src")
+    first.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "it_out")
+    pairs_dir = str(tmp_path / "it_pairs")
+    cs.item_transitions_stream(stream, out, pairs_dir, str(tmp_path / "it_carry"))
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+    got = {
+        (int(r["item"]), int(r["rk"])): (int(r["next_item"]), int(r["cnt"]))
+        for r in table.filter(F.col("_epoch") == epochs[-1]).collect()
+    }
+    want = {
+        (int(r["item"]), int(r["rk"])): (int(r["next_item"]), int(r["cnt"]))
+        for r in q_item_transitions(spark, sf).collect()
+    }
+    assert got == want
+
+    # stronger than top-k equality: the FULL merged pair counts match the
+    # batch counts — boundary transitions counted exactly once
+    merged = {
+        (int(r["item"]), int(r["next_item"])): int(r["cnt"])
+        for r in spark.read.parquet(pairs_dir)
+        .groupBy("item", "next_item")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    ev_items = ev.select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch_pairs = {
+        (int(r["item"]), int(r["next_item"])): int(r["cnt"])
+        for r in ev_items.withColumn("next_item", F.lead("item").over(w))
+        .filter(F.col("next_item").isNotNull() & (F.col("next_item") != F.col("item")))
+        .groupBy("item", "next_item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert merged == batch_pairs
