@@ -177,3 +177,62 @@ def test_item_transitions_planted_counts_and_self_loop_drop(spark, tmp_path):
         (2, 1): (3, 2),  # B -> C: cnt 2 outranks ...
         (2, 2): (4, 1),  # ... B -> D at cnt 1
     }
+
+
+# ---------------------------------------------------------------------------
+# item_transitions: property vs a sequential simulation on random streams
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ev = st.tuples(
+    st.integers(min_value=1, max_value=4),    # user
+    st.integers(min_value=0, max_value=500),  # ts seconds
+    st.integers(min_value=0, max_value=6),    # item
+)
+_streams = st.lists(_ev, min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_streams)
+def test_item_transitions_equals_sequential_simulation(spark, tmp_path_factory, evs):
+    import datetime
+    import json
+
+    from recsys_pipeline_spark.queries_ext import TRANSITIONS_TOPK, q_item_transitions
+
+    rows = [
+        (i, datetime.datetime.fromtimestamp(t), u, "view", 0.0, json.dumps({"k": item}))
+        for i, (u, t, item) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path_factory.mktemp("itr"))
+    df.write.mode("overwrite").parquet(sf + "/events.parquet")
+
+    # sequential simulation: per user sort by (ts, event_id), count pairs
+    by_user: dict[int, list] = {}
+    for i, (u, t, item) in enumerate(evs):
+        by_user.setdefault(u, []).append((t, i, item))
+    counts: dict[tuple[int, int], int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            if a != b:
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = {}
+    for item in {a for a, _ in counts}:
+        nxt = sorted(
+            ((c, b) for (a, b), c in counts.items() if a == item),
+            key=lambda cb: (-cb[0], cb[1]),
+        )[:TRANSITIONS_TOPK]
+        for rk, (c, b) in enumerate(nxt, start=1):
+            want[(item, rk)] = (b, c)
+    got = {
+        (int(r["item"]), int(r["rk"])): (int(r["next_item"]), int(r["cnt"]))
+        for r in q_item_transitions(spark, sf).collect()
+    }
+    assert got == want

@@ -387,3 +387,36 @@ def test_zone_map_prune_is_sound_and_zorder_wins(spark):
         assert int(r["rows_total"]) == li.count()
     assert int(rows["zorder"]["files_read_ppm"]) < int(rows["xpart"]["files_read_ppm"])
     assert int(rows["zorder"]["rows_read_ppm"]) < int(rows["xpart"]["rows_read_ppm"])
+
+
+_pt = st.tuples(
+    st.integers(min_value=-1000, max_value=1000),
+    st.integers(min_value=-1000, max_value=1000),
+)
+_points = st.lists(_pt, min_size=1, max_size=60)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_points)
+def test_zone_map_prune_sound_on_random_frames(spark, pts):
+    """On arbitrary integer point sets (negatives, constants, duplicates):
+    both layouts' read files must cover every true predicate match, totals
+    must equal the input size, and ppm fields stay within [0, 1e6]."""
+    from recsys_pipeline_spark.operators import web as W
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rep = {r["layout"]: r for r in
+           W.zone_map_prune(df, "x", "y", bits=4, rows_per_file_shift=2).collect()}
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    x_hi = min(xs) + (max(xs) - min(xs)) // 8
+    y_hi = min(ys) + (max(ys) - min(ys)) // 8
+    true_rows = sum(
+        1 for x, y in pts if min(xs) <= x <= x_hi and min(ys) <= y <= y_hi
+    )
+    assert set(rep) == {"zorder", "xpart"}
+    for r in rep.values():
+        assert int(r["rows_total"]) == len(pts)
+        assert int(r["rows_read"]) >= true_rows
+        for f in ("files_read_ppm", "rows_read_ppm"):
+            assert 0 <= int(r[f]) <= 1_000_000
