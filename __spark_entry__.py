@@ -114,6 +114,9 @@ _DEFERRED = [
     "doc_quality",  # the quality SIGNALS stay driver-recorded through
     # quality_filter (the thresholded gate over the same integer signals);
     # doc_token_stats + lang_id keep the raw text-quality representation
+    "funnel_conversion",  # ordered-stage funnel (beyond-reference event
+    # analytics; the window family keeps sessionize/spend_rank recorded)
+    "retention_cohorts",  # cohort retention matrix (same justification)
     "item_transitions",  # covisitation recall channel (beyond-reference);
     # the retrieval family keeps recall_terms + cosine_topk + ann_ivf_topk
     # + ivfpq_topk recorded

@@ -368,6 +368,142 @@ FROM events GROUP BY event_type
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Funnel conversion — the classic ordered-stage analytics query: a user
+# converts view -> click -> purchase only if each stage's FIRST qualifying
+# event strictly follows the previous stage's (pinned strict-> semantics).
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per stage: users reached + conversion from the previous stage in
+    integer ppm. Three co-partitioned per-user aggregates (each stage's
+    first qualifying timestamp joins the previous frontier on user_id) —
+    no window over the raw stream, so the plan is three grouped passes
+    that all ride the same user_id exchange."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tse"),
+    )
+    v = ev.filter(F.col("et") == "view").groupBy("user_id").agg(F.min("tse").alias("t1"))
+    c = (
+        ev.filter(F.col("et") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tse") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tse").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("et") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tse") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tse").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).cast("long").alias("stage_idx"), F.lit("view").alias("stage"), "n"
+    )
+    nc = c.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).cast("long").alias("stage_idx"), F.lit("click").alias("stage"), "n"
+    )
+    np_ = p.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).cast("long").alias("stage_idx"), F.lit("purchase").alias("stage"), "n"
+    )
+    stages = nv.unionByName(nc).unionByName(np_)
+    w = Window.orderBy("stage_idx")  # 3-row frame: the window is driver-sized
+    return (
+        stages.withColumn("_prev", F.lag("n").over(w))
+        .select(
+            "stage_idx",
+            "stage",
+            F.col("n").cast("long").alias("n_users"),
+            # integer DIV on non-negative operands — the portable division;
+            # stage 1 has no predecessor and reports 1e6 (100%)
+            F.coalesce(
+                F.expr("n * 1000000 DIV _prev"), F.lit(1000000)
+            ).cast("long").alias("conv_from_prev_ppm"),
+        )
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH ev AS (SELECT user_id, event_type AS et, epoch_us(ts) AS tse FROM events),
+v AS (SELECT user_id, min(tse) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.tse) AS t2 FROM ev e JOIN v USING (user_id)
+      WHERE e.et = 'click' AND e.tse > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.tse) AS t3 FROM ev e JOIN c USING (user_id)
+      WHERE e.et = 'purchase' AND e.tse > c.t2 GROUP BY 1),
+st AS (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+         CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+)
+SELECT stage_idx, stage, n_users,
+       CAST(COALESCE(n_users * 1000000 // lag(n_users) OVER (ORDER BY stage_idx),
+                     1000000) AS BIGINT) AS conv_from_prev_ppm
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by first-activity week; for each
+# (cohort_week, weeks-since) cell, distinct active users + retention vs the
+# cohort's size, in integer ppm. THE product-analytics matrix.
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan -> per-user first week (grouped min) -> distinct
+    (cohort, offset, user) -> counts; the cohort-size denominator joins
+    back on the tiny cohort frame. Weeks are epoch-micros DIV one week —
+    pure integer algebra, no calendar functions to disagree on."""
+    wk = 7 * 86400 * 1000000
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / wk)
+        .cast("long")
+        .alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    cells = active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("_size"))
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr("n_users * 1000000 DIV _size").alias("retention_ppm"),
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+act AS (SELECT DISTINCT e.user_id, f.cohort_week, e.week - f.cohort_week AS week_offset
+        FROM ev e JOIN f USING (user_id)),
+cells AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM act GROUP BY 1, 2),
+sz AS (SELECT cohort_week, COUNT(*) AS _size FROM f GROUP BY 1)
+SELECT cohort_week, week_offset, n_users,
+       CAST(n_users * 1000000 // _size AS BIGINT) AS retention_ppm
+FROM cells JOIN sz USING (cohort_week)
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -378,9 +514,13 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_qty_price": q_corr_qty_price,
     "tfidf_doc_terms": q_tfidf_doc_terms,
     "value_percentiles": q_value_percentiles,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES_AN: dict[str, str] = {
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "event_gaps": SQL_EVENT_GAPS,
     "spend_rank": SQL_SPEND_RANK,
     "trailing_spend_30d": SQL_TRAILING_SPEND,

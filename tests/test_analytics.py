@@ -236,3 +236,73 @@ def test_item_transitions_equals_sequential_simulation(spark, tmp_path_factory, 
         for r in q_item_transitions(spark, sf).collect()
     }
     assert got == want
+
+
+def _ev_frame(spark, rows):
+    """rows: (event_id, user_id, ts_seconds, event_type)"""
+    import datetime
+    import json
+
+    return spark.createDataFrame(
+        [
+            (e, datetime.datetime.utcfromtimestamp(t), u, et, 0.0, json.dumps({"k": 0}))
+            for e, u, t, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_funnel_conversion_strict_order_semantics(spark, tmp_path):
+    """Stage events must strictly FOLLOW the previous stage's first event:
+    a click before (or exactly at) the first view does not convert; a
+    purchase without a preceding click does not convert."""
+    from recsys_pipeline_spark.queries_analytics import q_funnel_conversion
+
+    rows = [
+        (1, 1, 100, "view"), (2, 1, 200, "click"), (3, 1, 300, "purchase"),  # full
+        (4, 2, 100, "click"), (5, 2, 200, "view"),  # click precedes view
+        (6, 3, 100, "view"), (7, 3, 200, "purchase"),  # purchase skips click
+        (8, 4, 100, "view"), (9, 4, 100, "click"),  # equal ts: strict > drops
+    ]
+    sf = str(tmp_path / "fun")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        int(r["stage_idx"]): (r["stage"], int(r["n_users"]), int(r["conv_from_prev_ppm"]))
+        for r in q_funnel_conversion(spark, sf).collect()
+    }
+    assert got == {
+        1: ("view", 4, 1000000),
+        2: ("click", 1, 250000),
+        3: ("purchase", 1, 1000000),
+    }
+
+
+def test_retention_cohorts_planted_matrix(spark, tmp_path):
+    """Hand-built cohort matrix: users A/C in week-0 cohort (A active weeks
+    0,1,3; C week 0 only), user B in week-1 cohort."""
+    from recsys_pipeline_spark.queries_analytics import q_retention_cohorts
+
+    wk = 7 * 86400
+    rows = [
+        (1, 1, 0 * wk + 10, "view"),
+        (2, 1, 1 * wk + 10, "view"),
+        (3, 1, 3 * wk + 10, "click"),
+        (4, 2, 1 * wk + 20, "view"),
+        (5, 2, 1 * wk + 30, "view"),
+        (6, 3, 0 * wk + 50, "purchase"),
+    ]
+    sf = str(tmp_path / "coh")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        (int(r["cohort_week"]), int(r["week_offset"])): (
+            int(r["n_users"]),
+            int(r["retention_ppm"]),
+        )
+        for r in q_retention_cohorts(spark, sf).collect()
+    }
+    assert got == {
+        (0, 0): (2, 1000000),
+        (0, 1): (1, 500000),
+        (0, 3): (1, 500000),
+        (1, 0): (1, 1000000),
+    }

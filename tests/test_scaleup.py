@@ -85,6 +85,10 @@ CAPS = {
     "profile_drift": 4.0,    # measured 1.5 (two shared-Expand profile passes)
     "item_transitions": 4.0,  # measured 1.0 (per-user window + item2-bounded
     # pair dictionary + WindowGroupLimit top-k)
+    "funnel_conversion": 5.0,  # measured 1.9 (three grouped passes on one
+    # user_id exchange; the final window is a 3-row frame)
+    "retention_cohorts": 5.0,  # measured 1.9 (grouped min + distinct cells
+    # + tiny cohort-size join)
     # round 12, PQ family (measured quiet ratios 1.2-1.4 — overhead-bound:
     # encode is a narrow explode + broadcast codebook join, ADC scans codes)
     "pq_codes": 4.0,         # measured 1.3
