@@ -154,7 +154,7 @@ offs AS (
   FROM sized
 )
 SELECT source, CAST(floor(bin_offset / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
-       COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
 FROM offs GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -385,7 +385,7 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PROFILE_ORDERS = " UNION ALL ".join(
     f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
     for c in PROFILE_COLS
 )
@@ -790,9 +790,10 @@ vocab AS (
   )
 )
 SELECT lang, count(*) AS n_tokens,
-       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
-       (SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*)
-         AS oov_ppm
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS oov_ppm
 FROM t LEFT JOIN vocab v USING (tok)
 GROUP BY lang
 """
@@ -834,7 +835,8 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MIXTURE_WEIGHTS = f"""
 WITH per_src AS (
-  SELECT source, SUM(len({_TOKENS})) AS n_tokens FROM documents GROUP BY 1
+  SELECT source, CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
 ),
 norm AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS _z FROM per_src)
 SELECT source, n_tokens,
@@ -974,7 +976,8 @@ SELECT doc_id,
          list(CAST(coalesce(tok_id, 0) AS INT) ORDER BY pos), ','
        ) AS token_seq_csv,
        count(*) AS n_tokens,
-       SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS n_oov
+       CAST(SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
 FROM e LEFT JOIN v USING (tok)
 GROUP BY doc_id
 """
