@@ -123,6 +123,23 @@ _DEFERRED = [
     "embedding_near_dup_lsh",  # hyperplane-sketch family keeps
     # minhash_dup_pairs + ann_ivf_topk + cosine_topk recorded (the same
     # bucket machinery — the round-9 ann_lsh_topk deferral's argument)
+    # Round-13 window audit (seventh): one in-window redundancy moves here
+    # so crawl_ingest — the parse→extract→dedup→gate composite every corpus
+    # run executes FIRST — gains a driver-recorded row (the ingest analog
+    # of the round-9 curate_corpus promotion; it pins four independently
+    # verified operators' wiring in one row) —
+    "corr_qty_price",  # bivariate-stats family is beyond-reference bonus
+    # surface (no §2 operator needs corr); the exact-decimal-sum discipline
+    # it demonstrated stays recorded via pricing_summary / star_join_revenue,
+    # and the pytest oracle-parity harness still pins it value-level
+]
+
+# Promoted out of natural merge order INTO the recorded window: these take
+# the slots the deferrals above freed, inserted immediately before
+# lm_perplexity so the window still closes there (entry 50, pinned by
+# tests/test_recorded_window.py).
+_PROMOTED = [
+    "crawl_ingest",  # takes the slot corr_qty_price freed (round-13 audit)
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the
@@ -147,15 +164,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vocab_coverage, bpe_pairs, incremental_curate, quantize_embeddings,
     # url_dedup), fully inside the pytest oracle-parity harness
     # (approx_profile_orders carries no oracle — tolerance-gated instead).
-    # QW (crawl ingest) merges last: its four queries land past the recorded
+    # QW (crawl ingest) merges last: its queries land past the recorded
     # window (entries 51+ — the window still closes at lm_perplexity, pinned
     # by tests/test_recorded_window.py) and are oracle-checked by the pytest
-    # parity harness like every deferred entry.
+    # parity harness like every deferred entry — EXCEPT crawl_ingest, which
+    # the round-13 audit promotes into the window (see _PROMOTED).
     merged = {
         **Q.QUERIES, **QA.QUERIES_AN, **QX.QUERIES_EXT, **QM.QUERIES_ML,
         **QC.QUERIES_CUR, **QW.QUERIES_WEB,
     }
-    ordered = {k: v for k, v in merged.items() if k not in _DEFERRED}
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for k, v in merged.items():
+        if k in _DEFERRED or k in _PROMOTED:
+            continue
+        if k == "lm_perplexity":
+            for p in _PROMOTED:
+                ordered[p] = merged[p]
+        ordered[k] = v
     ordered.update({k: merged[k] for k in _DEFERRED if k in merged})
     return ordered
 
