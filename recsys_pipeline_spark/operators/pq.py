@@ -28,7 +28,7 @@ Engine-portable by construction, like the rest of the ANN surface:
   across engines.
 
 No reference counterpart: the reference serves ANN through Elasticsearch
-dense-vector search (online/readers/es_caller.py); this module supplies the
+dense-vector search (online/utils/es_caller.py); this module supplies the
 quantized-index layer a 100 TB self-hosted deployment needs.
 
 Scale shape (100 TB): encode is one narrow posexplode over the corpus, a

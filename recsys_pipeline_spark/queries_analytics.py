@@ -419,10 +419,13 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             F.col("n").cast("long").alias("n_users"),
             # integer DIV on non-negative operands — the portable division;
-            # stage 1 has no predecessor and reports 1e6 (100%)
-            F.coalesce(
-                F.expr("n * 1000000 DIV _prev"), F.lit(1000000)
-            ).cast("long").alias("conv_from_prev_ppm"),
+            # stage 1 has no predecessor and reports 1e6 (100%); an EMPTY
+            # previous stage reports 0 (nobody could have converted), not
+            # the stage-1 default
+            F.when(F.col("_prev").isNull(), F.lit(1000000))
+            .when(F.col("_prev") == 0, F.lit(0))
+            .otherwise(F.expr("n * 1000000 DIV _prev"))
+            .cast("long").alias("conv_from_prev_ppm"),
         )
     )
 
@@ -443,8 +446,12 @@ st AS (
   SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
 )
 SELECT stage_idx, stage, n_users,
-       CAST(COALESCE(n_users * 1000000 // lag(n_users) OVER (ORDER BY stage_idx),
-                     1000000) AS BIGINT) AS conv_from_prev_ppm
+       CAST(CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) IS NULL
+                 THEN 1000000
+                 WHEN lag(n_users) OVER (ORDER BY stage_idx) = 0
+                 THEN 0
+                 ELSE n_users * 1000000 // lag(n_users) OVER (ORDER BY stage_idx)
+            END AS BIGINT) AS conv_from_prev_ppm
 FROM st
 """
 
@@ -464,9 +471,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = 7 * 86400 * 1000000
     ev = read_table(spark, sf_dir, "events").select(
         "user_id",
-        (F.unix_micros(F.col("ts").cast("timestamp")) / wk)
-        .cast("long")
-        .alias("week"),
+        # integer DIV, not float / + truncate-cast: matches the oracle's
+        # `//` (floor) on negative epochs too and avoids double rounding
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {wk}").alias("week"),
     )
     first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = (

@@ -1339,8 +1339,9 @@ def item_transitions_stream(
     delivery contract) the final emitted top-k table equals the batch
     operator on the full corpus verbatim, asserted in tests.
 
-    State bounds: counts are item²-bounded; the carry table is one row per
-    user per epoch before compaction (`compact_latest_state` folds it to
+    State bounds: counts are item²-bounded; the carry table gains one row
+    per BATCH-ACTIVE user per epoch (a delta, not a snapshot of every
+    ever-seen user) before compaction (`compact_latest_state` folds it to
     one per user)."""
 
     def step(batch: DataFrame, epoch_id: int) -> None:
@@ -1372,8 +1373,14 @@ def item_transitions_stream(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         _write_epoch(delta, pairs_dir, epoch_id)
+        # Carry DELTA: only users present in THIS batch write a row (their
+        # in-batch latest event). Users absent from the batch keep their
+        # prior epochs' rows in carry_dir, and the read-side row_number
+        # over (ts desc, event_id desc) picks the true latest regardless of
+        # which epoch wrote it — so state grows O(active users) per epoch,
+        # not a full O(all ever-seen users) snapshot every epoch.
         new_carry = (
-            aug.withColumn("_rk", F.row_number().over(w_last))
+            ev.withColumn("_rk", F.row_number().over(w_last))
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
