@@ -102,6 +102,9 @@ _DEFERRED = [
     # codes machinery, composed with the coarse probe)
     "pq_ann_overlap",  # flat-ADC top-10 vs exact L2 (the 32x-cut cost row)
     "ivfpq_recall",  # the composed system's (n_cand, recall@10) frontier row
+    "ivfpq_kmeans_recall",  # round-13: Lloyd-trained codebooks (MLlib
+    # KMeans per subspace); no SQL oracle — engine-specific training — so
+    # rows-only, value-pinned by the recall-dominance gate in tests/test_pq.py
     # Round-12 window audit (sixth): three in-window redundancies move here
     # so the session's flagship additions — ivfpq_topk (the composed ANN
     # architecture), bpe_train (tokenizer training), training_batches (the

@@ -25,6 +25,8 @@ from recsys_pipeline_spark.session import get_spark
 SKIP_TRAINING = {
     "mf_recall_topk", "rank_score_test", "rank_auc", "rank_deepfm_auc",
     "recommend_top50", "embedding_classifier_acc",
+    "ivfpq_kmeans_recall",  # 8 MLlib KMeans fits (Lloyd iterations); the
+    # non-training IVF-PQ scan is benchmarked via ivfpq_topk/ivfpq_recall
 }
 
 

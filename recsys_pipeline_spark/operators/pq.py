@@ -116,6 +116,83 @@ def pq_centroids(
     ).select("m", "k", "cvec")
 
 
+def pq_centroids_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = 64,
+    seed: int = 123,
+    max_iter: int = 10,
+    train_limit: int | None = None,
+) -> DataFrame:
+    """Lloyd-iterated codebook — the deployment-grade alternative to the
+    hash-designated pivots of :func:`pq_centroids`: one MLlib KMeans fit
+    per subspace over the corpus's subvectors, emitted on the SAME
+    ``(m, k, cvec)`` contract so :func:`pq_encode` / :func:`adc_lut` /
+    :func:`adc_topk` compose unchanged. True k-means codebooks minimize
+    in-subspace quantization error (Jégou et al. TPAMI 2011 §III trains
+    exactly this way), so ADC recall dominates the pivot codebooks —
+    gated in tests/test_pq.py against the same planted embeddings the
+    pivot path measures.
+
+    NOT oracle-registered: Lloyd iterations are engine-specific (MLlib
+    k-means|| init, float reduction order), so value coverage is the
+    recall-dominance gate plus the geometry invariants, and the registry
+    entry (``ivfpq_kmeans_recall``) is rows-only — the frozen-codebook
+    deployment contract (train once, ship the (m, k, cvec) table) is the
+    same as the pivot path's.
+
+    Scale: each fit is a distributed MLlib job over ONE subspace's
+    ``sub``-dim slices; the Python loop runs over the constant ``m_sub``
+    subspaces, never over data. FAISS practice trains codebooks on a
+    bounded sample of the corpus — ``train_limit`` designates the
+    smallest-salted-hash ``train_limit`` vectors (TakeOrdered, no global
+    sort) as the training slice while the full corpus still encodes
+    against the result; centroids per subspace are sorted lexically so
+    code assignment is stable across refits of identical data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m_sub
+    train_base = corpus
+    if train_limit is not None:
+        h = portable_hash64(
+            F.concat(F.lit("pqt:"), F.col(id_col).cast("string"))
+        )
+        train_base = (
+            corpus.select(h.alias("_h"), F.col(id_col), F.col(vec_col))
+            .orderBy("_h", id_col)
+            .limit(train_limit)
+        )
+    subs = train_base.select(
+        F.posexplode(_subvectors(F.col(vec_col), m_sub, sub)).alias("m", "svec")
+    )
+    subs.persist()  # m_sub fits re-read the exploded slices
+    spark = corpus.sparkSession
+    try:
+        n_train = subs.count() // m_sub  # also materializes the cache
+        rows: list[tuple[int, int, list[float]]] = []
+        if n_train == 0:  # empty corpus -> empty codebook (pivot-path parity)
+            return spark.createDataFrame(rows, "m INT, k INT, cvec ARRAY<DOUBLE>")
+        for m in range(m_sub):
+            train = subs.filter(F.col("m") == m).select(
+                array_to_vector(F.col("svec")).alias("features")
+            )
+            model = KMeans(
+                k=min(k_cent, max(n_train, 1)), seed=seed, maxIter=max_iter
+            ).fit(train)
+            cents = sorted(
+                [float(x) for x in c] for c in model.clusterCenters()
+            )
+            rows.extend((m, k, c) for k, c in enumerate(cents))
+    finally:
+        subs.unpersist()
+    return spark.createDataFrame(rows, "m INT, k INT, cvec ARRAY<DOUBLE>")
+
+
 def pq_encode(
     corpus: DataFrame,
     cents: DataFrame,

@@ -1173,6 +1173,57 @@ FROM ncand n LEFT JOIN hits h ON n.qid = h.qid
 """
 
 
+def q_ivfpq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with LLOYD-TRAINED codebooks (pq.pq_centroids_kmeans — one
+    MLlib KMeans fit per subspace) instead of the hash-designated pivots:
+    the deployment-grade variant, same probe/rerank pipeline and output
+    shape as ivfpq_recall so the two rows are directly comparable on the
+    accuracy/cost frontier. No SQL oracle (Lloyd iterations are
+    engine-specific); the driver records rows+schema, and value coverage
+    is the recall-dominance gate vs the pivot codebooks in
+    tests/test_pq.py (k-means recall@10 >= pivot recall@10 on the same
+    embeddings, same candidates, same ground truth)."""
+    from recsys_pipeline_spark.operators import pq
+
+    e = _emb(spark, sf_dir)
+    cents = pq.pq_centroids_kmeans(e).localCheckpoint(eager=False)
+    codes = pq.pq_encode(e, cents).localCheckpoint(eager=False)
+    queries = _ann_queries_df(spark, sf_dir)
+    lut = pq.adc_lut(queries, cents)
+    cand = (
+        similarity.ivf_sketch_candidates_multi(
+            e, queries, cell_bits=3, n_probe=4, seed=7
+        )
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=False)  # feeds n_cand AND the rerank
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            pq.adc_score(F.col("codes"), F.col("lut")).alias("_adc"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_adc").asc(), F.col("vec_id").asc())
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+    )
+    exact = pq.l2_topk_for_queries(queries, e, k=10).select("qid", "vec_id")
+    hits = topk.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    return ncand.join(hits, "qid", "left").select(
+        "qid",
+        "n_cand",
+        (F.coalesce(F.col("_hits"), F.lit(0)) * 100000).cast("long").alias("recall_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Item-to-item transitions (covisitation): the classic "users who viewed X
 # next viewed Y" retrieval primitive — the third recall channel next to the
@@ -1287,6 +1338,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_overlap": q_pq_ann_overlap,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_recall": q_ivfpq_recall,
+    "ivfpq_kmeans_recall": q_ivfpq_kmeans_recall,
     "item_transitions": q_item_transitions,
 }
 

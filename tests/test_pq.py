@@ -268,6 +268,90 @@ def test_pq_codes_and_adc_equal_simulation_on_random_corpora(spark, data):
             assert got_top[(qid, rk)] == (vid, d)
 
 
+# ---------------------------------------------------------------------------
+# Lloyd-trained codebooks (pq_centroids_kmeans): contract + recall dominance
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kmeans_cents(spark):
+    e = read_table(spark, SF, "embeddings")
+    return pq.pq_centroids_kmeans(e)
+
+
+def test_kmeans_codebook_contract(spark, kmeans_cents):
+    """Same (m, k, cvec) frame as pq_centroids: dense k per subspace,
+    sub-dim centroids — so encode/LUT/ADC compose unchanged."""
+    rows = kmeans_cents.collect()
+    assert len(rows) == M * K
+    by_m = {}
+    for r in rows:
+        assert len(r["cvec"]) == SUB
+        by_m.setdefault(int(r["m"]), []).append(int(r["k"]))
+    assert set(by_m) == set(range(M))
+    for ks in by_m.values():
+        assert sorted(ks) == list(range(K))
+
+
+def test_kmeans_codebook_train_limit_contract(spark):
+    """The bounded-training scale path (hash-designated sample) keeps the
+    full contract shape; the whole corpus still encodes against it."""
+    e = read_table(spark, SF, "embeddings")
+    cents = pq.pq_centroids_kmeans(e, train_limit=64)
+    assert cents.count() == M * K
+    codes = pq.pq_encode(e, cents)
+    assert codes.count() == 500
+    assert all(
+        0 <= c < K for r in codes.limit(20).collect() for c in r["codes"]
+    )
+
+
+def _mean_overlap10(spark, cents) -> float:
+    """Mean |flat-ADC top-10 ∩ exact-L2 top-10| over the 4 frontier query
+    ids, for a given codebook — full-corpus candidates so the comparison
+    isolates CODEBOOK quality (no coarse-probe confound)."""
+    e = read_table(spark, SF, "embeddings")
+    codes = pq.pq_encode(e, cents)
+    queries = (
+        e.filter(F.col("vec_id").isin([0, 7, 21, 42]))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        )
+    )
+    lut = pq.adc_lut(queries, cents)
+    top = pq.adc_topk(codes, lut, k=10).select("qid", "vec_id")
+    exact = pq.l2_topk_for_queries(queries, e, k=10).select("qid", "vec_id")
+    hits = top.join(exact, ["qid", "vec_id"]).count()
+    return hits / 4.0
+
+
+def test_kmeans_recall_dominates_pivot_codebooks(spark, spark_frames, kmeans_cents):
+    """The reason to train at all: Lloyd codebooks minimize in-subspace
+    quantization error, so ADC recall@10 must be at least the
+    hash-designated pivots' on the same embeddings/queries/ground truth.
+    Measured at sf0.001: pivots 3.5/10, k-means 4.0/10 (the synthetic
+    embeddings are near-uniform, so the Lloyd gain is real but modest)."""
+    pivot_recall = _mean_overlap10(spark, spark_frames[1])
+    kmeans_recall = _mean_overlap10(spark, kmeans_cents)
+    assert kmeans_recall >= pivot_recall, (
+        f"k-means codebooks ({kmeans_recall}) must not lose to "
+        f"hash-pivot codebooks ({pivot_recall})"
+    )
+
+
+def test_ivfpq_kmeans_recall_query_shape(spark):
+    """The rows-only registry entry: one row per frontier query id with
+    the (n_cand, recall_ppm) frontier columns."""
+    from recsys_pipeline_spark.queries_ext import q_ivfpq_kmeans_recall
+
+    rows = q_ivfpq_kmeans_recall(spark, SF).collect()
+    assert sorted(int(r["qid"]) for r in rows) == [0, 7, 21, 42]
+    for r in rows:
+        assert 0 < int(r["n_cand"]) <= 500
+        assert 0 <= int(r["recall_ppm"]) <= 1_000_000
+
+
 def test_pq_encode_invariant_to_input_partitioning(spark, spark_frames):
     """Rerun-stability contract: codes are a pure function of row content —
     identical under any input partitioning (AQE/speculation-proof)."""
