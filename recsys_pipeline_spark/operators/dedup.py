@@ -794,6 +794,77 @@ def span_coverage_report(
     )
 
 
+def dup_max_spans(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated spans — the explicit interval rows
+    behind ``dup_span_coverage``'s per-doc total: a duplicated substring of
+    L consecutive tokens (L >= n, every n-window shared with another doc)
+    appears as L-n+1 consecutive duplicated-gram starts; merging
+    touching/overlapping start intervals yields the maximal repeated
+    substrings that ExactSubstr dedup (Lee et al. 2021) extends a suffix
+    array to find. Emits one row per maximal span:
+    (id, span_start, span_len, span_text) — 1-based token offsets, the
+    audit rows a trim decision (`dup_span_trim`) can be replayed from.
+
+    Scale: gram mining + df + dup join are the shared span machinery (one
+    (id, gram) distinct exchange + one co-keyed join); the interval merge
+    is gaps-and-islands over START rows only — one window per doc ordered
+    by start (break when the gap exceeds n), a running sum assigns island
+    ids, and the per-island agg rides the same hash partitioning on the
+    id. Work is linear in duplicated OCCURRENCES (never positions x n);
+    the span text is an array slice off the tokens frame — no re-scan of
+    the raw text. No collect, no UDF, no cartesian.
+    """
+    from pyspark.sql import Window
+
+    t = span_token_frame(docs, id_col, text_col)
+    occ = span_occurrences(t, id_col, n)
+    dup = span_gram_df(occ, id_col).filter(F.col("_df") >= 2).select("gram")
+    starts = occ.join(dup, "gram").select(id_col, "i")
+    w = Window.partitionBy(id_col).orderBy("i")
+    # break when coverage is discontiguous: prev start covers up to
+    # prev+n-1, so next start <= prev+n keeps the union contiguous
+    isl = starts.withColumn(
+        "_brk",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.col("i") - F.lag("i").over(w) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("i").alias("_s"),
+            (F.max("i") + (n - 1)).alias("_e"),
+        )
+        .select(
+            id_col,
+            F.col("_s").cast("long").alias("span_start"),
+            (F.col("_e") - F.col("_s") + 1).cast("long").alias("span_len"),
+        )
+    )
+    return spans.join(t, id_col).select(
+        id_col,
+        "span_start",
+        "span_len",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "toks",
+                F.col("span_start").cast("int"),
+                F.col("span_len").cast("int"),
+            ),
+        ).alias("span_text"),
+    )
+
+
 def dup_span_trim(
     docs: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

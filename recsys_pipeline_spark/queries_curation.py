@@ -1452,6 +1452,51 @@ FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+def q_dup_max_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans as explicit interval rows
+    (id, 1-based span_start, span_len, span_text) — the ExactSubstr-style
+    repeated-substring inventory behind dup_span_coverage's totals; see
+    operators/dedup.dup_max_spans for semantics and the scale plan."""
+    from recsys_pipeline_spark.operators.dedup import dup_max_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    return dup_max_spans(d, "doc_id", "text", n=DUP_SPAN_N)
+
+
+SQL_DUP_MAX_SPANS = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, i, array_to_string(toks[i : i + {DUP_SPAN_N - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {DUP_SPAN_N - 1}, 0) + 1)) u(i)
+),
+gdf AS (SELECT gram, count(DISTINCT doc_id) AS d FROM occ GROUP BY gram),
+st AS (SELECT o.doc_id, o.i FROM occ o
+       JOIN gdf ON o.gram = gdf.gram AND gdf.d >= 2),
+brk AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {DUP_SPAN_N}
+              THEN 1 ELSE 0 END AS b
+  FROM st
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+),
+sp AS (
+  SELECT doc_id, g, min(i) AS s, max(i) + {DUP_SPAN_N - 1} AS e
+  FROM isl GROUP BY 1, 2
+)
+SELECT sp.doc_id, CAST(sp.s AS BIGINT) AS span_start,
+       CAST(sp.e - sp.s + 1 AS BIGINT) AS span_len,
+       array_to_string(t.toks[sp.s : sp.e], ' ') AS span_text
+FROM sp JOIN t ON sp.doc_id = t.doc_id
+"""
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-ingest round trip: synthesize WARC-style capture blobs from the
     documents table (40 docs per capture file, Content-Length framing,
@@ -2064,6 +2109,7 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_health": q_corpus_health,
     "bpe_encode": q_bpe_encode,
     "profile_drift": q_profile_drift,
+    "dup_max_spans": q_dup_max_spans,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -2104,4 +2150,5 @@ ORACLES_CUR: dict[str, str] = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "url_dedup": SQL_URL_DEDUP,
+    "dup_max_spans": SQL_DUP_MAX_SPANS,
 }

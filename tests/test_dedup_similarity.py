@@ -563,6 +563,107 @@ def test_dup_span_trim_removes_exactly_the_shared_span(spark):
     assert got[5] == ("untouched words that appear nowhere else at all ok", 9)
 
 
+def test_dup_max_spans_planted(spark):
+    """Two docs share one 8-token span: each emits exactly one maximal span
+    row at the right 1-based offset with the span's text; the unique doc and
+    the short doc emit nothing."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {span} four five six"),        # span at pos 4
+        (2, f"seven eight {span} nine ten eleven twelve"),  # span at pos 3
+        (3, "totally unique words nothing shared here at all ok"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["span_text"])
+        for r in dedup.dup_max_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    assert got == {1: (4, 8, span), 2: (3, 8, span)}
+
+
+def test_dup_max_spans_merges_overlapping_grams(spark):
+    """A 9-token shared run = two overlapping duplicated 8-grams -> ONE
+    maximal span of length 9, not two rows."""
+    nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    rows = [
+        (1, f"{nine} filler1 filler2"),
+        (2, f"prefix1 prefix2 {nine}"),
+        (3, "unrelated content entirely different from everything else here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["span_text"])
+        for r in dedup.dup_max_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    assert got == {1: (1, 9, nine), 2: (3, 9, nine)}
+
+
+# --- property: maximal spans equal a brute-force covered-position merge ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SPAN_N = 3
+_word = st.sampled_from(["a", "b", "c"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+_span_corpus = st.lists(_doc, min_size=2, max_size=5)
+
+
+def _brute_max_spans(texts: list[str], n: int):
+    toks = {i: [w for w in t.lower().split() if w] for i, t in enumerate(texts)}
+    occ: dict[str, set[int]] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(" ".join(ts[p : p + n]), set()).add(i)
+    dup = {g for g, ds in occ.items() if len(ds) >= 2}
+    out = set()
+    for i, ts in toks.items():
+        covered = sorted(
+            {
+                q
+                for p in range(len(ts) - n + 1)
+                if " ".join(ts[p : p + n]) in dup
+                for q in range(p, p + n)
+            }
+        )
+        run_start = None
+        prev = None
+        for pos in covered + [None]:
+            if run_start is not None and (pos is None or pos != prev + 1):
+                out.add(
+                    (
+                        i,
+                        run_start + 1,
+                        prev - run_start + 1,
+                        " ".join(ts[run_start : prev + 1]),
+                    )
+                )
+                run_start = None
+            if pos is not None and run_start is None:
+                run_start = pos
+            prev = pos
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_span_corpus)
+def test_dup_max_spans_equals_brute_force_on_random_corpora(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (
+            int(r["doc_id"]),
+            int(r["span_start"]),
+            int(r["span_len"]),
+            r["span_text"],
+        )
+        for r in dedup.dup_max_spans(docs, "doc_id", "text", n=_SPAN_N).collect()
+    }
+    assert got == _brute_max_spans(texts, _SPAN_N)
+
+
 def test_parse_warc_content_length_framing_beats_delimiters(spark):
     """A payload that CONTAINS the header-separator bytes must parse intact
     (Content-Length framing, not delimiter splitting); a truncated tail
