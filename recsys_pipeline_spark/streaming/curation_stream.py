@@ -1405,3 +1405,135 @@ def item_transitions_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def funnel_conversion_stream(
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+) -> None:
+    """The ordered-stage funnel online: state is one row per BATCH-ACTIVE
+    user per epoch holding the user's first-qualifying stage timestamps
+    (t1 = first view, t2 = first click strictly after t1, t3 = first
+    purchase strictly after t2; null = stage not reached). Every column is
+    MIN-MERGEABLE — min ignores nulls, and with time-ordered arrival a
+    frontier only ever gets SET, never moved — so merged state is a
+    per-user 3-column min, plain ``compact_state`` applies (the reader
+    aggregates, order never matters), and writes are deltas for batch
+    users only (the item_transitions carry discipline).
+
+    Parity (asserted in tests): each epoch's emitted 3-row report equals
+    batch ``q_funnel_conversion`` on the stream prefix — the prior state's
+    frontiers are complete for all earlier events, and in-order batches
+    can only extend them forward; a view in one epoch and its converting
+    click in a later epoch is counted exactly once, across the boundary.
+
+    Scale: per batch, three grouped passes over BATCH rows riding one
+    user_id exchange (the batch operator's own plan) joined against the
+    merged state (one co-keyed join); the report is a 3-row frame. State
+    grows one row per active user per epoch between compactions.
+    """
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        ev = batch.select(
+            "user_id",
+            F.col("event_type").alias("et"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tse"),
+        )
+        like = ev.groupBy("user_id").agg(
+            F.min("tse").alias("t1"),
+            F.min("tse").alias("t2"),
+            F.min("tse").alias("t3"),
+        )
+        prior = (
+            _read_state(spark, state_dir, like, epoch_id)
+            .groupBy("user_id")
+            .agg(
+                F.min("t1").alias("t1"),
+                F.min("t2").alias("t2"),
+                F.min("t3").alias("t3"),
+            )
+        )
+        base = ev.select("user_id").distinct().join(prior, "user_id", "left")
+        v = (
+            ev.filter(F.col("et") == "view")
+            .groupBy("user_id")
+            .agg(F.min("tse").alias("_b1"))
+        )
+        s1 = base.join(v, "user_id", "left").select(
+            "user_id", F.least("t1", "_b1").alias("t1"), "t2", "t3"
+        )
+        c = (
+            ev.filter(F.col("et") == "click")
+            .join(s1.select("user_id", "t1"), "user_id")
+            .filter(F.col("tse") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("tse").alias("_b2"))
+        )
+        s2 = s1.join(c, "user_id", "left").select(
+            "user_id", "t1", F.least("t2", "_b2").alias("t2"), "t3"
+        )
+        p = (
+            ev.filter(F.col("et") == "purchase")
+            .join(s2.select("user_id", "t2"), "user_id")
+            .filter(F.col("tse") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("tse").alias("_b3"))
+        )
+        delta = s2.join(p, "user_id", "left").select(
+            "user_id", "t1", "t2", F.least("t3", "_b3").alias("t3")
+        )
+        _write_epoch(delta, state_dir, epoch_id)
+        merged = (
+            _read_state(spark, state_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.min("t1").alias("t1"),
+                F.min("t2").alias("t2"),
+                F.min("t3").alias("t3"),
+            )
+        )
+        counts = merged.agg(
+            F.count("t1").alias("n1"),
+            F.count("t2").alias("n2"),
+            F.count("t3").alias("n3"),
+        )
+        stages = counts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).cast("long").alias("stage_idx"),
+                        F.lit("view").alias("stage"),
+                        F.col("n1").cast("long").alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit(2).cast("long").alias("stage_idx"),
+                        F.lit("click").alias("stage"),
+                        F.col("n2").cast("long").alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit(3).cast("long").alias("stage_idx"),
+                        F.lit("purchase").alias("stage"),
+                        F.col("n3").cast("long").alias("n_users"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.*")
+        w = Window.orderBy("stage_idx")  # 3-row frame: driver-sized window
+        report = stages.withColumn("_prev", F.lag("n_users").over(w)).select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            F.when(F.col("_prev").isNull(), F.lit(1000000))
+            .when(F.col("_prev") == 0, F.lit(0))
+            .otherwise(F.expr("n_users * 1000000 DIV _prev"))
+            .cast("long")
+            .alias("conv_from_prev_ppm"),
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

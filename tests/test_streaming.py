@@ -1813,3 +1813,115 @@ def test_streaming_item_transitions_exact_parity_via_carry(spark, tmp_path):
         .collect()
     }
     assert merged == batch_pairs
+
+
+def test_streaming_funnel_conversion_prefix_parity(spark, tmp_path):
+    """The funnel twin's min-mergeable frontier state: every epoch's 3-row
+    report equals the registered batch query on the stream PREFIX, and the
+    final epoch equals it on the full corpus — a view in one epoch whose
+    converting click arrives in a later epoch is counted exactly once,
+    across the micro-batch boundary."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_funnel_conversion
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = ev.filter(ts_us <= t_med)
+    second = ev.filter(ts_us > t_med)
+    assert first.count() > 0 and second.count() > 0
+    src = str(tmp_path / "fn_src")
+    first.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "fn_out")
+    cs.funnel_conversion_stream(stream, out, str(tmp_path / "fn_state"))
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def report(df):
+        return {
+            int(r["stage_idx"]): (r["stage"], int(r["n_users"]), int(r["conv_from_prev_ppm"]))
+            for r in df.collect()
+        }
+
+    # prefix parity: epoch 0's report equals the registered batch query run
+    # over ONLY the first slice (written as its own events table)
+    prefix_dir = str(tmp_path / "fn_prefix")
+    first.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert report(table.filter(F.col("_epoch") == epochs[0])) == report(
+        q_funnel_conversion(spark, prefix_dir)
+    )
+    # full parity: the final epoch equals the batch query on the whole corpus
+    assert report(table.filter(F.col("_epoch") == epochs[-1])) == report(
+        q_funnel_conversion(spark, sf)
+    )
+
+
+def test_streaming_funnel_cross_boundary_conversion_and_compaction(spark, tmp_path):
+    """Planted cross-boundary funnel: the view arrives in epoch 0, the
+    qualifying click and purchase in epoch 1 — the click converts against
+    the STATE frontier, not the batch. A same-ts click (not strictly after
+    the view) must NOT convert. compact_state preserves the min-merged
+    state exactly (the reader is an order-free aggregate)."""
+    import time
+
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    import datetime
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp, value double, props string"
+
+    def mk(uid, eid, et, sec):
+        return (uid, eid, et, datetime.datetime(2024, 1, 1, 0, 0, sec), 1.0, "{}")
+
+    first = spark.createDataFrame(
+        [mk(1, 10, "view", 1), mk(2, 20, "view", 2), mk(2, 21, "click", 2)], schema
+    )  # user 2's click ties the view's ts -> must not qualify
+    second = spark.createDataFrame(
+        [mk(1, 11, "click", 5), mk(1, 12, "purchase", 9)], schema
+    )
+    src = str(tmp_path / "fx_src")
+    first.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(first.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "fx_out")
+    state = str(tmp_path / "fx_state")
+    cs.funnel_conversion_stream(stream, out, state)
+
+    table = spark.read.parquet(out)
+    last = max(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    got = {
+        int(r["stage_idx"]): (int(r["n_users"]), int(r["conv_from_prev_ppm"]))
+        for r in table.filter(F.col("_epoch") == last).collect()
+    }
+    # 2 viewers; only user 1 clicks (epoch-0 view -> epoch-1 click) and
+    # purchases; user 2's same-ts click never qualifies
+    assert got == {1: (2, 1000000), 2: (1, 500000), 3: (1, 1000000)}
+
+    def merged_state():
+        return {
+            int(r["user_id"]): (r["t1"], r["t2"], r["t3"])
+            for r in spark.read.parquet(state)
+            .drop("_epoch")
+            .groupBy("user_id")
+            .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+            .collect()
+        }
+
+    before = merged_state()
+    cs.compact_state(spark, state, before_epoch=last + 1)
+    assert merged_state() == before
