@@ -102,6 +102,10 @@ CAPS = {
     # bounded), the words-to-subwords join + per-doc regroup scale linearly
     "training_batches": 5.0,  # measured 2.3 — gate + count join linear, BPE
     # dictionary side flat; the pack window is survivor-sized
+    # round 13
+    "dup_max_spans": 6.0,    # measured 2.2 — the dup_span_coverage machinery
+    # plus a start-rows-only islands window; same worst-case-under-
+    # replication caveat (every gram becomes cross-doc duplicated)
 }
 
 
