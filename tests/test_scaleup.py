@@ -103,7 +103,7 @@ CAPS = {
     "training_batches": 5.0,  # measured 2.3 — gate + count join linear, BPE
     # dictionary side flat; the pack window is survivor-sized
     # round 13
-    "dup_max_spans": 6.0,    # measured 2.2 — the dup_span_coverage machinery
+    "dup_max_spans": 6.0,    # measured 2.4 — the dup_span_coverage machinery
     # plus a start-rows-only islands window; same worst-case-under-
     # replication caveat (every gram becomes cross-doc duplicated)
 }
