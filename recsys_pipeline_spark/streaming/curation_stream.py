@@ -1537,3 +1537,68 @@ def funnel_conversion_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def retention_cohorts_stream(
+    stream: DataFrame,
+    out_dir: str,
+    pairs_dir: str,
+) -> None:
+    """The cohort-retention matrix online — with an EXACT cross-epoch
+    guarantee and NO arrival-order assumption (the weighted_sample class,
+    not the carry class): state is the distinct active ``(user_id, week)``
+    pair set as APPEND-ONCE deltas (each batch anti-joins the prior set,
+    so epochs are disjoint by construction and plain ``compact_state``
+    applies). Cohort assignment, offsets, cell counts, and cohort sizes
+    all RE-DERIVE from the merged pair set at emission — order-free
+    aggregates of order-free state — so every epoch's emitted matrix
+    equals batch ``q_retention_cohorts`` on the stream prefix verbatim,
+    even under out-of-order delivery (a late early-week event simply
+    re-cohorts the user in the next report, exactly as a batch rerun
+    would; asserted in tests).
+
+    Scale: state is bounded by distinct (user, week) combinations — the
+    matrix's own support, not raw events (a user's 1000 events in a week
+    are one state row). Per batch: one in-batch distinct, one co-keyed
+    anti-join against state, then the batch query's own grouped passes on
+    the user exchange.
+    """
+    wk = 7 * 86400 * 1000000
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        ev = batch.select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {wk}").alias(
+                "week"
+            ),
+        ).distinct()
+        prior = _read_state(spark, pairs_dir, ev, epoch_id)
+        delta = ev.join(prior, ["user_id", "week"], "left_anti")
+        _write_epoch(delta, pairs_dir, epoch_id)
+        pairs = prior.unionByName(delta)  # disjoint union by construction
+        first = pairs.groupBy("user_id").agg(
+            F.min("week").alias("cohort_week")
+        )
+        active = pairs.join(first, "user_id").select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        cells = active.groupBy("cohort_week", "week_offset").agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
+        sizes = first.groupBy("cohort_week").agg(
+            F.count(F.lit(1)).alias("_size")
+        )
+        report = cells.join(sizes, "cohort_week").select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.expr("n_users * 1000000 DIV _size").alias("retention_ppm"),
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

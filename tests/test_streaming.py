@@ -1925,3 +1925,73 @@ def test_streaming_funnel_cross_boundary_conversion_and_compaction(spark, tmp_pa
     before = merged_state()
     cs.compact_state(spark, state, before_epoch=last + 1)
     assert merged_state() == before
+
+
+def test_streaming_retention_cohorts_exact_parity_even_out_of_order(spark, tmp_path):
+    """The retention twin re-derives everything from an order-free
+    (user, week) pair set, so parity is EXACT per epoch — including under
+    OUT-OF-ORDER delivery: the second micro-batch here carries the EARLIER
+    half of the corpus, re-cohorting users exactly as a batch rerun would."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_retention_cohorts
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    late_half = ev.filter(ts_us > t_med)   # arrives FIRST
+    early_half = ev.filter(ts_us <= t_med)  # arrives SECOND (out of order)
+    src = str(tmp_path / "rc_src")
+    late_half.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    early_half.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "rc_out")
+    pairs = str(tmp_path / "rc_pairs")
+    cs.retention_cohorts_stream(stream, out, pairs)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def matrix(df):
+        return {
+            (int(r["cohort_week"]), int(r["week_offset"])): (
+                int(r["n_users"]),
+                int(r["retention_ppm"]),
+            )
+            for r in df.collect()
+        }
+
+    # epoch 0: parity vs the batch query on the late half alone
+    prefix_dir = str(tmp_path / "rc_prefix")
+    late_half.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert matrix(table.filter(F.col("_epoch") == epochs[0])) == matrix(
+        q_retention_cohorts(spark, prefix_dir)
+    )
+    # final epoch: exact parity vs the full corpus DESPITE reversed arrival
+    assert matrix(table.filter(F.col("_epoch") == epochs[-1])) == matrix(
+        q_retention_cohorts(spark, sf)
+    )
+    # state is bounded by the matrix support: distinct (user, week) pairs
+    n_pairs = spark.read.parquet(pairs).drop("_epoch").count()
+    n_distinct = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_pairs == n_distinct  # append-once: no pair stored twice
+
+    # compaction preserves the disjoint pair set exactly
+    before = n_pairs
+    cs.compact_state(spark, pairs, before_epoch=int(epochs[-1]) + 1)
+    assert spark.read.parquet(pairs).drop("_epoch").count() == before
