@@ -739,3 +739,39 @@ def test_line_dedup_rank_filter_is_map_side_group_limit(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_span_family_reconciles_on_corpus(spark):
+    """Cross-operator consistency on the real corpus: the maximal-span
+    inventory, the coverage totals, and the trim survivor counts are three
+    views of the SAME covered-position set — per doc,
+    sum(span_len) == covered_tokens == n_tokens - n_kept, and spans
+    never overlap or exceed the doc."""
+    from recsys_pipeline_spark.io import read_table
+
+    d = read_table(spark, SF, "documents")
+    cov = {
+        r["doc_id"]: (int(r["n_tokens"]), int(r["covered_tokens"]))
+        for r in dedup.dup_span_coverage(d, "doc_id", "text", n=8).collect()
+    }
+    trim = {
+        r["doc_id"]: int(r["n_kept"])
+        for r in dedup.dup_span_trim(d, "doc_id", "text", n=8).collect()
+    }
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for r in dedup.dup_max_spans(d, "doc_id", "text", n=8).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (int(r["span_start"]), int(r["span_len"]))
+        )
+    assert set(cov) == set(trim)
+    covered_docs = {i for i, (_, c) in cov.items() if c > 0}
+    assert set(spans) == covered_docs and covered_docs  # non-degenerate
+    for i, (n_tokens, covered) in cov.items():
+        assert covered == n_tokens - trim[i]
+        ivs = sorted(spans.get(i, []))
+        assert sum(ln for _, ln in ivs) == covered
+        prev_end = 0
+        for s, ln in ivs:
+            assert s > prev_end  # disjoint, truly maximal (no touching)
+            assert s >= 1 and s + ln - 1 <= n_tokens
+            prev_end = s + ln - 1
