@@ -135,6 +135,12 @@ _DEFERRED = [
     # surface (no §2 operator needs corr); the exact-decimal-sum discipline
     # it demonstrated stays recorded via pricing_summary / star_join_revenue,
     # and the pytest oracle-parity harness still pins it value-level
+    # Round-13 continuation additions (beyond-reference analytics families,
+    # registered past the window by construction; pytest oracle-parity +
+    # type-guard pinned like every deferred entry) —
+    "daily_gapfill",  # calendar densify + forward fill (timeseries family)
+    "scd2_intervals",  # SCD2 dimension build (gaps-and-islands family)
+    "fuzzy_part_pairs",  # blocked approximate string join (record linkage)
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

@@ -1,0 +1,147 @@
+"""Time-series reshaping operators: calendar gap-fill with forward fill, and
+SCD2 (slowly-changing-dimension type 2) validity-interval construction.
+
+Neither exists in the reference (its pipeline consumes pre-shaped logs), but
+both are table-stakes for an analytics engine fed by event streams: gap-fill
+turns a sparse event log into a dense per-entity calendar (the input shape
+every trend/retention model wants), and SCD2 turns a mutation log into the
+versioned dimension join target every warehouse keeps.
+
+Scale design:
+- Gap-fill explodes ``sequence(min_day, max_day)`` PER ENTITY, so output is
+  bounded by entities x history-span-days — linear in what a dense calendar
+  table must hold anyway, never entities x global-span. The forward fill is
+  one window over the entity partition (single sort, no self-join); the
+  entire plan has exactly two exchanges (the per-day last-event dedup and
+  the entity window).
+- SCD2 is the classic gaps-and-islands shape: one lag() to flag change
+  points, one running sum to number the runs, one groupBy to collapse — all
+  three share the (entity, ts) sort order so Catalyst collapses them onto a
+  single exchange+sort, plus one tiny window for the interval-close lead().
+  No joins at all; at 100 TB this is a single shuffle on entity id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_DAY = 86_400_000_000
+
+
+def gapfill_forward_fill(
+    df: DataFrame,
+    entity_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify (entity, day, value) to one row per entity per calendar day
+    between that entity's first and last observed day, forward-filling the
+    last observed value across gaps.
+
+    Input must already be at most one row per (entity, day) — use
+    ``last_per_day`` first when collapsing raw events. Returns columns
+    (entity_col, day_col, filled_value, is_observed) where ``filled_value``
+    is a bit-exact COPY of an observed value (no arithmetic, so float
+    columns stay oracle-comparable) and ``is_observed`` is 1 on observed
+    days, 0 on filled ones. The first day per entity is observed by
+    construction, so ``filled_value`` is never NULL.
+    """
+    span = df.groupBy(entity_col).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    calendar = span.select(
+        entity_col,
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias(day_col),
+    )
+    joined = calendar.join(df, [entity_col, day_col], "left")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        entity_col,
+        day_col,
+        F.last(F.col(value_col), ignorenulls=True).over(w).alias("filled_value"),
+        F.col(value_col).isNotNull().cast("int").alias("is_observed"),
+    )
+
+
+def last_per_day(
+    df: DataFrame,
+    entity_col: str,
+    ts_us_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Collapse an event log to the LAST event's value per (entity, day).
+
+    Day = non-negative integer floor-division of epoch micros (the repo's
+    DIV == ``//`` portability contract); "last" is by (ts, tiebreak)
+    descending so equal-microsecond events resolve deterministically in
+    both engines. Implemented as ``max_by`` over a (ts, tiebreak) struct —
+    a hash aggregate with map-side partial combine, NOT a row_number
+    window: at scale the partial collapses each input split to one row per
+    (entity, day) before the single exchange, and no sort ever runs.
+    (ts, tiebreak) is unique per entity, so the argmax is deterministic.
+    """
+    # DIV, not float-divide-then-cast: exact integer floor in both engines
+    day = F.expr(f"{ts_us_col} DIV {US_PER_DAY}")
+    return (
+        df.withColumn("_day", day)
+        .groupBy(entity_col, F.col("_day").alias("day"))
+        .agg(
+            F.max_by(
+                F.col(value_col),
+                F.struct(F.col(ts_us_col), F.col(tiebreak_col)),
+            ).alias("obs_value")
+        )
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    entity_col: str,
+    attr_col: str,
+    ts_us_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an attribute-mutation log into SCD2 validity intervals:
+    one row per maximal run of equal ``attr_col`` per entity, with
+    half-open validity [valid_from_us, valid_to_us) and NULL valid_to_us on
+    the current (open) version. Kimball type-2 dimension semantics,
+    re-expressed as the gaps-and-islands window idiom.
+
+    ``version`` numbers runs 1..k per entity in time order; ``n_events``
+    counts the mutations collapsed into each run. Ordering ties break on
+    ``tiebreak_col`` so the run numbering is deterministic.
+    """
+    ord_w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_us_col), F.col(tiebreak_col)
+    )
+    chg = F.when(
+        F.lag(F.col(attr_col)).over(ord_w).isNull()
+        | (F.lag(F.col(attr_col)).over(ord_w) != F.col(attr_col)),
+        1,
+    ).otherwise(0)
+    run = F.sum(chg).over(
+        ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        df.withColumn("_ver", run.cast("int"))
+        .groupBy(entity_col, "_ver", attr_col)
+        .agg(
+            F.min(F.col(ts_us_col)).alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    close_w = Window.partitionBy(entity_col).orderBy("_ver")
+    return runs.select(
+        entity_col,
+        F.col("_ver").alias("version"),
+        attr_col,
+        "valid_from_us",
+        F.lead(F.col("valid_from_us")).over(close_w).alias("valid_to_us"),
+        "n_events",
+    )

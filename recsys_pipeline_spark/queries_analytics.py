@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recsys_pipeline_spark.io import read_table, spread
-from recsys_pipeline_spark.operators import asof, stats, windows
+from recsys_pipeline_spark.operators import asof, fuzzy, stats, timeseries, windows
 
 # DuckDB tokenizer fragment shared with the text queries (operators/text.py
 # semantics: lowercase, split on whitespace, drop empties)
@@ -511,6 +511,150 @@ FROM cells JOIN sz USING (cohort_week)
 """
 
 
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + forward fill — densify the sparse event log to one row
+# per (user, day) with the last observed value carried across gaps. The
+# input shape every per-entity trend model wants; see operators/timeseries.py
+# for the two-exchange scale design.
+# ---------------------------------------------------------------------------
+
+
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dense daily calendar: last event value per day, forward-
+    filled across gap days. ``filled_value`` is a bit-exact copy of an
+    observed double (no arithmetic), ``is_observed`` flags fill rows.
+    Days are epoch-micros DIV one day (integer floor in both engines)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts_epoch", "event_id", "value")
+    daily = timeseries.last_per_day(
+        ev, entity_col="user_id", ts_us_col="ts_epoch",
+        tiebreak_col="event_id", value_col="value",
+    )
+    return timeseries.gapfill_forward_fill(
+        daily, entity_col="user_id", day_col="day", value_col="obs_value"
+    )
+
+
+SQL_DAILY_GAPFILL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tse,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day, value,
+         row_number() OVER (PARTITION BY user_id, day
+                            ORDER BY tse DESC, event_id DESC) AS rn
+  FROM e
+),
+d AS (SELECT user_id, day, value AS obs_value FROM r WHERE rn = 1),
+s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+g AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM s),
+j AS (SELECT g.user_id, g.day, d.obs_value
+      FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       LAST_VALUE(obs_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CAST(CASE WHEN obs_value IS NULL THEN 0 ELSE 1 END AS INT) AS is_observed
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals — collapse the per-user event_type mutation log
+# into versioned half-open intervals (Kimball type-2 dimension build), the
+# gaps-and-islands window idiom on a single exchange.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per maximal run of equal event_type per user: version 1..k,
+    [valid_from_us, valid_to_us) with NULL close on the current version,
+    and the run's event count. lag-flag -> running-sum -> collapse, all on
+    one (user, ts) sort."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts_epoch"
+    )
+    return timeseries.scd2_intervals(
+        ev, entity_col="user_id", attr_col="event_type",
+        ts_us_col="ts_epoch", tiebreak_col="event_id",
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tse FROM events
+),
+c AS (
+  SELECT user_id, event_type, tse,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, tse,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tse
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INT) AS version
+  FROM c
+),
+iv AS (
+  SELECT user_id, version, event_type,
+         min(tse) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, version, event_type, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to_us,
+       n_events
+FROM iv
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy string join — near-identical part names paired by token
+# blocking + banded Levenshtein (record linkage without the n² scan); see
+# operators/fuzzy.py for the blocking/pre-filter/verify scale design.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part-name pairs within edit distance 2, blocked on the
+    name's final token (the discriminative noun) so candidate generation is
+    sum-of-block² not n²; each side carries its catalog frequency."""
+    part = read_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    pairs = fuzzy.blocked_levenshtein_pairs(
+        names,
+        name_col="p_name",
+        block_expr=F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=FUZZY_MAX_DIST,
+    )
+    return pairs.select(
+        "name_a", "name_b", "dist",
+        F.col("n_parts_a").cast("long").alias("n_parts_a"),
+        F.col("n_parts_b").cast("long").alias("n_parts_b"),
+    )
+
+
+SQL_FUZZY_PART_PAIRS = f"""
+WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+           FROM part GROUP BY 1),
+b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk FROM n)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist,
+       a.n_parts AS n_parts_a, c.n_parts AS n_parts_b
+FROM b a JOIN b c ON a.blk = c.blk
+WHERE a.p_name < c.p_name
+  AND abs(len(a.p_name) - len(c.p_name)) <= {FUZZY_MAX_DIST}
+  AND levenshtein(a.p_name, c.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -523,9 +667,15 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": q_value_percentiles,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
+    "daily_gapfill": q_daily_gapfill,
+    "scd2_intervals": q_scd2_intervals,
+    "fuzzy_part_pairs": q_fuzzy_part_pairs,
 }
 
 ORACLES_AN: dict[str, str] = {
+    "daily_gapfill": SQL_DAILY_GAPFILL,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "event_gaps": SQL_EVENT_GAPS,

@@ -306,3 +306,184 @@ def test_retention_cohorts_planted_matrix(spark, tmp_path):
         (0, 3): (1, 500000),
         (1, 0): (1, 1000000),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-13 continuation: gap-fill / SCD2 / blocked fuzzy join
+# ---------------------------------------------------------------------------
+
+
+def test_daily_gapfill_planted(spark, tmp_path):
+    """User 1: events on day 0 (two — last wins) and day 3 -> dense days
+    0..3 with the day-0 value carried across the gap; user 2: single day."""
+    from recsys_pipeline_spark.queries_analytics import q_daily_gapfill
+
+    day = 86400
+    rows = [
+        (1, 1, 0 * day + 10, "view"),
+        (2, 1, 0 * day + 20, "view"),   # later same day: its value wins
+        (3, 1, 3 * day + 5, "click"),
+        (4, 2, 7 * day + 1, "view"),
+    ]
+    df = _ev_frame(spark, rows).withColumn(
+        "value", F.col("event_id").cast("double") * 10
+    )
+    sf = str(tmp_path / "gap")
+    df.write.parquet(sf + "/events.parquet")
+    got = {
+        (int(r["user_id"]), int(r["day"])): (r["filled_value"], int(r["is_observed"]))
+        for r in q_daily_gapfill(spark, sf).collect()
+    }
+    assert got == {
+        (1, 0): (20.0, 1),
+        (1, 1): (20.0, 0),
+        (1, 2): (20.0, 0),
+        (1, 3): (30.0, 1),
+        (2, 7): (40.0, 1),
+    }
+
+
+def test_gapfill_contiguity_on_corpus(spark):
+    """Real corpus invariants: per user the calendar is exactly contiguous
+    (rows == max-min+1), the first day is observed, and no filled_value is
+    NULL (forward fill can never lead)."""
+    from recsys_pipeline_spark.queries_analytics import q_daily_gapfill
+
+    out = q_daily_gapfill(spark, SF_SMOKE).cache()
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("day") - F.min("day") + 1).alias("span"),
+        F.min(F.struct("day", "is_observed")).alias("first"),
+    )
+    bad = per_user.filter(
+        (F.col("n") != F.col("span")) | (F.col("first.is_observed") != 1)
+    )
+    assert bad.count() == 0
+    assert out.filter(F.col("filled_value").isNull()).count() == 0
+    out.unpersist()
+
+
+def test_scd2_planted_intervals(spark, tmp_path):
+    from recsys_pipeline_spark.queries_analytics import q_scd2_intervals
+
+    rows = [
+        (1, 1, 100, "view"),
+        (2, 1, 200, "view"),
+        (3, 1, 300, "click"),
+        (4, 1, 400, "view"),
+    ]
+    sf = str(tmp_path / "scd")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = sorted(
+        (
+            int(r["version"]),
+            r["event_type"],
+            int(r["valid_from_us"]),
+            None if r["valid_to_us"] is None else int(r["valid_to_us"]),
+            int(r["n_events"]),
+        )
+        for r in q_scd2_intervals(spark, sf).filter(F.col("user_id") == 1).collect()
+    )
+    us = 1_000_000
+    assert got == [
+        (1, "view", 100 * us, 300 * us, 2),
+        (2, "click", 300 * us, 400 * us, 1),
+        (3, "view", 400 * us, None, 1),
+    ]
+
+
+def test_scd2_tiles_timeline_on_corpus(spark):
+    """Corpus invariants: versions are consecutive 1..k per user, event
+    counts tile the user's log exactly, each interval closes at the next
+    one's open (half-open tiling, one NULL close per user), and adjacent
+    versions always change the attribute."""
+    from recsys_pipeline_spark.queries_analytics import q_scd2_intervals
+    from recsys_pipeline_spark.io import read_table
+
+    iv = q_scd2_intervals(spark, SF_SMOKE).cache()
+    ev_counts = (
+        read_table(spark, SF_SMOKE, "events").groupBy("user_id").count()
+    )
+    per_user = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("version").alias("vmax"),
+        F.min("version").alias("vmin"),
+        F.sum("n_events").alias("tot"),
+        F.sum(F.col("valid_to_us").isNull().cast("int")).alias("n_open"),
+    )
+    joined = per_user.join(ev_counts, "user_id")
+    bad = joined.filter(
+        (F.col("vmin") != 1)
+        | (F.col("vmax") != F.col("k"))
+        | (F.col("tot") != F.col("count"))
+        | (F.col("n_open") != 1)
+    )
+    assert bad.count() == 0
+    nxt = iv.select(
+        "user_id",
+        (F.col("version") - 1).alias("version"),
+        F.col("event_type").alias("next_type"),
+        F.col("valid_from_us").alias("next_from"),
+    )
+    adj = iv.join(nxt, ["user_id", "version"])
+    assert adj.filter(F.col("event_type") == F.col("next_type")).count() == 0
+    assert adj.filter(F.col("valid_to_us") != F.col("next_from")).count() == 0
+    iv.unpersist()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_match_bruteforce(spark):
+    """Operator output == brute-force all-pairs edit distance restricted to
+    the same block (final token), on the real part-name vocabulary."""
+    from recsys_pipeline_spark.queries_analytics import (
+        FUZZY_MAX_DIST,
+        q_fuzzy_part_pairs,
+    )
+    from recsys_pipeline_spark.io import read_table
+
+    names = [
+        r["p_name"]
+        for r in read_table(spark, SF_SMOKE, "part").select("p_name").distinct().collect()
+    ]
+    want = set()
+    for x in names:
+        for y in names:
+            if x < y and x.split(" ")[-1] == y.split(" ")[-1]:
+                d = _lev(x, y)
+                if d <= FUZZY_MAX_DIST:
+                    want.add((x, y, d))
+    got = {
+        (r["name_a"], r["name_b"], int(r["dist"]))
+        for r in q_fuzzy_part_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert want, "fixture should produce at least one fuzzy pair"
+
+
+def test_fuzzy_max_block_guard_drops_oversized_blocks(spark):
+    from recsys_pipeline_spark.operators import fuzzy
+
+    names = spark.createDataFrame(
+        [("aa x",), ("ab x",), ("ac x",), ("aa y",), ("ab y",)],
+        "name string",
+    )
+    blk = F.element_at(F.split(F.col("name"), " "), -1)
+    full = fuzzy.blocked_levenshtein_pairs(
+        names, name_col="name", block_expr=blk, max_dist=1
+    )
+    assert full.count() == 3 + 1  # 3 pairs in block x, 1 in block y
+    capped = fuzzy.blocked_levenshtein_pairs(
+        names, name_col="name", block_expr=blk, max_dist=1, max_block=2
+    )
+    assert {(r["name_a"], r["name_b"]) for r in capped.collect()} == {
+        ("aa y", "ab y")
+    }
