@@ -1602,3 +1602,211 @@ def retention_cohorts_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def daily_gapfill_stream(
+    stream: DataFrame,
+    out_dir: str,
+    obs_dir: str,
+) -> None:
+    """The dense-calendar gap-fill online — the ORDER-FREE class
+    (retention/weighted_sample, not the carry class): state is the per
+    (user, day) LAST observation as ``(tse, event_id, obs_value)`` delta
+    rows, merged on read with one grouped ``max_by`` over the (tse,
+    event_id) struct — an argmax is order-free, so a late or out-of-order
+    event folds in exactly as a batch rerun would (it either wins the
+    argmax or is ignored). Emission re-derives the dense calendar
+    (span -> sequence/explode -> forward fill, the batch operator itself)
+    from the merged observation set, so every epoch's table equals batch
+    ``q_daily_gapfill`` on the stream prefix verbatim, asserted in tests
+    including reversed arrival.
+
+    State bounds: one row per batch-ACTIVE (user, day) per epoch —
+    the calendar's own observed support, never raw events (a user's 1000
+    events in a day collapse map-side to one delta row). A key's newest
+    row is NOT the truth (the argmax is), so plain ``compact_state``
+    (set/counter relabel) applies: the reader's grouped max_by selects
+    identically before and after.
+    """
+    from recsys_pipeline_spark.operators import timeseries
+
+    us_day = timeseries.US_PER_DAY
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        ev = batch.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tse"),
+        ).withColumn("day", F.expr(f"tse DIV {us_day}"))
+        key = F.struct("tse", "event_id")
+        delta = ev.groupBy("user_id", "day").agg(
+            F.max_by(F.struct("tse", "event_id", "value"), key).alias("_r")
+        ).select(
+            "user_id",
+            "day",
+            F.col("_r.tse").alias("tse"),
+            F.col("_r.event_id").alias("event_id"),
+            F.col("_r.value").alias("obs_value"),
+        )
+        _write_epoch(delta, obs_dir, epoch_id)
+        merged = (
+            _read_state(spark, obs_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("user_id", "day")
+            .agg(
+                F.max_by(
+                    F.col("obs_value"), F.struct("tse", "event_id")
+                ).alias("obs_value")
+            )
+        )
+        report = timeseries.gapfill_forward_fill(
+            merged, entity_col="user_id", day_col="day", value_col="obs_value"
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
+def scd2_intervals_stream(
+    stream: DataFrame,
+    out_dir: str,
+    closed_dir: str,
+    carry_dir: str,
+) -> None:
+    """The SCD2 dimension build online — the CARRY class (item_transitions'
+    time-ordered delivery contract; run structure is inherently
+    order-dependent, so an order-free twin would have to keep the raw
+    mutation log as state). State:
+
+    (a) CLOSED intervals, append-once (a closed interval never reopens
+        under in-order arrival; versions per user only grow, so epochs are
+        disjoint and plain ``compact_state`` applies);
+    (b) one OPEN-RUN carry row per user — (event_type, run-start tse,
+        n_events weight ``w``, count of previously closed runs
+        ``closed_cnt``) — written as batch-active DELTAS; the read side
+        picks each user's latest row by the monotone (closed_cnt, tse, w)
+        lexicographic key (every active epoch strictly increases it), so
+        ``compact_latest_state`` on user_id folds it safely.
+
+    Each batch prepends the open run as ONE weighted pseudo-event
+    (event_id -1 sorts it before same-instant new events), recomputes
+    gaps-and-islands over pseudo-event + new events, closes all runs but
+    the last, and emits closed-state ∪ open-runs-as-intervals — equal to
+    batch ``q_scd2_intervals`` on the stream prefix, asserted per epoch.
+    """
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        ev = batch.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tse"),
+        ).select(
+            "user_id",
+            "event_type",
+            "tse",
+            "event_id",
+            F.lit(1).cast("long").alias("w"),
+            F.lit(0).cast("int").alias("closed_cnt"),
+        )
+        carry_like = ev.select(
+            "user_id", "event_type", "tse", "w", "closed_cnt"
+        )
+        carry_rows = _read_state(spark, carry_dir, carry_like, epoch_id)
+        w_latest = Window.partitionBy("user_id").orderBy(
+            F.col("closed_cnt").desc(), F.col("tse").desc(), F.col("w").desc()
+        )
+        latest = (
+            carry_rows.withColumn("_rk", F.row_number().over(w_latest))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        active_users = ev.select("user_id").distinct()
+        active_carry = latest.join(active_users, "user_id", "left_semi")
+        idle_carry = latest.join(active_users, "user_id", "left_anti")
+
+        aug = active_carry.select(
+            "user_id",
+            "event_type",
+            "tse",
+            F.lit(-1).cast("long").alias("event_id"),
+            "w",
+            "closed_cnt",
+        ).unionByName(ev)
+        ord_w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+        chg = F.when(
+            F.lag("event_type").over(ord_w).isNull()
+            | (F.lag("event_type").over(ord_w) != F.col("event_type")),
+            1,
+        ).otherwise(0)
+        run_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        runs = (
+            aug.withColumn("_ver", F.sum(chg).over(run_w).cast("int"))
+            .groupBy("user_id", "_ver", "event_type")
+            .agg(
+                F.min("tse").alias("valid_from_us"),
+                F.sum("w").alias("n_events"),
+            )
+        )
+        per_user = Window.partitionBy("user_id")
+        offs = aug.groupBy("user_id").agg(F.max("closed_cnt").alias("_off"))
+        runs = (
+            runs.join(offs, "user_id")
+            .withColumn("_k", F.max("_ver").over(per_user))
+            .withColumn(
+                "valid_to_us",
+                F.lead("valid_from_us").over(
+                    Window.partitionBy("user_id").orderBy("_ver")
+                ),
+            )
+            .withColumn("version", (F.col("_off") + F.col("_ver")).cast("int"))
+        )
+        closed_delta = runs.filter(F.col("_ver") < F.col("_k")).select(
+            "user_id", "version", "event_type", "valid_from_us",
+            "valid_to_us", "n_events",
+        )
+        _write_epoch(closed_delta, closed_dir, epoch_id)
+        open_runs = runs.filter(F.col("_ver") == F.col("_k"))
+        new_carry = open_runs.select(
+            "user_id",
+            "event_type",
+            F.col("valid_from_us").alias("tse"),
+            F.col("n_events").alias("w"),
+            (F.col("version") - 1).cast("int").alias("closed_cnt"),
+        )
+        _write_epoch(new_carry, carry_dir, epoch_id)
+        open_iv = open_runs.unionByName(
+            idle_carry.select(
+                "user_id",
+                F.col("closed_cnt"),
+                "event_type",
+                F.col("tse").alias("valid_from_us"),
+                F.col("w").alias("n_events"),
+            ).select(
+                "user_id",
+                (F.col("closed_cnt") + 1).cast("int").alias("version"),
+                "event_type",
+                "valid_from_us",
+                F.lit(None).cast("long").alias("valid_to_us"),
+                "n_events",
+            ),
+            allowMissingColumns=True,
+        ).select(
+            "user_id", "version", "event_type", "valid_from_us",
+            F.lit(None).cast("long").alias("valid_to_us"), "n_events",
+        )
+        report = (
+            _read_state(spark, closed_dir, closed_delta, epoch_id)
+            .unionByName(closed_delta)
+            .unionByName(open_iv)
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -347,3 +347,41 @@ def test_bpe_encode_bounded_corpus_scans(spark):
     assert plan.count("FileScan") <= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_exchange_single_sort_family(spark):
+    """The SCD2 build's lag-flag, running sum, and collapse must all ride
+    ONE (user) hash exchange — a second Exchange means the window specs
+    stopped aligning and the gaps-and-islands idiom broke."""
+    from recsys_pipeline_spark.queries_analytics import q_scd2_intervals
+
+    plan = _final_plan(q_scd2_intervals(spark, SF))
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_gapfill_no_rownumber_sort_dedup(spark):
+    """The per-(user, day) last observation must stay a max_by AGGREGATE
+    (map-side partial combine), never regress to the row_number-over-
+    window formulation that full-sorts every event."""
+    from recsys_pipeline_spark.queries_analytics import q_daily_gapfill
+
+    plan = _final_plan(q_daily_gapfill(spark, SF))
+    assert "row_number" not in plan
+    assert "max_by" in plan
+    # exactly one Window (the forward fill); the dedup is an aggregate
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+
+
+def test_fuzzy_pairs_equijoin_on_block_key_no_cartesian(spark):
+    """The verify stage must stay an EQUI-join on the block key — a
+    cartesian/nested-loop means blocking stopped working and the n² scan
+    is back. (At this SF, AQE broadcasts the tiny side and duplicates the
+    subtree instead of reusing the _blk exchange; the equi-key is the
+    load-bearing property at scale, so that is what gets pinned.)"""
+    from recsys_pipeline_spark.queries_analytics import q_fuzzy_part_pairs
+
+    plan = _final_plan(q_fuzzy_part_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[_blk", plan)

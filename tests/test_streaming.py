@@ -1995,3 +1995,149 @@ def test_streaming_retention_cohorts_exact_parity_even_out_of_order(spark, tmp_p
     before = n_pairs
     cs.compact_state(spark, pairs, before_epoch=int(epochs[-1]) + 1)
     assert spark.read.parquet(pairs).drop("_epoch").count() == before
+
+
+def test_streaming_daily_gapfill_exact_parity_even_out_of_order(spark, tmp_path):
+    """The gapfill twin's state merge is an argmax over (ts, event_id) —
+    order-free — and emission re-runs the batch operator over merged
+    state, so parity is EXACT per epoch even when the second micro-batch
+    carries the EARLIER half of the corpus."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_daily_gapfill
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    late_half = ev.filter(ts_us > t_med)   # arrives FIRST
+    early_half = ev.filter(ts_us <= t_med)  # arrives SECOND (out of order)
+    src = str(tmp_path / "gf_src")
+    late_half.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    early_half.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "gf_out")
+    obs = str(tmp_path / "gf_obs")
+    cs.daily_gapfill_stream(stream, out, obs)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def calendar(df):
+        return {
+            (int(r["user_id"]), int(r["day"])): (r["filled_value"], int(r["is_observed"]))
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "gf_prefix")
+    late_half.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert calendar(table.filter(F.col("_epoch") == epochs[0])) == calendar(
+        q_daily_gapfill(spark, prefix_dir)
+    )
+    assert calendar(table.filter(F.col("_epoch") == epochs[-1])) == calendar(
+        q_daily_gapfill(spark, sf)
+    )
+    # state bounds: one row per batch-active (user, day) per epoch, and the
+    # merged argmax is compaction-equivalent (set-state relabel is safe)
+    state = spark.read.parquet(obs)
+
+    def merged_obs():
+        return {
+            (int(r["user_id"]), int(r["day"])): r["obs_value"]
+            for r in state.drop("_epoch")
+            .groupBy("user_id", "day")
+            .agg(
+                F.max_by(F.col("obs_value"), F.struct("tse", "event_id")).alias(
+                    "obs_value"
+                )
+            )
+            .collect()
+        }
+
+    before = merged_obs()
+    cs.compact_state(spark, obs, before_epoch=max(epochs) + 1)
+    state = spark.read.parquet(obs)
+    assert merged_obs() == before
+
+
+def test_streaming_scd2_intervals_prefix_parity_time_ordered(spark, tmp_path):
+    """The SCD2 twin (carry class, time-ordered contract): two
+    order-contiguous micro-batches split at the time median; every epoch's
+    emitted interval table equals batch q_scd2_intervals on the prefix —
+    including runs that straddle the epoch boundary (the carry
+    pseudo-event keeps their n_events and version numbering exact)."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_scd2_intervals
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    early_half = ev.filter(ts_us <= t_med)
+    late_half = ev.filter(ts_us > t_med)
+    src = str(tmp_path / "sc_src")
+    early_half.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    late_half.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "sc_out")
+    closed = str(tmp_path / "sc_closed")
+    carry = str(tmp_path / "sc_carry")
+    cs.scd2_intervals_stream(stream, out, closed, carry)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def intervals(df):
+        return {
+            (
+                int(r["user_id"]),
+                int(r["version"]),
+                r["event_type"],
+                int(r["valid_from_us"]),
+                None if r["valid_to_us"] is None else int(r["valid_to_us"]),
+                int(r["n_events"]),
+            )
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "sc_prefix")
+    early_half.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert intervals(table.filter(F.col("_epoch") == epochs[0])) == intervals(
+        q_scd2_intervals(spark, prefix_dir)
+    )
+    assert intervals(table.filter(F.col("_epoch") == epochs[-1])) == intervals(
+        q_scd2_intervals(spark, sf)
+    )
+    # carry state: compact_latest_state on user_id is read-equivalent
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("closed_cnt").desc(), F.col("tse").desc(), F.col("w").desc()
+    )
+
+    def latest_carry():
+        return {
+            int(r["user_id"]): (r["event_type"], int(r["tse"]), int(r["w"]), int(r["closed_cnt"]))
+            for r in spark.read.parquet(carry)
+            .drop("_epoch")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .collect()
+        }
+
+    before = latest_carry()
+    cs.compact_latest_state(spark, carry, ["user_id"], before_epoch=max(epochs) + 1)
+    assert latest_carry() == before
