@@ -141,6 +141,8 @@ _DEFERRED = [
     "daily_gapfill",  # calendar densify + forward fill (timeseries family)
     "scd2_intervals",  # SCD2 dimension build (gaps-and-islands family)
     "fuzzy_part_pairs",  # blocked approximate string join (record linkage)
+    "fuzzy_name_clusters",  # pairs -> connected components -> canonical
+    # entity (the resolution composite; oracle = recursive-CTE closure)
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

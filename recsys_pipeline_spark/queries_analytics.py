@@ -655,6 +655,77 @@ WHERE a.p_name < c.p_name
 """
 
 
+def q_fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity RESOLUTION end-to-end: the blocked fuzzy pairs feed the
+    distributed connected-components operator (hash-min label propagation,
+    the dup_clusters machinery) and every name — singletons included —
+    resolves to its cluster's canonical name (the member with the smallest
+    first-catalog-appearance id, i.e. min p_partkey). Transitive closure
+    matters: 'new bolt'–'red bolt'–'old bolt'–'cold bolt' chain into ONE
+    cluster although the endpoints are far beyond edit distance 2.
+
+    Scale: pairs are block-bounded (operators/fuzzy.py), CC rounds are
+    edge-list-bounded with per-round checkpoints (operators/graph.py), and
+    the name→id / id→name maps are name-vocabulary-sized broadcast joins.
+    Oracle = DuckDB recursive CTE reach/min closure.
+    """
+    from recsys_pipeline_spark.operators import graph
+
+    part = read_table(spark, sf_dir, "part")
+    nm = part.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    pairs = fuzzy.blocked_levenshtein_pairs(
+        nm,
+        name_col="p_name",
+        block_expr=F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=FUZZY_MAX_DIST,
+    )
+    edges = pairs.select(
+        F.col("nid_a").alias("na"), F.col("nid_b").alias("nb")
+    )
+    comp = graph.connected_components(edges, src="na", dst="nb")
+    labeled = nm.join(comp, nm["nid"] == comp["id"], "left").select(
+        "p_name",
+        F.coalesce(F.col("component"), F.col("nid")).alias("_comp"),
+    )
+    canon = F.broadcast(
+        nm.select(F.col("nid").alias("_comp"), F.col("p_name").alias("canonical_name"))
+    )
+    return (
+        labeled.join(canon, "_comp")
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("_comp")).cast("long"),
+        )
+        .select(F.col("p_name").alias("name"), "canonical_name", "cluster_size")
+    )
+
+
+SQL_FUZZY_NAME_CLUSTERS = f"""
+WITH RECURSIVE
+n AS (SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
+b AS (SELECT p_name, nid, string_split(p_name, ' ')[-1] AS blk FROM n),
+e AS (
+  SELECT a.nid AS na, c.nid AS nb
+  FROM b a JOIN b c ON a.blk = c.blk
+  WHERE a.p_name < c.p_name
+    AND abs(len(a.p_name) - len(c.p_name)) <= {FUZZY_MAX_DIST}
+    AND levenshtein(a.p_name, c.p_name) <= {FUZZY_MAX_DIST}
+),
+sym AS (SELECT na AS s, nb AS d FROM e UNION SELECT nb, na FROM e),
+reach(id, lbl) AS (
+  SELECT nid, nid FROM n
+  UNION
+  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.id = s.s
+),
+cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+canon AS (SELECT nid AS comp, p_name AS canonical_name FROM n),
+lab AS (SELECT n.p_name, cc.comp FROM n JOIN cc ON n.nid = cc.id)
+SELECT lab.p_name AS name, canon.canonical_name,
+       CAST(count(*) OVER (PARTITION BY lab.comp) AS BIGINT) AS cluster_size
+FROM lab JOIN canon ON lab.comp = canon.comp
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -670,12 +741,14 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_gapfill": q_daily_gapfill,
     "scd2_intervals": q_scd2_intervals,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
+    "fuzzy_name_clusters": q_fuzzy_name_clusters,
 }
 
 ORACLES_AN: dict[str, str] = {
     "daily_gapfill": SQL_DAILY_GAPFILL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
+    "fuzzy_name_clusters": SQL_FUZZY_NAME_CLUSTERS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "event_gaps": SQL_EVENT_GAPS,

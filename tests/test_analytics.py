@@ -487,3 +487,29 @@ def test_fuzzy_max_block_guard_drops_oversized_blocks(spark):
     assert {(r["name_a"], r["name_b"]) for r in capped.collect()} == {
         ("aa y", "ab y")
     }
+
+
+def test_fuzzy_clusters_transitive_chain_and_singletons(spark):
+    """Resolution must be TRANSITIVE (chains merge although the endpoints
+    exceed the edit-distance threshold) and total (singletons resolve to
+    themselves); every cluster's canonical name is a member of the cluster
+    and carries the smallest first-appearance id."""
+    from recsys_pipeline_spark.queries_analytics import q_fuzzy_name_clusters
+    from recsys_pipeline_spark.io import read_table
+
+    out = q_fuzzy_name_clusters(spark, SF_SMOKE)
+    rows = {r["name"]: (r["canonical_name"], int(r["cluster_size"])) for r in out.collect()}
+    names = {
+        r["p_name"]
+        for r in read_table(spark, SF_SMOKE, "part").select("p_name").distinct().collect()
+    }
+    assert set(rows) == names  # total: every name resolves
+    # chain: cold bolt -1- old bolt -2- red bolt -2- new bolt all one cluster
+    chain = ["cold bolt", "old bolt", "red bolt", "new bolt"]
+    canons = {rows[n][0] for n in chain if n in rows}
+    if all(n in rows for n in chain):
+        assert len(canons) == 1
+        assert rows[chain[0]][1] >= 4
+    # canonical is always a cluster member (its own canonical is itself)
+    for name, (canon, _) in rows.items():
+        assert rows[canon][0] == canon
