@@ -143,6 +143,7 @@ _DEFERRED = [
     "fuzzy_part_pairs",  # blocked approximate string join (record linkage)
     "fuzzy_name_clusters",  # pairs -> connected components -> canonical
     # entity (the resolution composite; oracle = recursive-CTE closure)
+    "peak_concurrency",  # sweep-line two-pass prefix sum (timeline family)
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

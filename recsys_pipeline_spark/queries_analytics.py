@@ -726,6 +726,121 @@ FROM lab JOIN canon ON lab.comp = canon.comp
 """
 
 
+# ---------------------------------------------------------------------------
+# Peak concurrency — the distributed SWEEP-LINE: interval endpoints become
+# +1/−1 deltas; a per-hour local prefix pass and a tiny hour-level carry
+# pass compose into the exact global running level without ever sorting the
+# corpus in one task (the classic two-pass prefix-sum decomposition).
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour PEAK number of concurrently-active (user, day) activity
+    intervals ([first event ts, last event ts], closed — a single-event
+    interval is momentarily active), plus interval start/end counts.
+
+    Scale shape: endpoint deltas partition by HOUR for the local
+    running-sum pass (one corpus-keyed exchange); the cross-hour carry is
+    a prefix sum over the HOUR frame — one row per hour, timeline-bounded
+    (the funnel's driver-sized-window precedent), never a corpus-wide
+    single-partition sort. Peak(h) = carry(h) + max(0, max local prefix):
+    the hour's level starts at the carry, so an hour of pure −1 deltas
+    peaks AT the carry (pinned in tests). Ties at one instant process
+    +1 before −1 (touching intervals count as concurrent)."""
+    hour_us = 3_600_000_000
+    ev = _events(spark, sf_dir)
+    iv = ev.groupBy(
+        "user_id",
+        F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day"),
+    ).agg(F.min("ts_epoch").alias("s"), F.max("ts_epoch").alias("e"))
+    deltas = iv.select(F.col("s").alias("tse"), F.lit(1).alias("dd")).unionByName(
+        iv.select(F.col("e").alias("tse"), F.lit(-1).alias("dd"))
+    ).withColumn("hour", F.expr(f"tse DIV {hour_us}"))
+    local_w = (
+        Window.partitionBy("hour")
+        .orderBy(F.col("tse"), F.col("dd").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hs = (
+        deltas.withColumn("_run", F.sum("dd").over(local_w))
+        .groupBy("hour")
+        .agg(
+            F.max("_run").alias("in_max"),
+            F.sum("dd").alias("net"),
+            F.sum(F.when(F.col("dd") == 1, 1).otherwise(0)).alias("n_starts"),
+            F.sum(F.when(F.col("dd") == -1, 1).otherwise(0)).alias("n_ends"),
+        )
+    )
+    span = hs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    cal = span.select(F.explode(F.sequence("h0", "h1")).alias("hour"))
+    j = cal.join(hs, "hour", "left").select(
+        "hour",
+        "in_max",
+        F.coalesce("net", F.lit(0)).alias("net"),
+        F.coalesce("n_starts", F.lit(0)).cast("long").alias("n_starts"),
+        F.coalesce("n_ends", F.lit(0)).cast("long").alias("n_ends"),
+    )
+    # hour-frame prefix: one row per hour (timeline-bounded driver-sized
+    # window — the funnel precedent), NOT a corpus sort
+    carry_w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return j.withColumn(
+        "carry", F.coalesce(F.sum("net").over(carry_w), F.lit(0))
+    ).select(
+        "hour",
+        F.greatest(
+            F.coalesce(F.col("carry") + F.col("in_max"), F.col("carry")),
+            F.col("carry"),
+        ).cast("long").alias("peak_concurrency"),
+        "n_starts",
+        "n_ends",
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events GROUP BY 1, 2
+),
+d AS (SELECT s AS tse, 1 AS dd FROM iv
+      UNION ALL SELECT e, -1 FROM iv),
+r AS (
+  SELECT tse // 3600000000 AS hour, dd,
+         SUM(dd) OVER (ORDER BY tse, dd DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl
+  FROM d
+),
+hs AS (
+  SELECT hour, max(lvl) AS gmax, CAST(SUM(dd) AS BIGINT) AS net,
+         CAST(SUM(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         CAST(SUM(CASE WHEN dd = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+  FROM r GROUP BY 1
+),
+b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hs),
+cal AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM b),
+j AS (
+  SELECT cal.hour, hs.gmax, coalesce(hs.net, 0) AS net,
+         coalesce(hs.n_starts, 0) AS n_starts,
+         coalesce(hs.n_ends, 0) AS n_ends
+  FROM cal LEFT JOIN hs ON cal.hour = hs.hour
+),
+k AS (
+  SELECT hour, gmax, n_starts, n_ends,
+         coalesce(SUM(net) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS carry
+  FROM j
+)
+SELECT CAST(hour AS BIGINT) AS hour,
+       CAST(greatest(coalesce(gmax, carry), carry) AS BIGINT)
+         AS peak_concurrency,
+       n_starts, n_ends
+FROM k
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -742,9 +857,11 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_intervals": q_scd2_intervals,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "fuzzy_name_clusters": q_fuzzy_name_clusters,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLES_AN: dict[str, str] = {
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "daily_gapfill": SQL_DAILY_GAPFILL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,

@@ -513,3 +513,40 @@ def test_fuzzy_clusters_transitive_chain_and_singletons(spark):
     # canonical is always a cluster member (its own canonical is itself)
     for name, (canon, _) in rows.items():
         assert rows[canon][0] == canon
+
+
+def test_peak_concurrency_planted_sweepline(spark, tmp_path):
+    """Planted intervals pin the sweep-line semantics: overlap across
+    users, a touching endpoint counting as concurrent (+1 before -1 at one
+    instant), an empty hour carrying the level flat, and a single-event
+    instant interval spiking momentarily."""
+    from recsys_pipeline_spark.queries_analytics import q_peak_concurrency
+
+    h = 3600
+    rows = [
+        # user 1 active [0h+100, 2h+100]: one (user, day) interval
+        (1, 1, 0 * h + 100, "view"),
+        (2, 1, 2 * h + 100, "view"),
+        # user 2 active [0h+200, 0h+300]
+        (3, 2, 0 * h + 200, "view"),
+        (4, 2, 0 * h + 300, "view"),
+        # user 3: single event at 2h+100 -> instant interval touching
+        # user 1's endpoint: 3 concurrent at that instant (1 ends there)
+        (5, 3, 2 * h + 100, "view"),
+        # user 4 active [4h+10, 4h+20] after an empty hour 3
+        (6, 4, 4 * h + 10, "view"),
+        (7, 4, 4 * h + 20, "view"),
+    ]
+    sf = str(tmp_path / "pc")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        int(r["hour"]): (int(r["peak_concurrency"]), int(r["n_starts"]), int(r["n_ends"]))
+        for r in q_peak_concurrency(spark, sf).collect()
+    }
+    assert got == {
+        0: (2, 2, 1),  # users 1+2 overlap; 2 ends in hour 0
+        1: (1, 0, 0),  # empty hour: carry (user 1 still active)
+        2: (2, 1, 2),  # user 3's instant spike while 1 is active: 1+1
+        3: (0, 0, 0),  # empty hour after everything closed
+        4: (1, 1, 1),
+    }
