@@ -187,3 +187,65 @@ def connected_components_star(
     return members.unionByName(centers).groupBy("id").agg(
         F.min("component").alias("component")
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation counts over the undirected simple
+    graph induced by ``edges`` — the third classic graph kernel next to
+    connected components and PageRank (cf. reference scope: the reference
+    ships no graph stage at all; this serves the host-graph quality
+    signals a crawl pipeline derives).
+
+    Algorithm: DEGREE-ORDERED ORIENTATION (the standard distributed
+    triangle-counting trick — Suri & Vassilvitskii, WWW 2011 "Counting
+    triangles and the curse of the last reducer"): orient every undirected
+    edge from the endpoint with smaller (degree, id) to the larger, so
+    every vertex's OUT-degree is O(sqrt(m)) and the wedge join
+    (out-neighbor pairs per apex) is Σ out_deg² — bounded, instead of the
+    unbounded Σ deg² a naive wedge count pays on skewed degree
+    distributions (the curse: one celebrity vertex = one stuck reducer).
+    Each triangle has exactly ONE vertex with out-degree 2 in the induced
+    DAG, so the wedge-close join counts each triangle exactly once.
+
+    Exchanges: the undirected distinct, the degree agg, the wedge
+    self-join on the apex, and the closing-edge join — all equi-keyed;
+    no cartesian anywhere.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("_dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.select(F.col("a"), F.col("b").alias("b1"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("b2"))
+    wedges = o1.join(o2, "a").filter(F.col("b1") < F.col("b2"))
+    closing = und.select(F.col("u").alias("b1"), F.col("v").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"])
+    vx = (
+        tri.select(F.col("a").alias("host"))
+        .unionByName(tri.select(F.col("b1").alias("host")))
+        .unionByName(tri.select(F.col("b2").alias("host")))
+    )
+    return vx.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

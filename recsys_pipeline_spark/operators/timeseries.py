@@ -145,3 +145,62 @@ def scd2_intervals(
         F.lead(F.col("valid_from_us")).over(close_w).alias("valid_to_us"),
         "n_events",
     )
+
+
+def concurrency_profile(iv: DataFrame, s_col: str = "s", e_col: str = "e") -> DataFrame:
+    """Per-hour peak concurrency over closed intervals [s, e] (epoch
+    micros) — the distributed SWEEP-LINE as a two-pass prefix sum:
+
+    1. endpoints become +1/−1 deltas partitioned by HOUR; the local
+       running sum rides one hour-keyed exchange (+1 before −1 at one
+       instant: touching intervals count as concurrent);
+    2. the cross-hour carry is a prefix sum over the HOUR frame — one row
+       per hour, timeline-bounded, never a corpus-wide single-task sort.
+
+    Peak(h) = carry(h) + max(0, max local prefix): an hour's level starts
+    at the carry, so an hour of pure −1 deltas peaks AT the carry. Hours
+    with no deltas emit the carried level with zero start/end counts.
+    Shared verbatim by the registered query and its streaming twin.
+    """
+    hour_us = 3_600_000_000
+    deltas = (
+        iv.select(F.col(s_col).alias("tse"), F.lit(1).alias("dd"))
+        .unionByName(iv.select(F.col(e_col).alias("tse"), F.lit(-1).alias("dd")))
+        .withColumn("hour", F.expr(f"tse DIV {hour_us}"))
+    )
+    local_w = (
+        Window.partitionBy("hour")
+        .orderBy(F.col("tse"), F.col("dd").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hs = (
+        deltas.withColumn("_run", F.sum("dd").over(local_w))
+        .groupBy("hour")
+        .agg(
+            F.max("_run").alias("in_max"),
+            F.sum("dd").alias("net"),
+            F.sum(F.when(F.col("dd") == 1, 1).otherwise(0)).alias("n_starts"),
+            F.sum(F.when(F.col("dd") == -1, 1).otherwise(0)).alias("n_ends"),
+        )
+    )
+    span = hs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    cal = span.select(F.explode(F.sequence("h0", "h1")).alias("hour"))
+    j = cal.join(hs, "hour", "left").select(
+        "hour",
+        "in_max",
+        F.coalesce("net", F.lit(0)).alias("net"),
+        F.coalesce("n_starts", F.lit(0)).cast("long").alias("n_starts"),
+        F.coalesce("n_ends", F.lit(0)).cast("long").alias("n_ends"),
+    )
+    carry_w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    return j.withColumn(
+        "carry", F.coalesce(F.sum("net").over(carry_w), F.lit(0))
+    ).select(
+        "hour",
+        F.greatest(
+            F.coalesce(F.col("carry") + F.col("in_max"), F.col("carry")),
+            F.col("carry"),
+        ).cast("long").alias("peak_concurrency"),
+        "n_starts",
+        "n_ends",
+    )

@@ -747,55 +747,13 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hour's level starts at the carry, so an hour of pure −1 deltas
     peaks AT the carry (pinned in tests). Ties at one instant process
     +1 before −1 (touching intervals count as concurrent)."""
-    hour_us = 3_600_000_000
     ev = _events(spark, sf_dir)
     iv = ev.groupBy(
         "user_id",
         F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day"),
     ).agg(F.min("ts_epoch").alias("s"), F.max("ts_epoch").alias("e"))
-    deltas = iv.select(F.col("s").alias("tse"), F.lit(1).alias("dd")).unionByName(
-        iv.select(F.col("e").alias("tse"), F.lit(-1).alias("dd"))
-    ).withColumn("hour", F.expr(f"tse DIV {hour_us}"))
-    local_w = (
-        Window.partitionBy("hour")
-        .orderBy(F.col("tse"), F.col("dd").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    hs = (
-        deltas.withColumn("_run", F.sum("dd").over(local_w))
-        .groupBy("hour")
-        .agg(
-            F.max("_run").alias("in_max"),
-            F.sum("dd").alias("net"),
-            F.sum(F.when(F.col("dd") == 1, 1).otherwise(0)).alias("n_starts"),
-            F.sum(F.when(F.col("dd") == -1, 1).otherwise(0)).alias("n_ends"),
-        )
-    )
-    span = hs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-    cal = span.select(F.explode(F.sequence("h0", "h1")).alias("hour"))
-    j = cal.join(hs, "hour", "left").select(
-        "hour",
-        "in_max",
-        F.coalesce("net", F.lit(0)).alias("net"),
-        F.coalesce("n_starts", F.lit(0)).cast("long").alias("n_starts"),
-        F.coalesce("n_ends", F.lit(0)).cast("long").alias("n_ends"),
-    )
-    # hour-frame prefix: one row per hour (timeline-bounded driver-sized
-    # window — the funnel precedent), NOT a corpus sort
-    carry_w = Window.orderBy("hour").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    return j.withColumn(
-        "carry", F.coalesce(F.sum("net").over(carry_w), F.lit(0))
-    ).select(
-        "hour",
-        F.greatest(
-            F.coalesce(F.col("carry") + F.col("in_max"), F.col("carry")),
-            F.col("carry"),
-        ).cast("long").alias("peak_concurrency"),
-        "n_starts",
-        "n_ends",
-    )
+    # sweep shared verbatim with peak_concurrency_stream
+    return timeseries.concurrency_profile(iv)
 
 
 SQL_PEAK_CONCURRENCY = """

@@ -587,6 +587,50 @@ JOIN qg ON d.doc_id = qg.doc_id
 )
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation over the corpus-derived host link
+    graph — the clustering/community-density signal next to PageRank's
+    centrality (a host embedded in many triangles is a tightly-linked
+    cluster member; link farms and organic communities separate on exactly
+    this count). Degree-ordered orientation bounds the wedge join at
+    Sigma out_deg^2 (graph.triangle_counts); the oracle is the canonical
+    a<b<c three-way self-join, exact at oracle scale."""
+    from recsys_pipeline_spark.operators import graph as G
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = W.host_edges(d, "doc_id", WEB_N_HOSTS, fanout=WEB_FANOUT)
+    return G.triangle_counts(edges, src="src", dst="dst")
+
+
+def _edge_union_sql(n: int, fanout: int) -> str:
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id % {n} AS src, "
+        + _H.format(salt=f"'lnk{j}'", col="doc_id")
+        + f" % {n} AS dst FROM documents"
+        for j in range(1, fanout + 1)
+    )
+
+
+SQL_HOST_TRIANGLES = f"""
+WITH e0 AS (
+  {_edge_union_sql(WEB_N_HOSTS, WEB_FANOUT)}
+),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+vx AS (SELECT a AS host FROM tri
+       UNION ALL SELECT b FROM tri
+       UNION ALL SELECT c FROM tri)
+SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+FROM vx GROUP BY 1
+"""
+
+
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "pagerank_hosts": q_pagerank_hosts,
@@ -594,6 +638,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zone_map_prune": q_zone_map_prune,
     "crawl_ingest": q_crawl_ingest,
     "host_quality_filter": q_host_quality_filter,
+    "host_triangles": q_host_triangles,
 }
 
 ORACLES_WEB: dict[str, str] = {
@@ -603,4 +648,5 @@ ORACLES_WEB: dict[str, str] = {
     "zone_map_prune": SQL_ZONE_MAP_PRUNE,
     "crawl_ingest": SQL_CRAWL_INGEST,
     "host_quality_filter": SQL_HOST_QUALITY_FILTER,
+    "host_triangles": SQL_HOST_TRIANGLES,
 }

@@ -1810,3 +1810,53 @@ def scd2_intervals_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def peak_concurrency_stream(
+    stream: DataFrame,
+    out_dir: str,
+    iv_dir: str,
+) -> None:
+    """The sweep-line concurrency profile online — ORDER-FREE class: state
+    is the per (user, day) activity interval as (min s, max e) delta rows;
+    min/max are merge-stable, so the read-side grouped min/max folds any
+    arrival order into exactly the batch intervals (a late event can only
+    widen its interval, as a batch rerun would). Emission re-runs the
+    sweep (hour-local prefix + timeline-bounded carry) over merged
+    intervals, so every epoch's profile equals batch ``q_peak_concurrency``
+    on the stream prefix verbatim — asserted including reversed arrival.
+
+    State bounds: one row per batch-active (user, day) per epoch — the
+    interval support, not raw events; plain ``compact_state`` applies
+    (the reader's min/max merge is relabel-invariant).
+    """
+    from recsys_pipeline_spark.operators import timeseries
+
+    us_day = timeseries.US_PER_DAY
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(
+                "user_id",
+                F.expr(
+                    f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {us_day}"
+                ).alias("day"),
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tse"),
+            )
+            .groupBy("user_id", "day")
+            .agg(F.min("tse").alias("s"), F.max("tse").alias("e"))
+        )
+        _write_epoch(delta, iv_dir, epoch_id)
+        iv = (
+            _read_state(spark, iv_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("user_id", "day")
+            .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        )
+        report = timeseries.concurrency_profile(iv)
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -79,3 +79,42 @@ def test_nonconverge_star_fallback(spark):
         for r in connected_components(edges, max_iter=2, on_nonconverge="star").collect()
     }
     assert set(got) == set(range(1, 13)) and set(got.values()) == {1}
+
+
+def test_triangle_counts_planted(spark):
+    """K4 minus one edge = 2 triangles; the two degree-2 apexes sit in one
+    triangle each, the shared edge's endpoints in two each."""
+    from recsys_pipeline_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],  # K4 minus (3,4)
+        "src long, dst long",
+    )
+    got = {int(r["host"]): int(r["n_triangles"]) for r in G.triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Property: on random multigraphs (parallel + reversed + self edges)
+    the oriented count equals the brute-force enumeration of the simple
+    undirected graph."""
+    import itertools
+    import random
+
+    from recsys_pipeline_spark.operators import graph as G
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(70)]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {v: set() for v in range(12)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for x, y, z in itertools.combinations(range(12), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {int(r["host"]): int(r["n_triangles"]) for r in G.triangle_counts(df).collect()}
+    assert got == want

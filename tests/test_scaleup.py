@@ -30,6 +30,11 @@ SHIFT = {
     "lineitem": ["l_orderkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    # round 13: the fuzzy-join family reads part; shifted partkeys scale the
+    # per-name counts 8x while the NAME VOCABULARY stays fixed — the
+    # bounded-dictionary property (bpe_train's), which is exactly the claim
+    # the fuzzy caps pin
+    "part": ["p_partkey"],
 }
 
 # query name -> wall-time ratio cap at 8x (PLANS.md measured ratio x ~1.5)
@@ -106,6 +111,17 @@ CAPS = {
     "dup_max_spans": 6.0,    # measured 2.4 — the dup_span_coverage machinery
     # plus a start-rows-only islands window; same worst-case-under-
     # replication caveat (every gram becomes cross-doc duplicated)
+    # round 13 continuation (measured quiet ratios 1.2-2.2)
+    "daily_gapfill": 5.0,    # measured 2.2 (8x users -> 8x calendar rows;
+    # max_by partial agg + one entity window, both linear)
+    "scd2_intervals": 4.0,   # measured 1.5 (one (user, ts) sort/exchange)
+    "peak_concurrency": 4.0,  # measured 1.7 (hour-local sweep linear; the
+    # carry frame stays timeline-bounded — replication adds users, not hours)
+    "fuzzy_part_pairs": 4.0,  # measured 1.2 — the name vocabulary is the
+    # work driver and replication keeps it FIXED (only counts scale):
+    # the blocking dictionary-bounded property
+    "fuzzy_name_clusters": 4.0,  # measured 1.2 (same bounded vocabulary;
+    # CC rounds are edge-bounded and edges don't grow under replication)
 }
 
 
@@ -172,7 +188,15 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     """Replicated inputs must give ~8x outputs for the per-row queries — a
     quadratic blow-up (or a silently dropped replica) fails loudly."""
     q = _queries()
-    for name in ["temporal_split", "sessionize"]:
+    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals"]:
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == REPLICAS * n1, (name, n1, n8)
+    # dictionary-bounded outputs: the fuzzy family's pair/cluster sets are
+    # name-vocabulary functions and replication keeps the vocabulary fixed;
+    # the concurrency timeline is hour-bounded (replication adds users, not
+    # hours) — each must stay EXACTLY constant
+    for name in ["fuzzy_part_pairs", "fuzzy_name_clusters", "peak_concurrency"]:
+        n1 = q[name](spark, SF1).count()
+        n8 = q[name](spark, sf8_dir).count()
+        assert n8 == n1, (name, n1, n8)

@@ -2141,3 +2141,74 @@ def test_streaming_scd2_intervals_prefix_parity_time_ordered(spark, tmp_path):
     before = latest_carry()
     cs.compact_latest_state(spark, carry, ["user_id"], before_epoch=max(epochs) + 1)
     assert latest_carry() == before
+
+
+def test_streaming_peak_concurrency_exact_parity_even_out_of_order(spark, tmp_path):
+    """The concurrency twin's interval state merges by grouped min/max —
+    order-free — and emission re-runs the shared sweep operator, so parity
+    is EXACT per epoch even with the corpus halves arriving in reverse
+    time order (a late event can only widen its interval, as a batch rerun
+    would)."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_peak_concurrency
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    late_half = ev.filter(ts_us > t_med)   # arrives FIRST
+    early_half = ev.filter(ts_us <= t_med)  # arrives SECOND
+    src = str(tmp_path / "pk_src")
+    late_half.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    early_half.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "pk_out")
+    iv = str(tmp_path / "pk_iv")
+    cs.peak_concurrency_stream(stream, out, iv)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def profile(df):
+        return {
+            int(r["hour"]): (
+                int(r["peak_concurrency"]),
+                int(r["n_starts"]),
+                int(r["n_ends"]),
+            )
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "pk_prefix")
+    late_half.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert profile(table.filter(F.col("_epoch") == epochs[0])) == profile(
+        q_peak_concurrency(spark, prefix_dir)
+    )
+    assert profile(table.filter(F.col("_epoch") == epochs[-1])) == profile(
+        q_peak_concurrency(spark, sf)
+    )
+    # state: one row per batch-active (user, day) per epoch; min/max merge
+    # is relabel-invariant so plain compact_state is read-equivalent
+    state = spark.read.parquet(iv)
+
+    def merged_iv():
+        return {
+            (int(r["user_id"]), int(r["day"])): (int(r["s"]), int(r["e"]))
+            for r in state.drop("_epoch")
+            .groupBy("user_id", "day")
+            .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+            .collect()
+        }
+
+    before = merged_iv()
+    cs.compact_state(spark, iv, before_epoch=max(epochs) + 1)
+    state = spark.read.parquet(iv)
+    assert merged_iv() == before
