@@ -144,6 +144,7 @@ _DEFERRED = [
     "fuzzy_name_clusters",  # pairs -> connected components -> canonical
     # entity (the resolution composite; oracle = recursive-CTE closure)
     "peak_concurrency",  # sweep-line two-pass prefix sum (timeline family)
+    "rolling_anomaly",  # trailing k-sigma flag as exact BIGINT algebra
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

@@ -799,6 +799,77 @@ FROM k
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection — per-user trailing-30-day z-score flag with the
+# float arithmetic ELIMINATED: the k-sigma test (x − S/n)² > k²·(nQ − S²)/n²
+# multiplies out to the pure-BIGINT comparison (n·x − S)² > k²·(n·Q − S²),
+# so the flag is bit-identical across engines (no stddev doubles anywhere).
+# ---------------------------------------------------------------------------
+
+ANOM_K = 3  # k-sigma threshold
+ANOM_MIN_N = 5  # minimum trailing support before flagging
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event scored against its user's trailing 30-day REFERENCE
+    window (RANGE frame on day, current day EXCLUDED — a self-inclusive
+    window caps a lone spike at z = sqrt(n-1), the classic masking effect,
+    so a 5x outlier over 9 calm days would score exactly 3.0 and slip a
+    k=3 gate): is_anomaly = 1 iff the prior window holds >= 5 events and
+    the value sits more than 3 population-sigmas from the window mean —
+    evaluated as exact integer algebra on cent-scaled values. One (user)
+    exchange; sum / sum-of-squares / count share the single RANGE frame."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-29, -1)
+    n = F.count("v_c").over(w)
+    s = F.sum("v_c").over(w)
+    q = F.sum(F.col("v_c") * F.col("v_c")).over(w)
+    lhs = (n * F.col("v_c") - s) * (n * F.col("v_c") - s)
+    rhs = F.lit(ANOM_K * ANOM_K) * (n * q - s * s)
+    return base.select(
+        "event_id",
+        "user_id",
+        "day",
+        "v_c",
+        n.cast("long").alias("n_win"),
+        F.when((n >= ANOM_MIN_N) & (lhs > rhs), 1).otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+SQL_ROLLING_ANOMALY = f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, day, v_c,
+         COUNT(v_c) OVER w AS n,
+         SUM(v_c) OVER w AS sv,
+         SUM(v_c * v_c) OVER w AS qv
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN 29 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, day, v_c,
+       CAST(n AS BIGINT) AS n_win,
+       CAST(CASE WHEN n >= {ANOM_MIN_N}
+                  AND (n * v_c - sv) * (n * v_c - sv)
+                      > {ANOM_K * ANOM_K} * (n * qv - sv * sv)
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM s
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -816,10 +887,12 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "fuzzy_name_clusters": q_fuzzy_name_clusters,
     "peak_concurrency": q_peak_concurrency,
+    "rolling_anomaly": q_rolling_anomaly,
 }
 
 ORACLES_AN: dict[str, str] = {
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "rolling_anomaly": SQL_ROLLING_ANOMALY,
     "daily_gapfill": SQL_DAILY_GAPFILL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,

@@ -1860,3 +1860,50 @@ def peak_concurrency_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def host_triangles_stream(
+    stream: DataFrame,
+    out_dir: str,
+    edges_dir: str,
+    n_hosts: int,
+    fanout: int = 3,
+) -> None:
+    """Triangle counting over the growing host graph — the first GRAPH-
+    family twin, ORDER-FREE class: state is the distinct undirected edge
+    set as APPEND-ONCE canonical (u < v) delta rows (each batch's derived
+    edges anti-join the prior set — epochs disjoint by construction, plain
+    ``compact_state`` applies). Emission re-runs the shared
+    ``graph.triangle_counts`` kernel on the merged edge set, so every
+    epoch's per-host counts equal the batch ``host_triangles`` query on
+    the document prefix verbatim — a late document can only ADD edges,
+    exactly as a batch rerun would see.
+
+    State bounds: the simple host graph is host²-capped regardless of how
+    many documents stream in (edge dedup absorbs repeats), so state stops
+    growing once the graph saturates — the item_transitions count-table
+    property, on edges.
+    """
+    from recsys_pipeline_spark.operators import graph as G
+    from recsys_pipeline_spark.operators import web as W
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        und = (
+            W.host_edges(batch, "doc_id", n_hosts, fanout=fanout)
+            .select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .distinct()
+        )
+        prior = _read_state(spark, edges_dir, und, epoch_id)
+        delta = und.join(prior, ["u", "v"], "left_anti")
+        _write_epoch(delta, edges_dir, epoch_id)
+        merged = prior.unionByName(delta)  # disjoint union by construction
+        report = G.triangle_counts(merged, src="u", dst="v")
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -550,3 +550,43 @@ def test_peak_concurrency_planted_sweepline(spark, tmp_path):
         3: (0, 0, 0),  # empty hour after everything closed
         4: (1, 1, 1),
     }
+
+
+def test_rolling_anomaly_planted_ksigma(spark, tmp_path):
+    """Nine 10.00-valued events establish a zero-variance PRIOR window; a
+    10th event at 50.00 in range is flagged (any deviation beats 3 sigma =
+    0), while the same spike with only 3 prior events (below min support)
+    and a spike outside the 30-day range both stay unflagged. The prior
+    window EXCLUDES the current day — self-inclusion would cap the spike
+    at exactly z = 3 and mask it (pinned by the query docstring)."""
+    from recsys_pipeline_spark.queries_analytics import q_rolling_anomaly
+
+    day = 86400
+    rows = []
+    # user 1: 9 calm days then a spike on day 9 (window support 10)
+    for i in range(9):
+        rows.append((i + 1, 1, i * day + 10, "view"))
+    rows.append((10, 1, 9 * day + 10, "view"))
+    # user 2: 3 calm days then a spike (support 4 < ANOM_MIN_N)
+    for i in range(3):
+        rows.append((20 + i, 2, i * day + 10, "view"))
+    rows.append((23, 2, 3 * day + 10, "view"))
+    # user 3: calm cluster, then a spike 40 days later (window rolled off,
+    # support 1)
+    for i in range(6):
+        rows.append((30 + i, 3, i * day + 10, "view"))
+    rows.append((36, 3, 45 * day + 10, "view"))
+    df = _ev_frame(spark, rows).withColumn(
+        "value",
+        F.when(F.col("event_id").isin(10, 23, 36), 50.0).otherwise(10.0),
+    )
+    sf = str(tmp_path / "anom")
+    df.write.parquet(sf + "/events.parquet")
+    got = {
+        int(r["event_id"]): (int(r["n_win"]), int(r["is_anomaly"]))
+        for r in q_rolling_anomaly(spark, sf).collect()
+    }
+    assert got[10] == (9, 1)    # zero-variance prior window: spike flagged
+    assert got[23] == (3, 0)    # below min support
+    assert got[36] == (0, 0)    # window rolled off entirely
+    assert all(v == 0 for e, (_, v) in got.items() if e not in (10,))

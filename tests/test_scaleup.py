@@ -122,6 +122,12 @@ CAPS = {
     # the blocking dictionary-bounded property
     "fuzzy_name_clusters": 4.0,  # measured 1.2 (same bounded vocabulary;
     # CC rounds are edge-bounded and edges don't grow under replication)
+    "rolling_anomaly": 4.0,  # measured 1.5 (one user exchange; the three
+    # trailing stats share a single RANGE frame)
+    "host_triangles": 6.0,   # measured 2.8 — 8x documents DENSIFY the
+    # fixed-host graph toward its host² edge cap, so triangle work grows
+    # superlinearly in docs but stays host-bounded (the saturation
+    # property, not a quadratic in corpus size)
 }
 
 
@@ -188,7 +194,7 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     """Replicated inputs must give ~8x outputs for the per-row queries — a
     quadratic blow-up (or a silently dropped replica) fails loudly."""
     q = _queries()
-    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals"]:
+    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly"]:
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == REPLICAS * n1, (name, n1, n8)

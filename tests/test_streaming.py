@@ -2212,3 +2212,57 @@ def test_streaming_peak_concurrency_exact_parity_even_out_of_order(spark, tmp_pa
     cs.compact_state(spark, iv, before_epoch=max(epochs) + 1)
     state = spark.read.parquet(iv)
     assert merged_iv() == before
+
+
+def test_streaming_host_triangles_prefix_parity(spark, tmp_path):
+    """The graph twin's edge state is an append-once canonical set; each
+    epoch re-runs the shared triangle kernel on the merged set, so every
+    epoch equals the batch query on the document prefix — including the
+    doc-id-interleaved split (edges only ever ADD)."""
+    from recsys_pipeline_spark.queries_web import (
+        WEB_FANOUT,
+        WEB_N_HOSTS,
+        q_host_triangles,
+    )
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    docs = read_table(spark, SF, "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "tr_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "tr_out")
+    edges = str(tmp_path / "tr_edges")
+    cs.host_triangles_stream(stream, out, edges, WEB_N_HOSTS, fanout=WEB_FANOUT)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def counts(df):
+        return {int(r["host"]): int(r["n_triangles"]) for r in df.collect()}
+
+    prefix_dir = str(tmp_path / "tr_prefix")
+    half0.coalesce(1).write.parquet(f"{prefix_dir}/documents.parquet")
+    assert counts(table.filter(F.col("_epoch") == epochs[0])) == counts(
+        q_host_triangles(spark, prefix_dir)
+    )
+    full_dir = str(tmp_path / "tr_full")
+    docs.coalesce(1).write.parquet(f"{full_dir}/documents.parquet")
+    assert counts(table.filter(F.col("_epoch") == epochs[-1])) == counts(
+        q_host_triangles(spark, full_dir)
+    )
+    # edge state: one row per distinct canonical edge, compaction-safe
+    e = spark.read.parquet(edges)
+    assert e.drop("_epoch").count() == e.drop("_epoch").distinct().count()
+    from recsys_pipeline_spark.operators import graph as G
+
+    before = counts(G.triangle_counts(e.drop("_epoch"), src="u", dst="v"))
+    cs.compact_state(spark, edges, before_epoch=max(epochs) + 1)
+    e2 = spark.read.parquet(edges)
+    after = counts(G.triangle_counts(e2.drop("_epoch"), src="u", dst="v"))
+    assert after == before
