@@ -1211,7 +1211,13 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.select(
         "vec_id",
         "scale",
-        "q_emb",
+        # CSV string, not ARRAY<INT> (the tokenize_ids lesson, applied
+        # BEFORE a window promotion can burn on it: the driver's pandas
+        # canonicalizer cannot factorize array cells). The raw-array form
+        # stays available to composers via the `quant` frame shape.
+        F.array_join(F.col("q_emb").cast("array<string>"), ",").alias(
+            "q_emb_csv"
+        ),
         F.when(sc > 0, F.floor(err / sc * 1000000))
         .otherwise(F.lit(0))
         .cast("long")
@@ -1234,7 +1240,8 @@ q AS (
                 ELSE 0 END) AS q_emb
   FROM s
 )
-SELECT vec_id, scale, q_emb,
+SELECT vec_id, scale,
+       array_to_string(q_emb, ',') AS q_emb_csv,
        CASE WHEN scale > 0
             THEN CAST(floor(list_max(list_transform(range(1, len(embedding) + 1),
                    i -> abs(CAST(embedding[i] AS DOUBLE)

@@ -646,7 +646,8 @@ def test_quantize_embeddings_bound_and_brute_force(spark):
     }
     assert len(rows) == len(docs) > 0
     for r in rows:
-        emb, q, scale = docs[r["vec_id"]], r["q_emb"], r["scale"]
+        emb, scale = docs[r["vec_id"]], r["scale"]
+        q = [int(c) for c in r["q_emb_csv"].split(",")]
         assert scale == max(abs(v) for v in emb)
         assert all(-127 <= c <= 127 for c in q)
         assert 127 in q or -127 in q  # the absmax element saturates

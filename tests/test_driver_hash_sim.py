@@ -1,11 +1,13 @@
-"""Driver-faithful hash simulation over the RECORDED window.
+"""Driver-faithful hash simulation over EVERY oracle-carrying entry.
 
 tests/test_oracle_parity.py compares through ``fetchall()`` Python values —
 which is how the round-11/12 ``tokenize_ids`` defect stayed invisible
 locally: DuckDB HUGEINT arrives as a Python int (matches Spark) but the
 driver materializes results through PANDAS, where it widens to float64 and
-the value hash diverges. This suite closes that fidelity gap for the 50
-driver-recorded entries: both engines' results go through the pandas path
+the value hash diverges. This suite closes that fidelity gap for every
+oracle-carrying registry entry — the recorded 46 AND the deferred tail, so
+any future window promotion is pre-validated against the driver's exact
+canonicalization: both engines' results go through the pandas path
 (Spark ``toPandas`` vs DuckDB ``.df()``), dtypes are normalized only in
 ways pandas itself guarantees lossless (int widths), rows are sorted by
 every column, and the CSV rendering is hashed — if the two renderings
@@ -62,11 +64,12 @@ def oracle_con():
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
-_RECORDED = [n for n in list(_QUERIES)[:RECORDED_WINDOW] if n in _ORACLES]
+# every oracle entry, recorded window first (registration order preserved)
+_CHECKED = [n for n in _QUERIES if n in _ORACLES]
 
 
-@pytest.mark.parametrize("name", _RECORDED)
-def test_recorded_query_pandas_hash_matches_oracle(spark, oracle_con, name):
+@pytest.mark.parametrize("name", _CHECKED)
+def test_query_pandas_hash_matches_oracle(spark, oracle_con, name):
     spd = _QUERIES[name](spark, SF_SMOKE).toPandas()
     opd = oracle_con.sql(_ORACLES[name]).df()
     assert sorted(spd.columns) == sorted(opd.columns), (
