@@ -81,10 +81,13 @@ def last_per_day(
     DIV == ``//`` portability contract); "last" is by (ts, tiebreak)
     descending so equal-microsecond events resolve deterministically in
     both engines. Implemented as ``max_by`` over a (ts, tiebreak) struct —
-    a hash aggregate with map-side partial combine, NOT a row_number
-    window: at scale the partial collapses each input split to one row per
-    (entity, day) before the single exchange, and no sort ever runs.
-    (ts, tiebreak) is unique per entity, so the argmax is deterministic.
+    an AGGREGATE with map-side partial combine, NOT a row_number window:
+    the partial collapses each input split to one row per (entity, day)
+    before the single exchange. (Spark plans the struct-buffered max_by as
+    SortAggregate — a sort on the GROUP KEY only, cheaper than the
+    window's full (ts desc, id desc) sort, and the partial combine holds;
+    pinned in tests/test_plan_shapes.py.) (ts, tiebreak) is unique per
+    entity, so the argmax is deterministic.
     """
     # DIV, not float-divide-then-cast: exact integer floor in both engines
     day = F.expr(f"{ts_us_col} DIV {US_PER_DAY}")
