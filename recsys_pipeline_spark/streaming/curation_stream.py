@@ -1907,3 +1907,83 @@ def host_triangles_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def rolling_anomaly_stream(
+    stream: DataFrame,
+    out_dir: str,
+    stats_dir: str,
+) -> None:
+    """Trailing k-sigma anomaly flags online — the rare twin whose epoch
+    outputs UNION to the batch result EXACTLY (not merely prefix-equal):
+    the reference window excludes the current day, so an event's flag
+    depends only on STRICTLY EARLIER days' statistics — under time-ordered
+    arrival those are complete when the event arrives, even when one
+    calendar day straddles a batch boundary. State is the per (user, day)
+    (n, sum, sum-of-squares) counter row as SUM-MERGEABLE deltas (plain
+    ``compact_state`` applies); each batch emits flags for ITS events by
+    joining them against the merged counters over [day-29, day-1] — an
+    equi-join on user with a bounded 30-day range predicate, the same
+    BIGINT algebra as the batch query ((n·x − S)² > k²·(n·Q − S²)).
+
+    State bounds: one row per active (user, day) — the calendar support,
+    never raw events.
+    """
+    from recsys_pipeline_spark.operators import timeseries
+    from recsys_pipeline_spark.queries_analytics import ANOM_K, ANOM_MIN_N
+
+    us_day = timeseries.US_PER_DAY
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        ev = batch.select(
+            "event_id",
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {us_day}").alias(
+                "day"
+            ),
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        delta = ev.groupBy("user_id", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_c").alias("s"),
+            F.sum(F.col("v_c") * F.col("v_c")).alias("q"),
+        )
+        _write_epoch(delta, stats_dir, epoch_id)
+        merged = (
+            _read_state(spark, stats_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("user_id", "day")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("q").alias("q"))
+        )
+        m = merged.select(
+            F.col("user_id").alias("_u"),
+            F.col("day").alias("_d"),
+            "n", "s", "q",
+        )
+        win = ev.join(
+            m,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("_d") >= F.col("day") - 29)
+            & (F.col("_d") <= F.col("day") - 1),
+            "left",
+        ).groupBy("event_id", "user_id", "day", "v_c").agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("nw"),
+            F.sum("s").alias("sw"),
+            F.sum("q").alias("qw"),
+        )
+        nw, sw, qw = F.col("nw"), F.col("sw"), F.col("qw")
+        lhs = (nw * F.col("v_c") - sw) * (nw * F.col("v_c") - sw)
+        rhs = F.lit(ANOM_K * ANOM_K) * (nw * qw - sw * sw)
+        report = win.select(
+            "event_id", "user_id", "day", "v_c",
+            nw.cast("long").alias("n_win"),
+            F.when((nw >= ANOM_MIN_N) & (lhs > rhs), 1).otherwise(0)
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -2266,3 +2266,66 @@ def test_streaming_host_triangles_prefix_parity(spark, tmp_path):
     e2 = spark.read.parquet(edges)
     after = counts(G.triangle_counts(e2.drop("_epoch"), src="u", dst="v"))
     assert after == before
+
+
+def test_streaming_rolling_anomaly_epochs_union_to_exact_batch(spark, tmp_path):
+    """The anomaly twin's window excludes the current day, so flags depend
+    only on strictly earlier days — each epoch's per-event rows are FINAL,
+    and the union of all epochs equals the batch query verbatim, even with
+    the split falling mid-day (time-ordered arrival is the one contract)."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_rolling_anomaly
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    early = ev.filter(ts_us <= t_med)
+    late = ev.filter(ts_us > t_med)
+    src = str(tmp_path / "ra_src")
+    early.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    late.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "ra_out")
+    stats = str(tmp_path / "ra_stats")
+    cs.rolling_anomaly_stream(stream, out, stats)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            int(r["event_id"]): (
+                int(r["day"]), int(r["v_c"]), int(r["n_win"]), int(r["is_anomaly"])
+            )
+            for r in df.collect()
+        }
+
+    got = rows(table)
+    want = rows(q_rolling_anomaly(spark, sf))
+    assert got == want  # exact union equality, not just prefix parity
+    assert any(v[3] == 1 for v in want.values())  # the corpus does fire flags
+    # state is sum-mergeable counters: compact_state is read-equivalent
+    st = spark.read.parquet(stats)
+
+    def merged():
+        return {
+            (int(r["user_id"]), int(r["day"])): (int(r["n"]), int(r["s"]), int(r["q"]))
+            for r in st.drop("_epoch")
+            .groupBy("user_id", "day")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("q").alias("q"))
+            .collect()
+        }
+
+    before = merged()
+    cs.compact_state(spark, stats, before_epoch=max(epochs) + 1)
+    st = spark.read.parquet(stats)
+    assert merged() == before
