@@ -145,6 +145,7 @@ _DEFERRED = [
     # entity (the resolution composite; oracle = recursive-CTE closure)
     "peak_concurrency",  # sweep-line two-pass prefix sum (timeline family)
     "rolling_anomaly",  # trailing k-sigma flag as exact BIGINT algebra
+    "ols_qty_price",  # closed-form OLS from the corr family's exact sums
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

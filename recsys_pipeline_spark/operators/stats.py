@@ -144,3 +144,85 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return agg.select(F.explode(arr).alias("s")).select("s.*")
+
+
+def exact_ols(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit y = slope·x + intercept with R²,
+    closed-form from the same exact decimal power sums as
+    `exact_bivariate_stats` (one aggregate pass, no iteration):
+
+        slope     = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+        intercept = (Sy − slope·Sx) / n       (composed from the ROUNDED
+                    slope so both engines chain identical doubles)
+        r2        = (n·Sxy − Sx·Sy)² / ((n·Sxx − Sx²)·(n·Syy − Sy²))
+
+    Every double is derived from exact decimal sums in a fixed expression
+    order and rounded (6/9 dp) above cross-libm noise — the corr
+    discipline applied to the regression coefficients. Constant-x groups
+    (zero variance) yield NULL slope/intercept/r2 in both engines
+    (0-divide → NULL under DuckDB, null-propagated via NaN guard here).
+    """
+    agg = df.groupBy(group_col).agg(*_power_sums(F.col(x_col), F.col(y_col)))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = n * sxx - sx * sx
+    cxy = n * sxy - sx * sy
+    vy = n * syy - sy * sy
+    slope = F.round(cxy / vx, 6)
+    out = agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.when(vx != 0, slope).alias("slope"),
+        F.when(vx != 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+        F.when(
+            (vx != 0) & (vy != 0), F.round(cxy * cxy / (vx * vy), 9)
+        ).alias("r2"),
+    )
+    return out
+
+
+def exact_ols_sql(table: str, group_col: str, x_col: str, y_col: str) -> str:
+    """DuckDB mirror of `exact_ols` — same sums, same composition order,
+    same rounding; DECIMAL(19,6) casts for int128 sum storage (see
+    exact_bivariate_stats_sql)."""
+    return f"""
+WITH sums AS (
+  SELECT {group_col},
+         COUNT(*) AS n,
+         SUM(CAST({x_col} AS DECIMAL(19,6))) AS sx,
+         SUM(CAST({y_col} AS DECIMAL(19,6))) AS sy,
+         SUM(CAST({x_col} AS DECIMAL(19,6)) * CAST({x_col} AS DECIMAL(19,6))) AS sxx,
+         SUM(CAST({y_col} AS DECIMAL(19,6)) * CAST({y_col} AS DECIMAL(19,6))) AS syy,
+         SUM(CAST({x_col} AS DECIMAL(19,6)) * CAST({y_col} AS DECIMAL(19,6))) AS sxy
+  FROM {table} GROUP BY {group_col}
+),
+d AS (
+  SELECT {group_col}, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM sums
+),
+v AS (
+  SELECT {group_col}, n, nd, sxd, syd,
+         nd * sxxd - sxd * sxd AS vx,
+         nd * sxyd - sxd * syd AS cxy,
+         nd * syyd - syd * syd AS vy
+  FROM d
+)
+SELECT {group_col},
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN vx <> 0 THEN ROUND(cxy / vx, 6) END AS slope,
+       CASE WHEN vx <> 0
+            THEN ROUND((syd - ROUND(cxy / vx, 6) * sxd) / nd, 6) END
+         AS intercept,
+       CASE WHEN vx <> 0 AND vy <> 0
+            THEN ROUND(cxy * cxy / (vx * vy), 9) END AS r2
+FROM v
+"""

@@ -282,6 +282,21 @@ SQL_CORR_QTY_PRICE = stats.exact_bivariate_stats_sql(
     "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
 )
 
+
+def q_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of extendedprice on quantity per returnflag — the
+    regression companion to corr_qty_price: one aggregate pass over the
+    same exact decimal power sums, slope/intercept/R² composed in a fixed
+    rounded-double order so both engines emit identical coefficients.
+    No iteration, no MLlib: the normal equations ARE the aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return stats.exact_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+SQL_OLS_QTY_PRICE = stats.exact_ols_sql(
+    "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+)
+
 # ---------------------------------------------------------------------------
 # TF-IDF document-term weights (text-analysis companion: the full weighted
 # inverted index, no top-k so the output set is deterministic)
@@ -888,11 +903,13 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_name_clusters": q_fuzzy_name_clusters,
     "peak_concurrency": q_peak_concurrency,
     "rolling_anomaly": q_rolling_anomaly,
+    "ols_qty_price": q_ols_qty_price,
 }
 
 ORACLES_AN: dict[str, str] = {
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "rolling_anomaly": SQL_ROLLING_ANOMALY,
+    "ols_qty_price": SQL_OLS_QTY_PRICE,
     "daily_gapfill": SQL_DAILY_GAPFILL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,

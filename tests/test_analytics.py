@@ -590,3 +590,24 @@ def test_rolling_anomaly_planted_ksigma(spark, tmp_path):
     assert got[23] == (3, 0)    # below min support
     assert got[36] == (0, 0)    # window rolled off entirely
     assert all(v == 0 for e, (_, v) in got.items() if e not in (10,))
+
+
+def test_exact_ols_recovers_planted_line_and_handles_degenerates(spark):
+    """OLS on a planted exact line recovers slope/intercept with r2 = 1;
+    a constant-x group yields NULL coefficients (zero variance); a
+    constant-y group fits slope 0 with NULL r2 (vy = 0)."""
+    from recsys_pipeline_spark.operators import stats
+
+    rows = (
+        [("line", float(x), 3.0 * x + 7.0) for x in range(1, 11)]
+        + [("constx", 5.0, float(y)) for y in range(1, 6)]
+        + [("consty", float(x), 4.0) for x in range(1, 6)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in stats.exact_ols(df, "g", "x", "y").collect()
+    }
+    assert got["line"] == (10, 3.0, 7.0, 1.0)
+    assert got["constx"] == (5, None, None, None)
+    assert got["consty"] == (5, 0.0, 4.0, None)
