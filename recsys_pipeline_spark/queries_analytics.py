@@ -601,7 +601,7 @@ WITH e AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS tse FROM events
 ),
 c AS (
-  SELECT user_id, event_type, tse,
+  SELECT user_id, event_type, tse, event_id,
          CASE WHEN LAG(event_type) OVER w IS NULL
                 OR LAG(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS chg
@@ -609,8 +609,12 @@ c AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
 ),
 runs AS (
+  -- running sum carries the SAME (tse, event_id) tiebreak as the chg
+  -- window and the Spark implementation (timeseries.scd2_intervals):
+  -- equal-microsecond events per user would otherwise make the version
+  -- numbering nondeterministic on the oracle side (r13 ADVICE).
   SELECT user_id, event_type, tse,
-         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tse
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tse, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS INT) AS version
   FROM c
@@ -635,6 +639,14 @@ FROM iv
 # ---------------------------------------------------------------------------
 
 FUZZY_MAX_DIST = 2
+# Skew guard shared by BOTH engines: blocks larger than this are dropped on
+# the Spark side (operators/fuzzy.py) AND by the QUALIFY clause in the two
+# oracle SQLs below. Max observed block is 8 at the shipped SFs, but TPC-H's
+# p_name token vocabulary is fixed (~92 words) while distinct names grow
+# with scale factor, so around SF10 final-token blocks cross any fixed cap —
+# the guard must live in both dialects or parity silently breaks at scale
+# (r13 ADVICE, medium).
+FUZZY_MAX_BLOCK = 10_000
 
 
 def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,6 +660,7 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="p_name",
         block_expr=F.element_at(F.split(F.col("p_name"), " "), -1),
         max_dist=FUZZY_MAX_DIST,
+        max_block=FUZZY_MAX_BLOCK,
     )
     return pairs.select(
         "name_a", "name_b", "dist",
@@ -659,7 +672,8 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FUZZY_PART_PAIRS = f"""
 WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
            FROM part GROUP BY 1),
-b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk FROM n)
+b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk FROM n
+      QUALIFY count(*) OVER (PARTITION BY blk) <= {FUZZY_MAX_BLOCK})
 SELECT a.p_name AS name_a, c.p_name AS name_b,
        CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist,
        a.n_parts AS n_parts_a, c.n_parts AS n_parts_b
@@ -693,6 +707,7 @@ def q_fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="p_name",
         block_expr=F.element_at(F.split(F.col("p_name"), " "), -1),
         max_dist=FUZZY_MAX_DIST,
+        max_block=FUZZY_MAX_BLOCK,
     )
     edges = pairs.select(
         F.col("nid_a").alias("na"), F.col("nid_b").alias("nb")
@@ -718,7 +733,8 @@ def q_fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FUZZY_NAME_CLUSTERS = f"""
 WITH RECURSIVE
 n AS (SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
-b AS (SELECT p_name, nid, string_split(p_name, ' ')[-1] AS blk FROM n),
+b AS (SELECT p_name, nid, string_split(p_name, ' ')[-1] AS blk FROM n
+      QUALIFY count(*) OVER (PARTITION BY blk) <= {FUZZY_MAX_BLOCK}),
 e AS (
   SELECT a.nid AS na, c.nid AS nb
   FROM b a JOIN b c ON a.blk = c.blk
@@ -833,7 +849,14 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=3 gate): is_anomaly = 1 iff the prior window holds >= 5 events and
     the value sits more than 3 population-sigmas from the window mean —
     evaluated as exact integer algebra on cent-scaled values. One (user)
-    exchange; sum / sum-of-squares / count share the single RANGE frame."""
+    exchange; sum / sum-of-squares / count share the single RANGE frame.
+
+    The products run in decimal(38,0), not long: DuckDB's SUM(BIGINT) is
+    HUGEINT so the oracle evaluates (n·x − S)² > k²·(nQ − S²) in int128,
+    and plain long algebra on the Spark side would wrap silently once a
+    user's trailing cent-sum crosses ~3e9 (r13 ADVICE). decimal(38,0)
+    headroom: |n·x − S| < 1e19 squared stays under 1e38 for any plausible
+    cent magnitude (v_c ~ 1e7, window ~ 1e9 events)."""
     ev = _events(spark, sf_dir)
     base = ev.select(
         "event_id",
@@ -841,12 +864,14 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("v_c"),
     )
+    dec = "decimal(38,0)"
     w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-29, -1)
     n = F.count("v_c").over(w)
-    s = F.sum("v_c").over(w)
-    q = F.sum(F.col("v_c") * F.col("v_c")).over(w)
-    lhs = (n * F.col("v_c") - s) * (n * F.col("v_c") - s)
-    rhs = F.lit(ANOM_K * ANOM_K) * (n * q - s * s)
+    s = F.sum(F.col("v_c").cast(dec)).over(w)
+    q = F.sum(F.col("v_c").cast(dec) * F.col("v_c")).over(w)
+    nd, x = n.cast(dec), F.col("v_c").cast(dec)
+    lhs = (nd * x - s) * (nd * x - s)
+    rhs = F.lit(ANOM_K * ANOM_K).cast(dec) * (nd * q - s * s)
     return base.select(
         "event_id",
         "user_id",

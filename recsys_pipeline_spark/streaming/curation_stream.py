@@ -1944,10 +1944,15 @@ def rolling_anomaly_stream(
             ),
             F.round(F.col("value") * 100).cast("long").alias("v_c"),
         )
+        # State counters accumulate in decimal(38,0) (not long) so the
+        # k-sigma products below match the batch query's exact-decimal
+        # algebra — DuckDB-side SUM(BIGINT) is int128, and long would wrap
+        # silently past ~3e9 trailing cent-sums (r13 ADVICE).
+        dec = "decimal(38,0)"
         delta = ev.groupBy("user_id", "day").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("v_c").alias("s"),
-            F.sum(F.col("v_c") * F.col("v_c")).alias("q"),
+            F.sum(F.col("v_c").cast(dec)).alias("s"),
+            F.sum(F.col("v_c").cast(dec) * F.col("v_c")).alias("q"),
         )
         _write_epoch(delta, stats_dir, epoch_id)
         merged = (
@@ -1973,8 +1978,9 @@ def rolling_anomaly_stream(
             F.sum("q").alias("qw"),
         )
         nw, sw, qw = F.col("nw"), F.col("sw"), F.col("qw")
-        lhs = (nw * F.col("v_c") - sw) * (nw * F.col("v_c") - sw)
-        rhs = F.lit(ANOM_K * ANOM_K) * (nw * qw - sw * sw)
+        nd, x = nw.cast(dec), F.col("v_c").cast(dec)
+        lhs = (nd * x - sw) * (nd * x - sw)
+        rhs = F.lit(ANOM_K * ANOM_K).cast(dec) * (nd * qw - sw * sw)
         report = win.select(
             "event_id", "user_id", "day", "v_c",
             nw.cast("long").alias("n_win"),
