@@ -140,12 +140,21 @@ _DEFERRED = [
     # type-guard pinned like every deferred entry) —
     "daily_gapfill",  # calendar densify + forward fill (timeseries family)
     "scd2_intervals",  # SCD2 dimension build (gaps-and-islands family)
-    "fuzzy_part_pairs",  # blocked approximate string join (record linkage)
-    "fuzzy_name_clusters",  # pairs -> connected components -> canonical
-    # entity (the resolution composite; oracle = recursive-CTE closure)
-    "peak_concurrency",  # sweep-line two-pass prefix sum (timeline family)
+    "fuzzy_part_pairs",  # blocked approximate string join (record linkage);
+    # the resolution COMPOSITE fuzzy_name_clusters is recorded (round-14
+    # audit) and subsumes this pair-generation stage
     "rolling_anomaly",  # trailing k-sigma flag as exact BIGINT algebra
     "ols_qty_price",  # closed-form OLS from the corr family's exact sums
+    # Round-14 window audit (eighth): two in-window redundancies move here
+    # so the round-13 entity-resolution and sweep-line families gain
+    # driver-recorded rows (promotions below) —
+    "ngram_jaccard_dup",  # the dup family holds 3 recorded rows
+    # (minhash_dup_pairs, dup_clusters, and the curate_corpus /
+    # crawl_ingest composites that wire dedup stages); the n-gram Jaccard
+    # verify stays pinned by the pytest oracle + its streaming twin
+    "pivot_user_event_counts",  # Expand/pivot plan family keeps
+    # rollup_revenue recorded (same one-pass grouping-sets machinery);
+    # pytest oracle parity still pins the pivot value-level
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take
@@ -154,6 +163,14 @@ _DEFERRED = [
 # tests/test_recorded_window.py).
 _PROMOTED = [
     "crawl_ingest",  # takes the slot corr_qty_price freed (round-13 audit)
+    # Round-14 audit (eighth): the round-13 analytics families gain their
+    # first hard-signal rows — fuzzy_name_clusters pins three operators'
+    # wiring at once (blocked Levenshtein pairs -> hash-min connected
+    # components -> canonical-member resolution), peak_concurrency pins the
+    # distributed sweep-line (two-pass prefix-sum decomposition). They take
+    # the slots ngram_jaccard_dup / pivot_user_event_counts freed.
+    "fuzzy_name_clusters",
+    "peak_concurrency",
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the
