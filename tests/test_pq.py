@@ -365,3 +365,28 @@ def test_pq_encode_invariant_to_input_partitioning(spark, spark_frames):
         for r in pq.pq_encode(e.repartition(7), cents).collect()
     }
     assert a == b
+
+
+def test_production_ann_operating_point_recall_gate(spark):
+    """The frontier must include a production-grade operating point, not
+    only the cheap ends (r13 verdict item 2): lsh_hi (4 bits x 16 tables)
+    must hold mean recall@10 >= 0.8 on the shipped corpus — the regime the
+    reference's effectively-exact ANN (num_candidates=3952,
+    online/readers/es_caller.py:43) serves from. ivf_hi (probe 6 of 8)
+    is gated at its measured floor as the multi-probe analog. Both knobs
+    are deterministic (seeded hyperplanes), so these gates are exact
+    reruns, not statistical tests."""
+    from recsys_pipeline_spark.queries_ext import q_ann_recall_report
+
+    rows = q_ann_recall_report(spark, SF).collect()
+    by_method: dict[str, list[int]] = {}
+    for r in rows:
+        by_method.setdefault(r["method"], []).append(int(r["recall_ppm"]))
+    assert sorted(by_method) == ["ivf", "ivf_hi", "lsh", "lsh_hi"]
+    mean_ppm = {m: sum(v) / len(v) for m, v in by_method.items()}
+    assert mean_ppm["lsh_hi"] >= 800_000, mean_ppm
+    assert mean_ppm["ivf_hi"] >= 750_000, mean_ppm
+    # the hi points must dominate their cheap siblings (more candidates
+    # can only add recall under exact rerank — a union-monotonicity check)
+    assert mean_ppm["lsh_hi"] >= mean_ppm["lsh"], mean_ppm
+    assert mean_ppm["ivf_hi"] >= mean_ppm["ivf"], mean_ppm
