@@ -36,6 +36,7 @@ def connected_components(
     max_iter: int = 25,
     on_nonconverge: str = "raise",
     check_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """-> (id, component) for every vertex appearing in ``edges``; component
     = the minimum vertex id reachable through the undirected pair graph.
@@ -52,6 +53,9 @@ def connected_components(
     every 2nd round halves the driver round-trips for at most one wasted
     propagation round after the fixpoint (VERDICT r6: the right trade at
     100x scale, where each driver barrier costs scheduler latency).
+
+    ``stats``: optional dict; on return, ``stats["rounds"]`` = number of
+    propagation rounds executed (convergence-cadence tests pin this).
     """
     # The symmetrized edge list feeds the label-init AND every propagation
     # round: materialize it ONCE, or each iteration re-executes the entire
@@ -65,10 +69,16 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=False)
     )
+    # Label init = min over the CLOSED neighborhood (min(id, min(neighbor))),
+    # not the identity: same single hash shuffle as the distinct() it
+    # replaces (groupBy on the vertex id), but it fuses the first hash-min
+    # propagation round into init — for the near-clique graphs dedup
+    # produces, that is one full join+agg round (a shuffle barrier) saved
+    # (r13 verdict item 3).
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.min("a")).alias("lbl"))
+        .select(F.col("a").alias("id"), "lbl")
         .localCheckpoint(eager=True)
     )
     # exact, overflow-proof checksum: labels only ever decrease, so the sum
@@ -89,6 +99,8 @@ def connected_components(
         if (it + 1) % max(1, check_every) == 0 or it == max_iter - 1:
             cur_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
             if cur_sum == prev_sum:
+                if stats is not None:
+                    stats["rounds"] = it + 1
                 return labels.select("id", F.col("lbl").alias("component"))
             prev_sum = cur_sum
     if on_nonconverge == "star":

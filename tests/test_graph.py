@@ -118,3 +118,20 @@ def test_triangle_counts_matches_bruteforce_random(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {int(r["host"]): int(r["n_triangles"]) for r in G.triangle_counts(df).collect()}
     assert got == want
+
+
+def test_label_init_fuses_first_round(spark):
+    """Closed-neighborhood label init (min(id, min(neighbor))) fuses the
+    first hash-min round into the init shuffle: a clique is fully labeled
+    at init, so the first probe (round 2 at the default check_every=2)
+    certifies the fixpoint — 2 rounds, where identity init needed 4. A
+    diameter-3 chain converges in 4 (was 6). Regressing the init to
+    identity breaks these caps (r13 verdict item 3)."""
+    stats: dict = {}
+    got = _cc(spark, [(10, 11), (11, 12), (10, 12)], stats=stats)
+    assert got == {10: 10, 11: 10, 12: 10}
+    assert stats["rounds"] <= 2
+    stats = {}
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)], stats=stats)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert stats["rounds"] <= 4
