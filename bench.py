@@ -152,6 +152,19 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
+    # Self-identify a noisy host pass (r13: the driver's single bench run
+    # read as a 60% regression when every query — including constant-work
+    # codegen maps — slowed by the same ~1.5x, i.e. host contention, not
+    # plan drift): noise_factor = median ratio of THIS run vs the persisted
+    # quiet medians over queries present in both. ~1.0 on a quiet host;
+    # uniformly >1 means discount the whole artifact by that factor.
+    ratios = [
+        timings[q] / quiet_medians[q]
+        for q in timings
+        if quiet_medians.get(q)
+    ]
+    noise_factor = round(statistics.median(ratios), 3) if ratios else None
+
     # Ratchet the quiet reference downward; never store an inflated number.
     hist_all[str(sf)] = {
         q: round(min(t, quiet_medians.get(q, t)), 4) for q, t in timings.items()
@@ -176,6 +189,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
+    if noise_factor is not None:
+        payload["noise_factor"] = noise_factor
     detail = dict(payload, queries=timings)
     print(f"[bench] detail: {json.dumps(detail, separators=(',', ':'))}", file=sys.stderr)
     try:
