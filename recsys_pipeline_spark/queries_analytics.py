@@ -436,7 +436,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer DIV on non-negative operands — the portable division;
             # stage 1 has no predecessor and reports 1e6 (100%); an EMPTY
             # previous stage reports 0 (nobody could have converted), not
-            # the stage-1 default
+            # the stage-1 default. KEEP IN LOCKSTEP with the CASE ladder in
+            # SQL_FUNNEL_CONVERSION below — the same three branches live in
+            # both dialects (NULL->1e6, 0->0, else DIV) and
+            # test_funnel_zero_stage_reports_zero_ppm pins the 0 branch in
+            # both engines.
             F.when(F.col("_prev").isNull(), F.lit(1000000))
             .when(F.col("_prev") == 0, F.lit(0))
             .otherwise(F.expr("n * 1000000 DIV _prev"))
@@ -461,6 +465,10 @@ st AS (
   SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
 )
 SELECT stage_idx, stage, n_users,
+       -- KEEP IN LOCKSTEP with the when() ladder in q_funnel_conversion
+       -- above: NULL predecessor -> 1e6, EMPTY predecessor -> 0, else
+       -- integer division (pinned by
+       -- test_funnel_zero_stage_reports_zero_ppm in both engines).
        CAST(CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) IS NULL
                  THEN 1000000
                  WHEN lag(n_users) OVER (ORDER BY stage_idx) = 0

@@ -277,6 +277,43 @@ def test_funnel_conversion_strict_order_semantics(spark, tmp_path):
     }
 
 
+def test_funnel_zero_stage_reports_zero_ppm(spark, tmp_path):
+    """An EMPTY middle stage must report 0 ppm for the NEXT stage in BOTH
+    dialects (the lag=0 branch — distinct from stage 1's no-predecessor
+    1e6 default). Pinned in Spark and the DuckDB oracle on the same
+    planted frame so the duplicated CASE ladders cannot drift silently
+    (r13 verdict, What's-wrong #2)."""
+    import duckdb
+
+    from recsys_pipeline_spark.queries_analytics import (
+        SQL_FUNNEL_CONVERSION,
+        q_funnel_conversion,
+    )
+
+    rows = [(1, 1, 100, "view"), (2, 1, 200, "purchase")]  # no clicks at all
+    sf = str(tmp_path / "funz")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    want = {
+        1: ("view", 1, 1000000),
+        2: ("click", 0, 0),  # 0 of 1 viewer clicked
+        3: ("purchase", 0, 0),  # lag = 0: nobody COULD convert -> 0, not 1e6
+    }
+    got = {
+        int(r["stage_idx"]): (r["stage"], int(r["n_users"]), int(r["conv_from_prev_ppm"]))
+        for r in q_funnel_conversion(spark, sf).collect()
+    }
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    oracle = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(SQL_FUNNEL_CONVERSION).fetchall()
+    }
+    assert oracle == want
+
+
 def test_retention_cohorts_planted_matrix(spark, tmp_path):
     """Hand-built cohort matrix: users A/C in week-0 cohort (A active weeks
     0,1,3; C week 0 only), user B in week-1 cohort."""
