@@ -155,6 +155,12 @@ _DEFERRED = [
     "pivot_user_event_counts",  # Expand/pivot plan family keeps
     # rollup_revenue recorded (same one-pass grouping-sets machinery);
     # pytest oracle parity still pins the pivot value-level
+    "rank_auc_det",  # round-14: the hash-green METRIC twin of rank_auc
+    # (deterministic hash scores through the exact rank-sum AUC; oracle =
+    # DuckDB rank-sum formula). Registered past the window so the recorded
+    # 50 is undisturbed; the ML block's recorded rows stay the rows-only
+    # fits + the recommend_top50_det composite, and this entry is
+    # †-oracle-green via tests/test_oracle_parity.py
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

@@ -226,3 +226,112 @@ SELECT {group_col},
             THEN ROUND(cxy * cxy / (vx * vy), 9) END AS r2
 FROM v
 """
+
+
+def rank_sum_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Mann-Whitney AUC as pure integer rank-sum algebra ->
+    one row (n_pos, n_neg, auc_ppm).
+
+    AUC = (sum of average ranks of positives - n_pos(n_pos+1)/2)
+          / (n_pos * n_neg), ranks ascending by score with tie groups
+    taking their average rank — the textbook rank-sum estimator, kept
+    integer throughout by tracking 2*avg_rank = 2*rows_before + cnt + 1
+    per tie group and emitting floor-divided ppm. Bit-identical to the
+    DuckDB HUGEINT evaluation (the metric PATH of M8 is pure relational
+    algebra even though the model FIT is not — r13 verdict item 6).
+
+    Scale shape (the assign_queryid two-pass, pit.py:141): (1) one hash
+    shuffle aggregates (cnt, pos) per distinct score; (2) scores are
+    range-partitioned ascending, rows_before = per-partition running count
+    + a driver-collected offset vector of n_partitions scalars (never
+    rows); (3) the final reduce folds the per-group terms into three
+    decimal sums. No global single-task sort anywhere; the only collect is
+    the per-partition totals + the one result row.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    dec = "decimal(38,0)"
+    g = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+    )
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    part = g.repartitionByRange(n_partitions, F.col(score_col).asc())
+    # Freeze the pid-stamped frame ONCE: the offsets job and the ranking
+    # job must see the SAME range bounds, but RangePartitioner re-samples
+    # per job and its parent here is an AQE-coalesced shuffle whose layout
+    # can differ between jobs (measured: three different AUC values on
+    # three uncached runs). assign_queryid gets away without this because
+    # its parent is a stable file scan; a shuffled parent needs the pin.
+    with_pid = part.select(
+        part["*"], F.spark_partition_id().alias("_pid")
+    ).localCheckpoint(eager=True)
+    totals = with_pid.groupBy("_pid").agg(F.sum("_cnt").alias("_n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["_n"])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        with_pid.withColumn("_pre", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("_before", (F.col("_pre") + F.col("_off")).cast(dec))
+    )
+    sums = ranked.agg(
+        F.sum(
+            F.col("_pos").cast(dec)
+            * (F.lit(2).cast(dec) * F.col("_before") + F.col("_cnt") + F.lit(1))
+        ).alias("_s2"),
+        F.sum(F.col("_pos").cast(dec)).alias("_np"),
+        F.sum(F.col("_cnt").cast(dec)).alias("_n"),
+    ).first()
+    # one result row: exact arbitrary-precision floor division driver-side
+    # (Python int — the same floor DuckDB's HUGEINT // computes)
+    s2 = int(sums["_s2"] or 0)
+    np_, n = int(sums["_np"] or 0), int(sums["_n"] or 0)
+    nn = n - np_
+    if np_ == 0 or nn == 0:
+        auc_ppm = 500_000  # degenerate single-class input: AUC undefined -> 0.5
+    else:
+        auc_ppm = (s2 - np_ * (np_ + 1)) * 1_000_000 // (2 * np_ * nn)
+    return spark.createDataFrame(
+        [(np_, nn, auc_ppm)], "n_pos long, n_neg long, auc_ppm long"
+    )
+
+
+def rank_sum_auc_sql(base_select: str) -> str:
+    """DuckDB twin of rank_sum_auc. ``base_select`` must yield (score,
+    label) rows; all arithmetic runs in HUGEINT (DuckDB SUM(BIGINT)), the
+    floor division `//` matching the Python int floor exactly."""
+    return f"""
+WITH b AS ({base_select}),
+g AS (SELECT score, COUNT(*) AS cnt, SUM(label) AS pos FROM b GROUP BY 1),
+r AS (
+  SELECT cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rows_before
+  FROM g
+),
+t AS (SELECT SUM(pos * (2 * rows_before + cnt + 1)) AS s2,
+             SUM(pos) AS np, SUM(cnt) AS n
+      FROM r)
+SELECT CAST(np AS BIGINT) AS n_pos,
+       CAST(n - np AS BIGINT) AS n_neg,
+       CAST(CASE WHEN np = 0 OR np = n THEN 500000
+                 ELSE (s2 - np * (np + 1)) * 1000000 // (2 * np * (n - np))
+            END AS BIGINT) AS auc_ppm
+FROM t
+"""

@@ -501,10 +501,54 @@ def q_embedding_classifier_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_auc_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8's METRIC path with the fit factored out: exact Mann-Whitney
+    rank-sum AUC (operators/stats.rank_sum_auc — average ranks on ties,
+    integer ppm) of a fixed deterministic scoring expression (the
+    engine-portable md5 hash of event_id) against the binarized labels.
+
+    The MLlib fits stay rows-only (iterative solvers are not
+    SQL-expressible), but the AUC COMPUTATION is pure relational algebra —
+    this twin makes the metric path hash-checked against the DuckDB
+    rank-sum formula, closing the untyped gap in the ML block (r13 verdict
+    item 6). Hash scores are label-independent, so AUC sits near 0.5 by
+    construction; the value under test is the exact rank-sum arithmetic,
+    tie handling, and the two-pass distributed ranking, not the score."""
+    from recsys_pipeline_spark.operators import dedup, stats
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        dedup.portable_hash64(
+            F.concat(F.lit("aucdet:"), F.col("event_id").cast("string"))
+        ).alias("score"),
+        F.when(F.col("value") > LABEL_THRESHOLD, 1).otherwise(0).alias("label"),
+    )
+    return stats.rank_sum_auc(base, "score", "label").select(
+        F.lit("rank_auc_det").alias("metric"), "n_pos", "n_neg", "auc_ppm"
+    )
+
+
+def _sql_rank_auc_det() -> str:
+    from recsys_pipeline_spark.operators.stats import rank_sum_auc_sql
+
+    base = (
+        "SELECT ('0x' || substr(md5('aucdet:' || CAST(event_id AS VARCHAR)),"
+        " 1, 15))::BIGINT AS score,"
+        f" CASE WHEN value > {LABEL_THRESHOLD} THEN 1 ELSE 0 END AS label"
+        " FROM events"
+    )
+    return (
+        "SELECT 'rank_auc_det' AS metric, n_pos, n_neg, auc_ppm FROM ("
+        + rank_sum_auc_sql(base)
+        + ")"
+    )
+
+
 QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mf_recall_topk": q_mf_recall_topk,
     "rank_score_test": q_rank_score_test,
     "rank_auc": q_rank_auc,
+    "rank_auc_det": q_rank_auc_det,
     "rank_deepfm_auc": q_rank_deepfm_auc,
     "recommend_top50": q_recommend_top50,
     "recommend_top50_det": q_recommend_top50_det,
@@ -514,7 +558,8 @@ QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Iterative model training has no ANSI-SQL equivalent -> no oracle entries for
 # the trained variants (driver records the rows+schema check; quality gates
 # live in tests/test_recall_rank_serve.py as AUC-threshold golden tests). The
-# det composite is closed-form end to end, so it DOES carry a value oracle.
+# det composites are closed-form end to end, so they DO carry value oracles.
 ORACLES_ML: dict[str, str] = {
     "recommend_top50_det": SQL_RECOMMEND_TOP50_DET,
+    "rank_auc_det": _sql_rank_auc_det(),
 }

@@ -648,3 +648,23 @@ def test_exact_ols_recovers_planted_line_and_handles_degenerates(spark):
     assert got["line"] == (10, 3.0, 7.0, 1.0)
     assert got["constx"] == (5, None, None, None)
     assert got["consty"] == (5, 0.0, 4.0, None)
+
+
+def test_rank_sum_auc_planted_ties_and_perfect_ranking(spark):
+    """Hand-computed Mann-Whitney values: tie groups take AVERAGE ranks
+    (scores [5(-),10(+),10(-),20(+)] -> rank-sum 2.5+4, U=3.5, AUC=0.875);
+    a perfectly separating score gives 1e6 ppm, a perfectly inverted one 0;
+    a single-class input reports the 0.5 convention."""
+    from recsys_pipeline_spark.operators.stats import rank_sum_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score long, label int")
+        r = rank_sum_auc(df, "score", "label").first()
+        return int(r["n_pos"]), int(r["n_neg"]), int(r["auc_ppm"])
+
+    assert auc_of([(10, 1), (10, 0), (20, 1), (5, 0)]) == (2, 2, 875000)
+    assert auc_of([(1, 0), (2, 0), (3, 1), (4, 1)]) == (2, 2, 1000000)
+    assert auc_of([(4, 0), (3, 0), (2, 1), (1, 1)]) == (2, 2, 0)
+    assert auc_of([(1, 1), (2, 1)]) == (2, 0, 500000)
+    # all-tied scores: every rank is average -> exactly 0.5
+    assert auc_of([(7, 1), (7, 0), (7, 1), (7, 0)]) == (2, 2, 500000)
