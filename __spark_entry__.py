@@ -155,6 +155,10 @@ _DEFERRED = [
     "pivot_user_event_counts",  # Expand/pivot plan family keeps
     # rollup_revenue recorded (same one-pass grouping-sets machinery);
     # pytest oracle parity still pins the pivot value-level
+    "scd2_dim_join",  # round-14 stretch: facts joined to the SCD2
+    # dimension version active at fact time (ts in [valid_from, valid_to)
+    # via the as-of merge-scan); the SCD2 family's recorded representation
+    # is the interval BUILD — the join consumer is †-oracle-green
     "rank_auc_det",  # round-14: the hash-green METRIC twin of rank_auc
     # (deterministic hash scores through the exact rank-sum AUC; oracle =
     # DuckDB rank-sum formula). Registered past the window so the recorded

@@ -640,6 +640,102 @@ FROM iv
 """
 
 
+def q_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption pattern SCD2 exists for: FACTS (purchase events)
+    joined to the versioned dimension row active at fact time —
+    ts ∈ [valid_from, valid_to) against the user's browsing-state
+    dimension (SCD2 over the NON-purchase event stream, so the joined
+    state is the behavior the purchase happened under, not the purchase
+    itself). Facts before the user's first state row are dropped (inner
+    semantics, matching the oracle's range join).
+
+    Spark-first shape: NOT a join + range filter — interval starts tile
+    each user's timeline, so membership is the as-of lookup on valid_from
+    (operators/asof.py: union -> ONE hash exchange -> running last), with
+    the half-open upper bound enforced by a residual filter. Linear per
+    key where the range-join formulation explodes facts × versions.
+    Oracle = the literal DuckDB range join over the same intervals."""
+    ev = _events(spark, sf_dir)
+    dim = timeseries.scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "event_id", "event_type", "ts_epoch"
+        ),
+        entity_col="user_id", attr_col="event_type",
+        ts_us_col="ts_epoch", tiebreak_col="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_epoch").alias("tse")
+    )
+    d = dim.select(
+        "user_id",
+        F.col("valid_from_us").alias("tse"),
+        "version",
+        F.col("event_type").alias("state_type"),
+        "valid_to_us",
+    )
+    joined = asof.asof_join(
+        facts, d, key_col="user_id", ts_col="tse",
+        right_cols=["version", "state_type", "valid_to_us"],
+        strict=False,  # inclusive lower bound: a fact AT valid_from belongs
+    )
+    return (
+        joined
+        .filter(F.col("asof_version").isNotNull())
+        .filter(
+            F.col("asof_valid_to_us").isNull()
+            | (F.col("tse") < F.col("asof_valid_to_us"))
+        )
+        .select(
+            "event_id", "user_id", "tse",
+            F.col("asof_version").alias("version"),
+            F.col("asof_state_type").alias("state_type"),
+        )
+    )
+
+
+SQL_SCD2_DIM_JOIN = """
+WITH se AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tse FROM events
+  WHERE event_type <> 'purchase'
+),
+sc AS (
+  SELECT user_id, event_type, tse, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM se
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+),
+sruns AS (
+  SELECT user_id, event_type, tse,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INT) AS version
+  FROM sc
+),
+siv AS (
+  SELECT user_id, version, event_type, min(tse) AS valid_from_us
+  FROM sruns GROUP BY 1, 2, 3
+),
+sdim AS (
+  SELECT user_id, version, event_type, valid_from_us,
+         LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to_us
+  FROM siv
+),
+sf AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tse FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT sf.event_id, sf.user_id, sf.tse,
+       d.version, d.event_type AS state_type
+FROM sf JOIN sdim d
+  ON sf.user_id = d.user_id
+ AND sf.tse >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR sf.tse < d.valid_to_us)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Blocked fuzzy string join — near-identical part names paired by token
 # blocking + banded Levenshtein (record linkage without the n² scan); see
@@ -932,6 +1028,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "daily_gapfill": q_daily_gapfill,
     "scd2_intervals": q_scd2_intervals,
+    "scd2_dim_join": q_scd2_dim_join,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "fuzzy_name_clusters": q_fuzzy_name_clusters,
     "peak_concurrency": q_peak_concurrency,
@@ -945,6 +1042,7 @@ ORACLES_AN: dict[str, str] = {
     "ols_qty_price": SQL_OLS_QTY_PRICE,
     "daily_gapfill": SQL_DAILY_GAPFILL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
+    "scd2_dim_join": SQL_SCD2_DIM_JOIN,
     "fuzzy_part_pairs": SQL_FUZZY_PART_PAIRS,
     "fuzzy_name_clusters": SQL_FUZZY_NAME_CLUSTERS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,

@@ -668,3 +668,28 @@ def test_rank_sum_auc_planted_ties_and_perfect_ranking(spark):
     assert auc_of([(1, 1), (2, 1)]) == (2, 0, 500000)
     # all-tied scores: every rank is average -> exactly 0.5
     assert auc_of([(7, 1), (7, 0), (7, 1), (7, 0)]) == (2, 2, 500000)
+
+
+def test_scd2_dim_join_boundary_semantics(spark, tmp_path):
+    """Planted interval boundaries: a purchase exactly AT a version's
+    valid_from belongs to that (new) version (half-open [from, to)); one
+    inside an interval gets that version; one in the open current version
+    matches; one BEFORE the user's first state row is dropped (inner
+    semantics, matching the oracle's range join)."""
+    from recsys_pipeline_spark.queries_analytics import q_scd2_dim_join
+
+    rows = [
+        (1, 1, 100, "view"),      # state v1 [100, 300)
+        (2, 1, 300, "click"),     # state v2 [300, open)
+        (3, 1, 50, "purchase"),   # before first state -> dropped
+        (4, 1, 200, "purchase"),  # inside v1 -> view
+        (5, 1, 300, "purchase"),  # exactly at v2's valid_from -> click
+        (6, 1, 400, "purchase"),  # open version -> click
+    ]
+    sf = str(tmp_path / "scd2dj")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        int(r["event_id"]): (int(r["version"]), r["state_type"])
+        for r in q_scd2_dim_join(spark, sf).collect()
+    }
+    assert got == {4: (1, "view"), 5: (2, "click"), 6: (2, "click")}
