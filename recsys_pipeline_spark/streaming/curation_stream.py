@@ -1700,111 +1700,173 @@ def scd2_intervals_stream(
     """
 
     def step(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        ev = batch.select(
-            "user_id",
-            "event_id",
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tse"),
-        ).select(
-            "user_id",
-            "event_type",
-            "tse",
-            "event_id",
-            F.lit(1).cast("long").alias("w"),
-            F.lit(0).cast("int").alias("closed_cnt"),
-        )
-        carry_like = ev.select(
-            "user_id", "event_type", "tse", "w", "closed_cnt"
-        )
-        carry_rows = _read_state(spark, carry_dir, carry_like, epoch_id)
-        w_latest = Window.partitionBy("user_id").orderBy(
-            F.col("closed_cnt").desc(), F.col("tse").desc(), F.col("w").desc()
-        )
-        latest = (
-            carry_rows.withColumn("_rk", F.row_number().over(w_latest))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-        )
-        active_users = ev.select("user_id").distinct()
-        active_carry = latest.join(active_users, "user_id", "left_semi")
-        idle_carry = latest.join(active_users, "user_id", "left_anti")
+        report = _scd2_update(batch, epoch_id, closed_dir, carry_dir)
+        _write_epoch(report, out_dir, epoch_id)
 
-        aug = active_carry.select(
-            "user_id",
-            "event_type",
-            "tse",
-            F.lit(-1).cast("long").alias("event_id"),
-            "w",
-            "closed_cnt",
-        ).unionByName(ev)
-        ord_w = Window.partitionBy("user_id").orderBy("tse", "event_id")
-        chg = F.when(
-            F.lag("event_type").over(ord_w).isNull()
-            | (F.lag("event_type").over(ord_w) != F.col("event_type")),
-            1,
-        ).otherwise(0)
-        run_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        runs = (
-            aug.withColumn("_ver", F.sum(chg).over(run_w).cast("int"))
-            .groupBy("user_id", "_ver", "event_type")
-            .agg(
-                F.min("tse").alias("valid_from_us"),
-                F.sum("w").alias("n_events"),
-            )
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
+def _scd2_update(
+    batch: DataFrame, epoch_id: int, closed_dir: str, carry_dir: str
+) -> DataFrame:
+    """One SCD2 carry-class state update (the scd2_intervals_stream step
+    body, shared with scd2_dim_join_stream): fold the batch's mutation
+    events into the closed-interval state + open-run carry, and return the
+    CURRENT full interval table (closed ∪ open, version-numbered) for the
+    stream prefix seen so far."""
+    spark = batch.sparkSession
+    ev = batch.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tse"),
+    ).select(
+        "user_id",
+        "event_type",
+        "tse",
+        "event_id",
+        F.lit(1).cast("long").alias("w"),
+        F.lit(0).cast("int").alias("closed_cnt"),
+    )
+    carry_like = ev.select(
+        "user_id", "event_type", "tse", "w", "closed_cnt"
+    )
+    carry_rows = _read_state(spark, carry_dir, carry_like, epoch_id)
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.col("closed_cnt").desc(), F.col("tse").desc(), F.col("w").desc()
+    )
+    latest = (
+        carry_rows.withColumn("_rk", F.row_number().over(w_latest))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    active_users = ev.select("user_id").distinct()
+    active_carry = latest.join(active_users, "user_id", "left_semi")
+    idle_carry = latest.join(active_users, "user_id", "left_anti")
+
+    aug = active_carry.select(
+        "user_id",
+        "event_type",
+        "tse",
+        F.lit(-1).cast("long").alias("event_id"),
+        "w",
+        "closed_cnt",
+    ).unionByName(ev)
+    ord_w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(ord_w).isNull()
+        | (F.lag("event_type").over(ord_w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    run_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        aug.withColumn("_ver", F.sum(chg).over(run_w).cast("int"))
+        .groupBy("user_id", "_ver", "event_type")
+        .agg(
+            F.min("tse").alias("valid_from_us"),
+            F.sum("w").alias("n_events"),
         )
-        per_user = Window.partitionBy("user_id")
-        offs = aug.groupBy("user_id").agg(F.max("closed_cnt").alias("_off"))
-        runs = (
-            runs.join(offs, "user_id")
-            .withColumn("_k", F.max("_ver").over(per_user))
-            .withColumn(
-                "valid_to_us",
-                F.lead("valid_from_us").over(
-                    Window.partitionBy("user_id").orderBy("_ver")
-                ),
-            )
-            .withColumn("version", (F.col("_off") + F.col("_ver")).cast("int"))
-        )
-        closed_delta = runs.filter(F.col("_ver") < F.col("_k")).select(
-            "user_id", "version", "event_type", "valid_from_us",
-            "valid_to_us", "n_events",
-        )
-        _write_epoch(closed_delta, closed_dir, epoch_id)
-        open_runs = runs.filter(F.col("_ver") == F.col("_k"))
-        new_carry = open_runs.select(
-            "user_id",
-            "event_type",
-            F.col("valid_from_us").alias("tse"),
-            F.col("n_events").alias("w"),
-            (F.col("version") - 1).cast("int").alias("closed_cnt"),
-        )
-        _write_epoch(new_carry, carry_dir, epoch_id)
-        open_iv = open_runs.unionByName(
-            idle_carry.select(
-                "user_id",
-                F.col("closed_cnt"),
-                "event_type",
-                F.col("tse").alias("valid_from_us"),
-                F.col("w").alias("n_events"),
-            ).select(
-                "user_id",
-                (F.col("closed_cnt") + 1).cast("int").alias("version"),
-                "event_type",
-                "valid_from_us",
-                F.lit(None).cast("long").alias("valid_to_us"),
-                "n_events",
+    )
+    per_user = Window.partitionBy("user_id")
+    offs = aug.groupBy("user_id").agg(F.max("closed_cnt").alias("_off"))
+    runs = (
+        runs.join(offs, "user_id")
+        .withColumn("_k", F.max("_ver").over(per_user))
+        .withColumn(
+            "valid_to_us",
+            F.lead("valid_from_us").over(
+                Window.partitionBy("user_id").orderBy("_ver")
             ),
-            allowMissingColumns=True,
+        )
+        .withColumn("version", (F.col("_off") + F.col("_ver")).cast("int"))
+    )
+    closed_delta = runs.filter(F.col("_ver") < F.col("_k")).select(
+        "user_id", "version", "event_type", "valid_from_us",
+        "valid_to_us", "n_events",
+    )
+    _write_epoch(closed_delta, closed_dir, epoch_id)
+    open_runs = runs.filter(F.col("_ver") == F.col("_k"))
+    new_carry = open_runs.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from_us").alias("tse"),
+        F.col("n_events").alias("w"),
+        (F.col("version") - 1).cast("int").alias("closed_cnt"),
+    )
+    _write_epoch(new_carry, carry_dir, epoch_id)
+    open_iv = open_runs.unionByName(
+        idle_carry.select(
+            "user_id",
+            F.col("closed_cnt"),
+            "event_type",
+            F.col("tse").alias("valid_from_us"),
+            F.col("w").alias("n_events"),
         ).select(
-            "user_id", "version", "event_type", "valid_from_us",
-            F.lit(None).cast("long").alias("valid_to_us"), "n_events",
+            "user_id",
+            (F.col("closed_cnt") + 1).cast("int").alias("version"),
+            "event_type",
+            "valid_from_us",
+            F.lit(None).cast("long").alias("valid_to_us"),
+            "n_events",
+        ),
+        allowMissingColumns=True,
+    ).select(
+        "user_id", "version", "event_type", "valid_from_us",
+        F.lit(None).cast("long").alias("valid_to_us"), "n_events",
+    )
+    report = (
+        _read_state(spark, closed_dir, closed_delta, epoch_id)
+        .unionByName(closed_delta)
+        .unionByName(open_iv)
+    )
+    return report
+
+
+def scd2_dim_join_stream(
+    stream: DataFrame,
+    out_dir: str,
+    closed_dir: str,
+    carry_dir: str,
+) -> None:
+    """Facts-to-SCD2-version labeling online — the dim-join consumer of the
+    scd2_intervals_stream state machine (same CARRY class, same
+    time-ordered delivery contract with epoch cuts at strict ts boundaries
+    so equal-timestamp events never straddle a batch).
+
+    Each batch: the NON-purchase events fold into the shared SCD2 state
+    update (_scd2_update — closed intervals + open-run carry); the batch's
+    PURCHASE events then join the resulting interval table by
+    tse ∈ [valid_from, valid_to). EXACT union-to-batch parity (the
+    rolling_anomaly argument, inclusive-boundary variant): a fact's
+    version is determined by state events with tse <= fact tse — all
+    present once its own epoch is folded, and an open interval matched now
+    can only be CLOSED at a strictly later tse, so the label never
+    changes. Epochs therefore union to batch ``q_scd2_dim_join`` verbatim.
+
+    State bounds: version-bounded interval rows + one carry row per user —
+    never raw events."""
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        state_ev = batch.filter(F.col("event_type") != "purchase")
+        intervals = _scd2_update(state_ev, epoch_id, closed_dir, carry_dir)
+        facts = batch.filter(F.col("event_type") == "purchase").select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tse"),
         )
-        report = (
-            _read_state(spark, closed_dir, closed_delta, epoch_id)
-            .unionByName(closed_delta)
-            .unionByName(open_iv)
+        d = intervals.select(
+            F.col("user_id").alias("_u"), "version",
+            F.col("event_type").alias("state_type"),
+            "valid_from_us", "valid_to_us",
         )
+        report = facts.join(
+            d,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("tse") >= F.col("valid_from_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("tse") < F.col("valid_to_us"))),
+        ).select("event_id", "user_id", "tse", "version", "state_type")
         _write_epoch(report, out_dir, epoch_id)
 
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink

@@ -2329,3 +2329,60 @@ def test_streaming_rolling_anomaly_epochs_union_to_exact_batch(spark, tmp_path):
     cs.compact_state(spark, stats, before_epoch=max(epochs) + 1)
     st = spark.read.parquet(stats)
     assert merged() == before
+
+
+def test_streaming_scd2_dim_join_exact_union_parity(spark, tmp_path):
+    """The dim-join twin (carry class, inclusive-boundary exactness): two
+    order-contiguous micro-batches cut at the time median (a strict ts
+    boundary, so equal-timestamp events never straddle). Every epoch emits
+    labels for ITS purchase facts only, and the union of the two epochs
+    equals batch q_scd2_dim_join on the full table EXACTLY — a fact's
+    version is fixed by state events at or before its timestamp, so a
+    label never changes after emission. The first epoch additionally
+    equals the batch query on the prefix verbatim."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_scd2_dim_join
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    early = ev.filter(ts_us <= t_med)
+    late = ev.filter(ts_us > t_med)
+    src = str(tmp_path / "sdj_src")
+    early.coalesce(1).write.parquet(src)
+    time.sleep(1.5)
+    late.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "sdj_out")
+    closed = str(tmp_path / "sdj_closed")
+    carry = str(tmp_path / "sdj_carry")
+    cs.scd2_dim_join_stream(stream, out, closed, carry)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            int(r["event_id"]): (
+                int(r["user_id"]), int(r["tse"]), int(r["version"]), r["state_type"]
+            )
+            for r in df.collect()
+        }
+
+    got = rows(table)
+    want = rows(q_scd2_dim_join(spark, sf))
+    assert got == want  # exact union equality, not just prefix parity
+    assert want, "corpus must produce labeled purchases"
+    prefix_dir = str(tmp_path / "sdj_prefix")
+    early.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_scd2_dim_join(spark, prefix_dir)
+    )
