@@ -431,25 +431,33 @@ def test_multi_query_ivf_matches_single_query_path(emb):
 
 
 def test_ann_recall_report_invariants(spark):
-    """Both methods always recall the query itself (it shares its own bucket /
-    its own cell is Hamming-0, and cos(q,q)=1 ranks first), so recall_ppm >=
-    100000; IVF probes 4/8 cells so its candidate set is corpus-scale while
-    LSH's is bucket-scale."""
+    """Every method always recalls the query itself (it shares its own
+    bucket / its own cell is Hamming-0, and cos(q,q)=1 ranks first), so
+    recall_ppm >= 100000; IVF probes 4/8 cells so its candidate set is
+    corpus-scale while LSH's is bucket-scale. The round-14 hi points are
+    strict candidate SUPERSETS of their cheap siblings (more tables /
+    more probed cells), so n_cand must dominate per query too."""
     from recsys_pipeline_spark.queries_ext import q_ann_recall_report
 
     rows = q_ann_recall_report(spark, SF).collect()
-    assert len(rows) == 8  # 4 qids x 2 methods
+    assert len(rows) == 16  # 4 qids x 4 methods (lsh, ivf, lsh_hi, ivf_hi)
     n_corpus = 500
     for r in rows:
         assert 100000 <= r["recall_ppm"] <= 1000000
         assert r["recall_ppm"] % 100000 == 0
         assert 1 <= r["n_cand"] <= n_corpus
-    lsh = {r["qid"]: r for r in rows if r["method"] == "lsh"}
-    ivf = {r["qid"]: r for r in rows if r["method"] == "ivf"}
-    assert set(lsh) == set(ivf) == {0, 7, 21, 42}
+    by = {
+        m: {r["qid"]: r for r in rows if r["method"] == m}
+        for m in ("lsh", "ivf", "lsh_hi", "ivf_hi")
+    }
+    for m, d in by.items():
+        assert set(d) == {0, 7, 21, 42}, m
     # the cost axis is real: IVF candidates ~ n_probe/2^bits of the corpus
-    for qid in ivf:
-        assert ivf[qid]["n_cand"] >= n_corpus // 4
+    for qid in by["ivf"]:
+        assert by["ivf"][qid]["n_cand"] >= n_corpus // 4
+        # supersets: 16 tables ⊇ 6 tables; 6 probed cells ⊇ 4 probed cells
+        assert by["lsh_hi"][qid]["n_cand"] >= by["lsh"][qid]["n_cand"]
+        assert by["ivf_hi"][qid]["n_cand"] >= by["ivf"][qid]["n_cand"]
 
 
 def test_quantized_ann_overlap_tolerance(spark):
