@@ -228,31 +228,17 @@ FROM v
 """
 
 
-def rank_sum_auc(
+def ranked_score_groups(
     df: DataFrame,
     score_col: str,
     label_col: str,
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact Mann-Whitney AUC as pure integer rank-sum algebra ->
-    one row (n_pos, n_neg, auc_ppm).
-
-    AUC = (sum of average ranks of positives - n_pos(n_pos+1)/2)
-          / (n_pos * n_neg), ranks ascending by score with tie groups
-    taking their average rank — the textbook rank-sum estimator, kept
-    integer throughout by tracking 2*avg_rank = 2*rows_before + cnt + 1
-    per tie group and emitting floor-divided ppm. Bit-identical to the
-    DuckDB HUGEINT evaluation (the metric PATH of M8 is pure relational
-    algebra even though the model FIT is not — r13 verdict item 6).
-
-    Scale shape (the assign_queryid two-pass, pit.py:141): (1) one hash
-    shuffle aggregates (cnt, pos) per distinct score; (2) scores are
-    range-partitioned ascending, rows_before = per-partition running count
-    + a driver-collected offset vector of n_partitions scalars (never
-    rows); (3) the final reduce folds the per-group terms into three
-    decimal sums. No global single-task sort anywhere; the only collect is
-    the per-partition totals + the one result row.
-    """
+    """(score, _cnt, _pos, _before) per distinct score — the distributed
+    ranking stage of rank_sum_auc, exposed so its plan shape (broadcast
+    offset join, pid-partitioned prefix window, no global sort) is
+    pinnable by tests. _before = exact number of rows with a strictly
+    smaller score, via the assign_queryid two-pass (pit.py:141)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -284,11 +270,41 @@ def rank_sum_auc(
         .orderBy(F.col(score_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = (
+    return (
         with_pid.withColumn("_pre", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("_before", (F.col("_pre") + F.col("_off")).cast(dec))
     )
+
+
+def rank_sum_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Mann-Whitney AUC as pure integer rank-sum algebra ->
+    one row (n_pos, n_neg, auc_ppm).
+
+    AUC = (sum of average ranks of positives - n_pos(n_pos+1)/2)
+          / (n_pos * n_neg), ranks ascending by score with tie groups
+    taking their average rank — the textbook rank-sum estimator, kept
+    integer throughout by tracking 2*avg_rank = 2*rows_before + cnt + 1
+    per tie group and emitting floor-divided ppm. Bit-identical to the
+    DuckDB HUGEINT evaluation (the metric PATH of M8 is pure relational
+    algebra even though the model FIT is not — r13 verdict item 6).
+
+    Scale shape (the assign_queryid two-pass, pit.py:141): (1) one hash
+    shuffle aggregates (cnt, pos) per distinct score; (2) scores are
+    range-partitioned ascending, rows_before = per-partition running count
+    + a driver-collected offset vector of n_partitions scalars (never
+    rows); (3) the final reduce folds the per-group terms into three
+    decimal sums. No global single-task sort anywhere; the only collect is
+    the per-partition totals + the one result row.
+    """
+    spark = df.sparkSession
+    dec = "decimal(38,0)"
+    ranked = ranked_score_groups(df, score_col, label_col, n_partitions)
     sums = ranked.agg(
         F.sum(
             F.col("_pos").cast(dec)

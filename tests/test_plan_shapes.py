@@ -385,3 +385,39 @@ def test_fuzzy_pairs_equijoin_on_block_key_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[_blk", plan)
+
+
+def test_scd2_dim_join_is_join_free(spark):
+    """The dim-join consumer must stay the as-of merge-scan (union -> one
+    window -> filter): any Join node means the facts x versions range-join
+    formulation snuck back in — quadratic in versions per user at scale."""
+    from recsys_pipeline_spark.queries_analytics import q_scd2_dim_join
+
+    plan = _final_plan(q_scd2_dim_join(spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_auc_det_broadcast_offsets_no_global_sort(spark):
+    """The distributed rank-sum ranking stage must keep the two-pass
+    shape: the only join is the broadcast of the n_partitions-row offset
+    vector, and the prefix window partitions by _pid — never a
+    single-partition global window (an empty partitionBy full-sorts the
+    corpus in one task)."""
+    from recsys_pipeline_spark.io import read_table
+    from recsys_pipeline_spark.operators.stats import ranked_score_groups
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, SF, "events").select(
+        F.col("event_id").alias("score"),
+        (F.col("value") > 100.0).cast("int").alias("label"),
+    )
+    plan = _final_plan(ranked_score_groups(ev, "score", "label"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every Window in the plan rides the pid partitioning (no global sort)
+    wins = re.findall(r"Window .*", plan)
+    assert wins, plan
+    for w in wins:
+        assert "_pid" in w, w
