@@ -128,6 +128,13 @@ CAPS = {
     # fixed-host graph toward its host² edge cap, so triangle work grows
     # superlinearly in docs but stays host-bounded (the saturation
     # property, not a quadratic in corpus size)
+    # round 14
+    "rank_auc_det": 4.0,     # measured 1.2 — one per-score agg shuffle,
+    # range-partitioned prefix pass, scalar offset collect; the ranking
+    # stage is linear in distinct scores
+    "scd2_dim_join": 5.0,    # measured 1.8 — the dim build's one (user,
+    # ts) sort + the as-of union window; linear in events, no
+    # facts-times-versions explosion
 }
 
 
@@ -194,7 +201,7 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     """Replicated inputs must give ~8x outputs for the per-row queries — a
     quadratic blow-up (or a silently dropped replica) fails loudly."""
     q = _queries()
-    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly"]:
+    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly", "scd2_dim_join"]:
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == REPLICAS * n1, (name, n1, n8)
@@ -206,3 +213,6 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == n1, (name, n1, n8)
+    # rank_auc_det is a one-row metric at any scale
+    assert q["rank_auc_det"](spark, SF1).count() == 1
+    assert q["rank_auc_det"](spark, sf8_dir).count() == 1
