@@ -155,6 +155,12 @@ _DEFERRED = [
     "pivot_user_event_counts",  # Expand/pivot plan family keeps
     # rollup_revenue recorded (same one-pass grouping-sets machinery);
     # pytest oracle parity still pins the pivot value-level
+    "exact_percentiles",  # round-14: EXACT global quantiles by distributed
+    # selection (the rank_sum_auc ranking stage reused; the k-th-smallest
+    # rule stated identically in both engines) — the hash-checked twin of
+    # the tolerance-gated approx value_percentiles, which stays deferred
+    # with it; the percentile FAMILY's recorded representation is the
+    # pricing/stats block
     "scd2_dim_join",  # round-14 stretch: facts joined to the SCD2
     # dimension version active at fact time (ts in [valid_from, valid_to)
     # via the as-of merge-scan); the SCD2 family's recorded representation

@@ -379,6 +379,67 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+
+EXACT_PCTS = [50, 90, 99]
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles of the cent-scaled event value by
+    distributed SELECTION — no global single-task sort and no t-digest
+    approximation (value_percentiles is the approx/tolerance-gated twin;
+    this one is hash-checked because the answer is exactly defined: the
+    k-th smallest element with k = (n−1)·p DIV 100 + 1, the lower-rank
+    discrete quantile, stated identically in both engines rather than
+    trusting two engines' quantile interpolation to agree).
+
+    Shape: the rank_sum_auc ranking stage (stats.ranked_score_groups — one
+    per-value hash agg, a range-partitioned per-partition prefix, a scalar
+    offset collect) gives every distinct value its exact global
+    rows-before count; the k-th smallest is then a pure FILTER
+    (_before < k <= _before + cnt), and the 3-row percentile table joins
+    in by broadcast. The heaviest task touches one value-range partition —
+    the classic distributed selection, linear where sort is n·log n."""
+    from recsys_pipeline_spark.operators.stats import ranked_score_groups
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        F.lit(0).alias("_zero"),
+    )
+    ranked = ranked_score_groups(base, "v_c", "_zero")
+    n = int(ranked.agg(F.sum("_cnt")).first()[0] or 0)
+    ks = [(p, (n - 1) * p // 100 + 1) for p in EXACT_PCTS]
+    k_df = spark.createDataFrame(ks, "pct int, k long")
+    return (
+        ranked.join(
+            F.broadcast(k_df),
+            (F.col("_before") < F.col("k"))
+            & (F.col("k") <= F.col("_before") + F.col("_cnt")),
+        )
+        .select(
+            "pct",
+            "k",
+            F.col("v_c").alias("value_cents"),
+            F.lit(n).cast("long").alias("n"),
+        )
+        .orderBy("pct")
+    )
+
+
+SQL_EXACT_PERCENTILES = f"""
+WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+nn AS (SELECT COUNT(*) AS n FROM b),
+ks AS (
+  SELECT pct, (n - 1) * pct // 100 + 1 AS k, n
+  FROM nn, (VALUES {", ".join(f"({p})" for p in EXACT_PCTS)}) p(pct)
+),
+r AS (SELECT v_c, row_number() OVER (ORDER BY v_c) AS rn FROM b)
+SELECT CAST(ks.pct AS INT) AS pct, CAST(ks.k AS BIGINT) AS k,
+       r.v_c AS value_cents, CAST(ks.n AS BIGINT) AS n
+FROM ks JOIN r ON r.rn = ks.k
+ORDER BY pct
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1024,6 +1085,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_qty_price": q_corr_qty_price,
     "tfidf_doc_terms": q_tfidf_doc_terms,
     "value_percentiles": q_value_percentiles,
+    "exact_percentiles": q_exact_percentiles,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
     "daily_gapfill": q_daily_gapfill,
@@ -1056,4 +1118,5 @@ ORACLES_AN: dict[str, str] = {
     "corr_qty_price": SQL_CORR_QTY_PRICE,
     "tfidf_doc_terms": SQL_TFIDF,
     "value_percentiles": SQL_VALUE_PERCENTILES,
+    "exact_percentiles": SQL_EXACT_PERCENTILES,
 }

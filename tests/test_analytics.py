@@ -693,3 +693,26 @@ def test_scd2_dim_join_boundary_semantics(spark, tmp_path):
         for r in q_scd2_dim_join(spark, sf).collect()
     }
     assert got == {4: (1, "view"), 5: (2, "click"), 6: (2, "click")}
+
+
+def test_exact_percentiles_planted_ties_and_ranks(spark, tmp_path):
+    """Hand-computed lower-rank discrete quantiles on a tied frame:
+    values (cents) [100 x4, 200 x4, 900 x2], n=10 -> k50=5 (200),
+    k90=9 (900), k99=9 (900). Ties must not shift the selected value."""
+    from recsys_pipeline_spark.queries_analytics import q_exact_percentiles
+
+    vals = [1.0] * 4 + [2.0] * 4 + [9.0] * 2
+    rows = [(i + 1, 1, 100 + i, "view") for i in range(len(vals))]
+    sf = str(tmp_path / "pct")
+    df = _ev_frame(spark, rows)
+    # overwrite value column with the planted magnitudes by event_id order
+    from pyspark.sql import functions as F2
+    m = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    df.drop("value").join(m, "event_id").write.parquet(sf + "/events.parquet")
+    got = {
+        int(r["pct"]): (int(r["k"]), int(r["value_cents"]), int(r["n"]))
+        for r in q_exact_percentiles(spark, sf).collect()
+    }
+    assert got == {50: (5, 200, 10), 90: (9, 900, 10), 99: (9, 900, 10)}
