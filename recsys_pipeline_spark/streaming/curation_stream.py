@@ -2055,3 +2055,72 @@ def rolling_anomaly_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def exact_percentiles_stream(
+    stream: DataFrame,
+    out_dir: str,
+    counts_dir: str,
+) -> None:
+    """Exact global percentiles online — ORDER-FREE class: state is the
+    per-distinct-cent-value count as SUM-MERGEABLE delta rows (plain
+    ``compact_state`` applies; any arrival order folds to the same
+    histogram, as a batch rerun would). Emission re-runs the distributed
+    selection (stats.ranked_score_groups' two-pass ranking over the
+    merged value histogram — each "row" now carries its count weight, so
+    the ranking input is value-vocabulary-sized, not corpus-sized) and
+    every epoch's 3-row report equals batch ``q_exact_percentiles`` on
+    the stream prefix verbatim.
+
+    State bounds: one row per distinct cent value per epoch — the value
+    vocabulary, never raw events.
+    """
+    from recsys_pipeline_spark.queries_analytics import EXACT_PCTS
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(
+                F.round(F.col("value") * 100).cast("long").alias("v_c")
+            )
+            .groupBy("v_c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _write_epoch(delta, counts_dir, epoch_id)
+        hist = (
+            _read_state(spark, counts_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("v_c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        # Weighted ranking over the PRE-AGGREGATED histogram: _before is a
+        # count-weighted prefix over the value-ordered rows. The frame is
+        # value-vocabulary-sized (state bound above), so a plain ordered
+        # window suffices here — the same timeline-bounded-window
+        # precedent as peak_concurrency's hour carry; the batch query's
+        # range-partitioned two-pass (ranked_score_groups) is the shape
+        # for corpus-sized inputs, not for this bounded merge.
+        wv = Window.orderBy("v_c").rowsBetween(Window.unboundedPreceding, -1)
+        small = hist.withColumn(
+            "_before", F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        )
+        n = int(hist.agg(F.sum("cnt")).first()[0] or 0)
+        ks = [(p, (n - 1) * p // 100 + 1) for p in EXACT_PCTS]
+        k_df = spark.createDataFrame(ks, "pct int, k long")
+        report = (
+            small.join(
+                F.broadcast(k_df),
+                (F.col("_before") < F.col("k"))
+                & (F.col("k") <= F.col("_before") + F.col("cnt")),
+            )
+            .select(
+                "pct", "k",
+                F.col("v_c").alias("value_cents"),
+                F.lit(n).cast("long").alias("n"),
+            )
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

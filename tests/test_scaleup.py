@@ -135,6 +135,8 @@ CAPS = {
     "scd2_dim_join": 5.0,    # measured 1.8 — the dim build's one (user,
     # ts) sort + the as-of union window; linear in events, no
     # facts-times-versions explosion
+    "exact_percentiles": 4.0,  # measured 1.3 — distributed selection:
+    # per-value agg + range-partitioned prefix; no global sort to regress
 }
 
 
@@ -216,3 +218,8 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     # rank_auc_det is a one-row metric at any scale
     assert q["rank_auc_det"](spark, SF1).count() == 1
     assert q["rank_auc_det"](spark, sf8_dir).count() == 1
+    # replicating a distribution 8x leaves its quantile VALUES unchanged
+    # (ranks k and n scale by 8; the selected elements must not move)
+    p1 = {r["pct"]: r["value_cents"] for r in q["exact_percentiles"](spark, SF1).collect()}
+    p8 = {r["pct"]: r["value_cents"] for r in q["exact_percentiles"](spark, sf8_dir).collect()}
+    assert p1 == p8, (p1, p8)

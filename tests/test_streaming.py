@@ -2386,3 +2386,53 @@ def test_streaming_scd2_dim_join_exact_union_parity(spark, tmp_path):
     assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
         q_scd2_dim_join(spark, prefix_dir)
     )
+
+
+def test_streaming_exact_percentiles_prefix_parity_any_order(spark, tmp_path):
+    """The exact-quantile twin is ORDER-FREE: per-value count deltas are
+    sum-mergeable, so even REVERSED arrival folds to the same histogram
+    and every epoch's 3-row report equals batch q_exact_percentiles on
+    the set of events seen so far (prefix in delivery order, not time
+    order)."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_exact_percentiles
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    early = ev.filter(ts_us <= t_med)
+    late = ev.filter(ts_us > t_med)
+    src = str(tmp_path / "ep_src")
+    late.coalesce(1).write.parquet(src)  # REVERSED: late half arrives first
+    time.sleep(1.5)
+    early.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "ep_out")
+    counts = str(tmp_path / "ep_counts")
+    cs.exact_percentiles_stream(stream, out, counts)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            int(r["pct"]): (int(r["k"]), int(r["value_cents"]), int(r["n"]))
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "ep_prefix")
+    late.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_exact_percentiles(spark, prefix_dir)
+    )
+    assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
+        q_exact_percentiles(spark, sf)
+    )
