@@ -683,6 +683,77 @@ def decontaminate_flags(
     )
 
 
+def fuzzy_decontaminate_flags(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pct: int,
+    salt: str = "eval",
+    k: int = 32,
+    bands: int = 4,
+    rows: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.6,
+    portable: bool = False,
+) -> DataFrame:
+    """NEAR-DUPLICATE benchmark decontamination — the fuzzy complement of
+    ``decontaminate_flags``' exact n-gram overlap: flag every non-eval
+    document whose text is a MinHash-banded near-duplicate (verified
+    char-shingle Jaccard >= ``threshold``) of ANY eval document. Exact-gram
+    decontamination misses lightly paraphrased or reformatted test items;
+    the fuzzy pass catches them the way near-dup dedup catches rewrapped
+    documents (the GPT-3/Llama eval-overlap hygiene, applied at the
+    document level).
+
+    -> (id_col, n_eval_matches, max_jaccard).
+
+    Eval designation is the same hash bucket as the exact pass (a pure
+    function of the id, oracle-reproducible). Scale: signatures are the
+    k min-aggregate kernel (one id-keyed exchange over the corpus);
+    candidates come from the banded bucket join of the train band table
+    against the eval band table — Σ (train-bucket × eval-bucket), never
+    |train| × |eval|; verification touches candidates only.
+    """
+    from recsys_pipeline_spark.operators import dedup
+
+    is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
+    sig = dedup.minhash_signature(
+        docs, id_col, text_col, k=k, shingle_n=shingle_n, portable=portable
+    )
+    band_df = dedup.lsh_bands(sig, id_col, bands, rows, k=k, portable=portable)
+    ev_bands = band_df.filter(is_eval).select(
+        "band_id", "band_hash", F.col(id_col).alias("_eval_id")
+    )
+    tr_bands = band_df.filter(~is_eval)
+    cand = (
+        tr_bands.join(ev_bands, ["band_id", "band_hash"])
+        .select(F.col(id_col), F.col("_eval_id"))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(dedup.char_shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    verified = (
+        cand.join(sh, id_col)
+        .join(
+            sh.select(
+                F.col(id_col).alias("_eval_id"), F.col("_sh").alias("_sh_e")
+            ),
+            "_eval_id",
+        )
+        .select(
+            F.col(id_col),
+            dedup.jaccard(F.col("_sh"), F.col("_sh_e")).alias("_j"),
+        )
+        .filter(F.col("_j") >= threshold)
+    )
+    return verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("_j").alias("max_jaccard"),
+    )
+
+
 # Fixed rule order — drop_reasons strings are comparable across engines and
 # across runs only because the order is pinned here, not dict/plan order.
 QUALITY_RULE_ORDER = ("too_short", "too_long", "word_len", "no_stopword", "repetitive")

@@ -192,6 +192,82 @@ GROUP BY 1
 """
 
 
+FDECON_EVAL_PCT = 10
+FDECON_SHINGLE = 5
+FDECON_K, FDECON_BANDS, FDECON_ROWS = 32, 4, 4
+FDECON_THRESHOLD = 0.8
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE benchmark decontamination: non-eval docs whose text
+    is a MinHash-banded near-duplicate (verified char-5-shingle Jaccard >=
+    0.8) of any hash-designated eval doc — the fuzzy complement of
+    q_decontaminate's exact 4-gram overlap (exact grams miss reformatted
+    or lightly paraphrased test items; this pass catches them the way
+    near-dup dedup catches rewrapped documents). Fully portable-hashed so
+    the DuckDB oracle reproduces signatures, banding, candidates AND the
+    verified Jaccard values."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.fuzzy_decontaminate_flags(
+        d, "doc_id", "text",
+        eval_pct=FDECON_EVAL_PCT, k=FDECON_K, bands=FDECON_BANDS,
+        rows=FDECON_ROWS, shingle_n=FDECON_SHINGLE,
+        threshold=FDECON_THRESHOLD, portable=True,
+    )
+
+
+def _fuzzy_decon_sql() -> str:
+    """DuckDB replica of q_fuzzy_decontaminate (same universal-hash
+    constants and band layout as queries_ext._minhash_sql, plus the eval
+    hash designation)."""
+    from recsys_pipeline_spark.operators import dedup as _dd
+
+    params = _dd._hash_params(FDECON_K)
+    p = _dd._P
+    sh = FDECON_SHINGLE
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, ('0x' || substr(md5(concat_ws(':', {cols})), 1, 15))::BIGINT AS band_hash FROM fsig".format(
+            b=b,
+            cols=", ".join(f"m{b * FDECON_ROWS + r}" for r in range(FDECON_ROWS)),
+        )
+        for b in range(FDECON_BANDS)
+    )
+    ev = f"{_H.format(salt=chr(39) + 'eval' + chr(39), col='doc_id')} % 100 < {FDECON_EVAL_PCT}"
+    return f"""
+WITH fpos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - {sh - 1}, 1) + 1)) AS i FROM documents
+),
+fh AS (
+  SELECT doc_id, ('0x' || substr(md5(substr(text, i, {sh})), 1, 15))::BIGINT % {p} AS h FROM fpos
+),
+fsig AS (SELECT doc_id, {mins} FROM fh GROUP BY doc_id),
+fbands AS ({band_selects}),
+fev AS (SELECT doc_id FROM documents WHERE {ev}),
+fcand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+  FROM fbands t JOIN fbands e ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+  JOIN fev ON e.doc_id = fev.doc_id
+  ANTI JOIN fev x ON t.doc_id = x.doc_id
+),
+fsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {sh - 1}, 0) + 1), i -> substr(text, i, {sh}))) AS s
+  FROM documents
+),
+fver AS (
+  SELECT c.doc_id,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+  FROM fcand c JOIN fsh sa ON c.doc_id = sa.doc_id JOIN fsh sb ON c.eval_id = sb.doc_id
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches, max(j) AS max_jaccard
+FROM fver WHERE j >= {FDECON_THRESHOLD}
+GROUP BY 1
+"""
+
+
 BOILER_N = 2  # word-gram width for template detection (docs here are short;
 # production uses whole lines — same relational shape, different unit)
 BOILER_SHARE_PCT = 15  # gram in >= 15% of a source's docs => boilerplate
@@ -2087,6 +2163,8 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_batches": q_training_batches,
     "lm_perplexity": q_lm_perplexity,
     "cap_per_source": q_cap_per_source,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,  # round 14; registers
+    # past the recorded window (the window closes at lm_perplexity above)
     "pack_token_bins": q_pack_token_bins,
     "mixture_weights": q_mixture_weights,
     "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -2140,6 +2218,7 @@ ORACLES_CUR: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "decontaminate": SQL_DECONTAMINATE,
+    "fuzzy_decontaminate": _fuzzy_decon_sql(),
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "cap_per_source": SQL_CAP_PER_SOURCE,

@@ -879,3 +879,37 @@ def test_profile_drift_alerts_follow_planted_churn(spark):
     for r in rows.values():
         assert int(r["null_ppm_a"]) == 0 and int(r["null_ppm_b"]) == 0
         assert int(r["rows_shift_ppm"]) < 0  # deletions outnumber additions
+
+
+def test_fuzzy_decontaminate_flags_near_duplicates_of_eval(spark):
+    """Planted semantics: a light edit of an eval doc (one word changed in
+    a long text — exact 4-gram decontamination's blind spot is small, but
+    char-5-shingle Jaccard stays ~0.95) is flagged; an unrelated doc is
+    not; eval docs themselves are never flagged."""
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(f"eval:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+
+    eval_id = next(i for i in range(1, 10_000) if bucket(i) < 10)
+    train_ids = [i for i in range(1, 10_000) if bucket(i) >= 10][:2]
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "purple elephants discuss quarterly revenue projections near "
+        "the abandoned lighthouse on tuesday afternoon"
+    )
+    near = base.replace("tuesday", "thursday")
+    unrelated = "completely different content about submarine maintenance " * 3
+    docs = spark.createDataFrame(
+        [(eval_id, base), (train_ids[0], near), (train_ids[1], unrelated)],
+        "doc_id long, text string",
+    )
+    out = {
+        int(r["doc_id"]): (int(r["n_eval_matches"]), float(r["max_jaccard"]))
+        for r in curation.fuzzy_decontaminate_flags(
+            docs, "doc_id", "text", eval_pct=10, threshold=0.8, portable=True
+        ).collect()
+    }
+    assert set(out) == {train_ids[0]}
+    n, j = out[train_ids[0]]
+    assert n == 1 and j >= 0.9
