@@ -137,6 +137,11 @@ CAPS = {
     # facts-times-versions explosion
     "exact_percentiles": 4.0,  # measured 1.3 — distributed selection:
     # per-value agg + range-partitioned prefix; no global sort to regress
+    "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
+    # query's WORST case: every doc gains 7 exact copies, so any doc with
+    # an eval-designated replica becomes a true near-dup hit (flags grow
+    # 42 -> ~20k) and eval-bucket x train-bucket candidate work densifies;
+    # real corpora add mostly-novel text, not copies
 }
 
 
