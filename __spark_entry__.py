@@ -155,6 +155,9 @@ _DEFERRED = [
     "pivot_user_event_counts",  # Expand/pivot plan family keeps
     # rollup_revenue recorded (same one-pass grouping-sets machinery);
     # pytest oracle parity still pins the pivot value-level
+    "exact_mad",  # round-14: robust dispersion (median absolute deviation)
+    # as two composed distributed-selection passes; same family as
+    # exact_percentiles below
     "exact_percentiles",  # round-14: EXACT global quantiles by distributed
     # selection (the rank_sum_auc ranking stage reused; the k-th-smallest
     # rule stated identically in both engines) — the hash-checked twin of

@@ -351,3 +351,22 @@ SELECT CAST(np AS BIGINT) AS n_pos,
             END AS BIGINT) AS auc_ppm
 FROM t
 """
+
+
+def kth_smallest(df: DataFrame, col: str, k: int) -> int:
+    """Exact k-th smallest (1-indexed) of a long column by distributed
+    selection: the ranking stage's rows-before counts make membership a
+    pure filter — the heaviest task touches one value-range partition,
+    never a global sort (exact_percentiles' kernel, exposed for
+    compositions like the MAD's two selection passes)."""
+    ranked = ranked_score_groups(df.withColumn("_zero", F.lit(0)), col, "_zero")
+    row = (
+        ranked.filter(
+            (F.col("_before") < k) & (F.lit(k) <= F.col("_before") + F.col("_cnt"))
+        )
+        .select(col)
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"k={k} out of range for column {col!r}")
+    return int(row[0])

@@ -383,6 +383,44 @@ FROM events GROUP BY event_type
 EXACT_PCTS = [50, 90, 99]
 
 
+def q_exact_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN ABSOLUTE DEVIATION of the cent-scaled event value —
+    the robust dispersion statistic (outlier-insensitive, unlike stddev)
+    as TWO composed distributed-selection passes: m = exact median of v,
+    mad = exact median of |v − m|, both by the lower-rank rule stated
+    identically in both engines (stats.kth_smallest — rows-before counts
+    make each selection a pure filter, no global sort; the scalar median
+    crossing the driver between passes is the two-pass selection
+    algorithm's one synchronization point)."""
+    from recsys_pipeline_spark.operators.stats import kth_smallest
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    n = base.count()
+    k = (n - 1) * 50 // 100 + 1
+    med = kth_smallest(base, "v_c", k)
+    dev = base.select(F.abs(F.col("v_c") - F.lit(med)).alias("d_c"))
+    mad = kth_smallest(dev, "d_c", k)
+    return spark.createDataFrame(
+        [(med, mad, n)], "median_cents long, mad_cents long, n long"
+    )
+
+
+SQL_EXACT_MAD = """
+WITH mb AS (SELECT CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+mn AS (SELECT COUNT(*) AS n, (COUNT(*) - 1) * 50 // 100 + 1 AS k FROM mb),
+mr AS (SELECT v_c, row_number() OVER (ORDER BY v_c) AS rn FROM mb),
+med AS (SELECT mr.v_c AS m FROM mr JOIN mn ON mr.rn = mn.k),
+dv AS (SELECT abs(mb.v_c - med.m) AS d_c FROM mb, med),
+dr AS (SELECT d_c, row_number() OVER (ORDER BY d_c) AS rn FROM dv),
+mad AS (SELECT dr.d_c AS md FROM dr JOIN mn ON dr.rn = mn.k)
+SELECT CAST(med.m AS BIGINT) AS median_cents,
+       CAST(mad.md AS BIGINT) AS mad_cents,
+       CAST(mn.n AS BIGINT) AS n
+FROM med, mad, mn
+"""
+
+
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global percentiles of the cent-scaled event value by
     distributed SELECTION — no global single-task sort and no t-digest
@@ -1086,6 +1124,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_doc_terms": q_tfidf_doc_terms,
     "value_percentiles": q_value_percentiles,
     "exact_percentiles": q_exact_percentiles,
+    "exact_mad": q_exact_mad,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
     "daily_gapfill": q_daily_gapfill,
@@ -1119,4 +1158,5 @@ ORACLES_AN: dict[str, str] = {
     "tfidf_doc_terms": SQL_TFIDF,
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "exact_percentiles": SQL_EXACT_PERCENTILES,
+    "exact_mad": SQL_EXACT_MAD,
 }

@@ -716,3 +716,22 @@ def test_exact_percentiles_planted_ties_and_ranks(spark, tmp_path):
         for r in q_exact_percentiles(spark, sf).collect()
     }
     assert got == {50: (5, 200, 10), 90: (9, 900, 10), 99: (9, 900, 10)}
+
+
+def test_exact_mad_planted(spark, tmp_path):
+    """Hand-computed MAD: values (cents) [100, 200, 200, 900, 1000], n=5,
+    k=3 -> median 200; deviations [100, 0, 0, 700, 800] -> MAD 100. A
+    stddev-style statistic would be dragged by the 900/1000 outliers; the
+    MAD must not be."""
+    from recsys_pipeline_spark.queries_analytics import q_exact_mad
+
+    vals = [1.0, 2.0, 2.0, 9.0, 10.0]
+    rows = [(i + 1, 1, 100 + i, "view") for i in range(len(vals))]
+    sf = str(tmp_path / "mad")
+    df = _ev_frame(spark, rows)
+    m = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    df.drop("value").join(m, "event_id").write.parquet(sf + "/events.parquet")
+    r = q_exact_mad(spark, sf).first()
+    assert (int(r["median_cents"]), int(r["mad_cents"]), int(r["n"])) == (200, 100, 5)
