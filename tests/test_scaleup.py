@@ -137,6 +137,8 @@ CAPS = {
     # facts-times-versions explosion
     "exact_percentiles": 4.0,  # measured 1.3 — distributed selection:
     # per-value agg + range-partitioned prefix; no global sort to regress
+    "exact_mad": 4.0,        # measured 1.2 — two selection passes, each
+    # the exact_percentiles shape (per-value agg + partitioned prefix)
     "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
     # query's WORST case: every doc gains 7 exact copies, so any doc with
     # an eval-designated replica becomes a true near-dup hit (flags grow
@@ -228,3 +230,5 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     p1 = {r["pct"]: r["value_cents"] for r in q["exact_percentiles"](spark, SF1).collect()}
     p8 = {r["pct"]: r["value_cents"] for r in q["exact_percentiles"](spark, sf8_dir).collect()}
     assert p1 == p8, (p1, p8)
+    m1, m8 = q["exact_mad"](spark, SF1).first(), q["exact_mad"](spark, sf8_dir).first()
+    assert (m1["median_cents"], m1["mad_cents"]) == (m8["median_cents"], m8["mad_cents"])
