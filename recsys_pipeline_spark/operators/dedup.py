@@ -168,10 +168,19 @@ def candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard of two array columns (on distinct elements)."""
+    """Exact Jaccard of two array columns (on distinct elements).
+
+    Zero-union convention: both-empty -> 1.0.  Empty shingle sets arise for
+    texts shorter than the shingle width; two such texts reaching a verify
+    stage collided in every band (the signature hashes the whole short
+    string), i.e. they are exact duplicates — scoring them 0 would unflag
+    true dups, and DuckDB's 0/0 is NaN which sorts ABOVE all numbers, so
+    the oracle would flag the pair while Spark dropped it (r14 ADVICE).
+    Every oracle SQL that recomputes a list Jaccard carries the matching
+    ``CASE WHEN union = 0 THEN 1.0`` branch."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
 
 
 def minhash_dedup_pairs(

@@ -341,8 +341,11 @@ r AS (
            AS rows_before
   FROM g
 ),
-t AS (SELECT SUM(pos * (2 * rows_before + cnt + 1)) AS s2,
-             SUM(pos) AS np, SUM(cnt) AS n
+-- COALESCE: SUM over zero rows is NULL, which would NULL the single-class
+-- guard below and return a row of NULLs where the Spark side reports the
+-- (0, 0, 500000) empty-input convention (r14 ADVICE)
+t AS (SELECT COALESCE(SUM(pos * (2 * rows_before + cnt + 1)), 0) AS s2,
+             COALESCE(SUM(pos), 0) AS np, COALESCE(SUM(cnt), 0) AS n
       FROM r)
 SELECT CAST(np AS BIGINT) AS n_pos,
        CAST(n - np AS BIGINT) AS n_neg,

@@ -772,6 +772,26 @@ def q_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state_type"),
         "valid_to_us",
     )
+    # asof_join's precondition: the right side must be unique per
+    # (key, ts).  Same-microsecond state events of different types make
+    # scd2_intervals emit a zero-width [t, t) version AND its successor at
+    # the same valid_from; the range-join oracle never matches the empty
+    # interval, but the running-last could pick it arbitrarily and the
+    # residual valid_to filter would then DROP the fact (r14 ADVICE,
+    # medium).  Collapse to the max version per (user, valid_from) — the
+    # earlier same-instant versions are exactly the empty intervals.  A
+    # map-side-combinable hash agg on a dim that is already per-version
+    # granularity; the versions-per-user frame is the small side here.
+    d = d.groupBy("user_id", "tse").agg(
+        F.max_by(
+            F.struct("version", "state_type", "valid_to_us"), F.col("version")
+        ).alias("_v")
+    ).select(
+        "user_id", "tse",
+        F.col("_v.version").alias("version"),
+        F.col("_v.state_type").alias("state_type"),
+        F.col("_v.valid_to_us").alias("valid_to_us"),
+    )
     joined = asof.asof_join(
         facts, d, key_col="user_id", ts_col="tse",
         right_cols=["version", "state_type", "valid_to_us"],

@@ -258,8 +258,13 @@ fsh AS (
   FROM documents
 ),
 fver AS (
+  -- zero-union convention shared with dedup.jaccard: both shingle sets
+  -- empty (sub-shingle-length texts that still band-collided) -> 1.0
+  -- exact dups, never 0/0 = NaN (which DuckDB sorts above all numbers)
   SELECT c.doc_id,
-         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+         CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.s, sb.s))) END AS j
   FROM fcand c JOIN fsh sa ON c.doc_id = sa.doc_id JOIN fsh sb ON c.eval_id = sb.doc_id
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches, max(j) AS max_jaccard

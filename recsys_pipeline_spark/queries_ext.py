@@ -294,11 +294,18 @@ sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1), i -> substr(text, i, 5))) AS s
   FROM documents
+),
+j AS (
+  -- zero-union convention shared with dedup.jaccard: both shingle sets
+  -- empty (sub-shingle-length texts that still band-collided) -> 1.0
+  -- exact dups, never 0/0 = NaN (which DuckDB sorts above all numbers)
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.s, sb.s))) END AS jaccard
+  FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
 )
-SELECT id_a, id_b,
-       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
-WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
 """
 
 

@@ -670,6 +670,25 @@ def test_rank_sum_auc_planted_ties_and_perfect_ranking(spark):
     assert auc_of([(7, 1), (7, 0), (7, 1), (7, 0)]) == (2, 2, 500000)
 
 
+def test_rank_sum_auc_empty_input_both_engines(spark):
+    """Empty relation: Spark coalesces the null sums to (0, 0, 500000); the
+    SQL twin must NOT return a row of NULLs (SUM over zero rows is NULL,
+    which used to NULL the single-class guard — r14 ADVICE)."""
+    import duckdb
+
+    from recsys_pipeline_spark.operators.stats import rank_sum_auc, rank_sum_auc_sql
+
+    df = spark.createDataFrame([], "score long, label int")
+    r = rank_sum_auc(df, "score", "label").first()
+    assert (int(r["n_pos"]), int(r["n_neg"]), int(r["auc_ppm"])) == (0, 0, 500000)
+
+    sql = rank_sum_auc_sql(
+        "SELECT 1 AS score, 1 AS label WHERE false"
+    )
+    o = duckdb.sql(sql).fetchall()
+    assert o == [(0, 0, 500000)]
+
+
 def test_scd2_dim_join_boundary_semantics(spark, tmp_path):
     """Planted interval boundaries: a purchase exactly AT a version's
     valid_from belongs to that (new) version (half-open [from, to)); one
@@ -693,6 +712,40 @@ def test_scd2_dim_join_boundary_semantics(spark, tmp_path):
         for r in q_scd2_dim_join(spark, sf).collect()
     }
     assert got == {4: (1, "view"), 5: (2, "click"), 6: (2, "click")}
+
+
+def test_scd2_dim_join_zero_width_version_collapsed(spark, tmp_path):
+    """Same-microsecond state events of different types create a zero-width
+    [t, t) version followed by its successor at the same valid_from.  The
+    as-of join must deterministically pick the MAX version (the range-join
+    oracle never matches the empty interval) — and must NOT drop the fact
+    via the residual valid_to filter when the empty version wins the
+    running-last arbitrarily (r14 ADVICE, medium)."""
+    from recsys_pipeline_spark.queries_analytics import q_scd2_dim_join
+
+    rows = [
+        (1, 1, 100, "view"),       # v1 [100, 100) — zero width
+        (2, 1, 100, "click"),      # v2 [100, open) — same microsecond
+        (3, 1, 100, "purchase"),   # AT the shared valid_from -> v2 click
+        (4, 1, 150, "purchase"),   # inside the open version -> v2 click
+        # a second user where the zero-width pair is followed by a later
+        # closed version: the collapse must keep valid_to intact
+        (5, 2, 100, "view"),       # v1 [100, 100)
+        (6, 2, 100, "click"),      # v2 [100, 200)
+        (7, 2, 200, "view"),       # v3 [200, open)
+        (8, 2, 150, "purchase"),   # inside v2 -> click
+        (9, 2, 250, "purchase"),   # inside v3 -> view
+    ]
+    sf = str(tmp_path / "scd2zw")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        int(r["event_id"]): (int(r["version"]), r["state_type"])
+        for r in q_scd2_dim_join(spark, sf).collect()
+    }
+    assert got == {
+        3: (2, "click"), 4: (2, "click"),
+        8: (2, "click"), 9: (3, "view"),
+    }
 
 
 def test_exact_percentiles_planted_ties_and_ranks(spark, tmp_path):

@@ -913,3 +913,31 @@ def test_fuzzy_decontaminate_flags_near_duplicates_of_eval(spark):
     assert set(out) == {train_ids[0]}
     n, j = out[train_ids[0]]
     assert n == 1 and j >= 0.9
+
+
+def test_fuzzy_decontaminate_sub_shingle_identical_docs_flagged(spark):
+    """Texts shorter than the shingle width have EMPTY verification shingle
+    sets but still band-collide when identical (the signature hashes the
+    whole short string).  The zero-union convention must score them 1.0 —
+    they ARE exact dups — on both engines (Spark used to return 0.0 while
+    DuckDB's 0/0 = NaN passed the threshold; r14 ADVICE).  A short train
+    doc DIFFERENT from the short eval doc must not be flagged."""
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(f"eval:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+
+    eval_id = next(i for i in range(1, 10_000) if bucket(i) < 10)
+    train_ids = [i for i in range(1, 10_000) if bucket(i) >= 10][:2]
+    docs = spark.createDataFrame(
+        [(eval_id, "ok"), (train_ids[0], "ok"), (train_ids[1], "no")],
+        "doc_id long, text string",
+    )
+    out = {
+        int(r["doc_id"]): (int(r["n_eval_matches"]), float(r["max_jaccard"]))
+        for r in curation.fuzzy_decontaminate_flags(
+            docs, "doc_id", "text", eval_pct=10, shingle_n=5,
+            threshold=0.8, portable=True,
+        ).collect()
+    }
+    assert out == {train_ids[0]: (1, 1.0)}
