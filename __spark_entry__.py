@@ -156,24 +156,24 @@ _DEFERRED = [
     # rollup_revenue recorded (same one-pass grouping-sets machinery);
     # pytest oracle parity still pins the pivot value-level
     "exact_mad",  # round-14: robust dispersion (median absolute deviation)
-    # as two composed distributed-selection passes; same family as
-    # exact_percentiles below
-    "exact_percentiles",  # round-14: EXACT global quantiles by distributed
-    # selection (the rank_sum_auc ranking stage reused; the k-th-smallest
-    # rule stated identically in both engines) — the hash-checked twin of
-    # the tolerance-gated approx value_percentiles, which stays deferred
-    # with it; the percentile FAMILY's recorded representation is the
-    # pricing/stats block
-    "scd2_dim_join",  # round-14 stretch: facts joined to the SCD2
-    # dimension version active at fact time (ts in [valid_from, valid_to)
-    # via the as-of merge-scan); the SCD2 family's recorded representation
-    # is the interval BUILD — the join consumer is †-oracle-green
-    "rank_auc_det",  # round-14: the hash-green METRIC twin of rank_auc
-    # (deterministic hash scores through the exact rank-sum AUC; oracle =
-    # DuckDB rank-sum formula). Registered past the window so the recorded
-    # 50 is undisturbed; the ML block's recorded rows stay the rows-only
-    # fits + the recommend_top50_det composite, and this entry is
-    # †-oracle-green via tests/test_oracle_parity.py
+    # as two composed distributed-selection passes; the distributed-
+    # selection family's recorded representative is exact_percentiles
+    # (promoted by the round-15 audit below — same kth_smallest kernel)
+    # Round-15 window audit (ninth): three in-window redundancies move
+    # here so the round-14 families gain their first hard-signal rows
+    # (promotions below: rank_auc_det, exact_percentiles, scd2_dim_join) —
+    "group_count",  # A1 group-count: the plain hash-agg machinery is
+    # recorded five times over (cardinalities A9/A10, pricing_summary,
+    # star_join_revenue, rollup_revenue, salted_group_sum); pytest oracle
+    # parity still pins it value-level
+    "spend_rank",  # rank() window: the window family keeps 5 recorded
+    # rows (sessionize, trailing_spend_30d, topk_orders_per_customer,
+    # user_state_last11, pit_sliding_features) and the same rank machinery
+    # rides topk_orders_per_customer's WindowGroupLimit; pytest-pinned
+    "boilerplate_ngrams",  # per-source template detection: the curation
+    # gate family keeps 11 recorded rows and the df-share machinery is
+    # exercised inside quality_filter's duplicate-3-gram signal and the
+    # curate_corpus composite; pytest oracle parity still pins it
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take
@@ -190,6 +190,19 @@ _PROMOTED = [
     # the slots ngram_jaccard_dup / pivot_user_event_counts freed.
     "fuzzy_name_clusters",
     "peak_concurrency",
+    # Round-15 audit (ninth): the round-14 families gain hard-signal rows —
+    # rank_auc_det gives the ML METRIC path its first hash-green recorded
+    # row (rank_auc stays rows-only by nature — iterative fit — but the
+    # metric itself is now driver-verified); exact_percentiles pins the
+    # distributed-selection kernel (rows-before ranking -> k-th smallest as
+    # a pure filter, shared by exact_mad and rank_auc_det's ranking stage);
+    # scd2_dim_join pins the as-of merge-scan consumer carrying the r14
+    # ADVICE fix (max-version collapse per (key, valid_from)) in the
+    # driver's own artifact. They take the slots group_count / spend_rank /
+    # boilerplate_ngrams freed.
+    "rank_auc_det",
+    "exact_percentiles",
+    "scd2_dim_join",
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the
