@@ -174,6 +174,15 @@ _DEFERRED = [
     # gate family keeps 11 recorded rows and the df-share machinery is
     # exercised inside quality_filter's duplicate-3-gram signal and the
     # curate_corpus composite; pytest oracle parity still pins it
+    # Round-15 additions (beyond-reference analytics, registered past the
+    # window by construction; pytest oracle-parity + type-guard pinned) —
+    "cusum_drift",  # sequential change-point test (prefix-sum-minus-
+    # running-min CUSUM identity, exact decimal algebra)
+    "rolling_active_users",  # DAU/WAU/stickiness via bounded day fan-out
+    # (never a range self-join or distinct-over-RANGE window)
+    "item_cooccur_lift",  # set-based covisitation association in exact
+    # integer lift ppm (no ln() float risk); sequential channel
+    # item_transitions stays the family's deferred sibling
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

@@ -207,3 +207,70 @@ def concurrency_profile(iv: DataFrame, s_col: str = "s", e_col: str = "e") -> Da
         "n_starts",
         "n_ends",
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    entity_col: str,
+    day_col: str,
+    value_c_col: str,
+    h: int = 5,
+) -> DataFrame:
+    """Per-entity one-sided CUSUM drift detection (Page 1954, zero
+    allowance) over a daily integer-valued series — "has this entity's
+    level shifted upward, cumulatively, beyond h sigmas?" — evaluated as
+    EXACT integer algebra so both engines produce bit-identical flags.
+
+    The textbook recurrence C_i = max(0, C_{i-1} + (x_i - mu)) is not a
+    window function, but its closed form is: with scaled increments
+    d_j = n*x_j - S (so mu = S/n never divides), the prefix sums
+    P_i = sum_{j<=i} d_j give  C_i = P_i - min(0, min_{j<=i} P_j)  — two
+    running windows over ONE (entity, day) sort.  The flag compares the
+    statistic against h population-sigmas without a sqrt or divide:
+    C_i > h * n * sigma  <=>  C_i^2 > h^2 * (n*Q - S^2), since
+    n^2 * sigma^2 = n*Q - S^2.  Products run in decimal(38,0) — the
+    rolling_anomaly lesson: DuckDB SUMs in HUGEINT and long would wrap
+    silently once |P| crosses ~3e9 when squared.
+
+    Input must be one row per (entity, day) (pre-aggregate raw events).
+    Output: (entity, day, value_c, cusum_nx, is_drift) where ``cusum_nx``
+    is C_i in n-times-value units (BIGINT-exact; divide by the entity's
+    day count to read it in value units).
+
+    Scale: ONE exchange on the entity key; the full-partition stats
+    (n, S, Q) and both running windows all ride it.  Constant series give
+    d_j = 0 everywhere -> C = 0, no flag; single-observation entities
+    likewise.
+    """
+    dec = "decimal(38,0)"
+    w_all = Window.partitionBy(entity_col)
+    w_run = (
+        Window.partitionBy(entity_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_c_col).cast(dec)
+    n = F.count(F.lit(1)).over(w_all)
+    s = F.sum(x).over(w_all)
+    q = F.sum(x * x).over(w_all)
+    staged = df.select(
+        F.col(entity_col),
+        F.col(day_col),
+        F.col(value_c_col),
+        (n.cast(dec) * x - s).alias("_d"),
+        n.alias("_n"),
+        s.alias("_s"),
+        q.alias("_q"),
+    ).withColumn("_p", F.sum("_d").over(w_run))
+    c = F.col("_p") - F.least(F.lit(0).cast(dec), F.min("_p").over(w_run))
+    rhs = (
+        F.lit(h * h).cast(dec)
+        * (F.col("_n").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s"))
+    )
+    return staged.select(
+        entity_col,
+        day_col,
+        value_c_col,
+        c.cast("long").alias("cusum_nx"),
+        F.when((c > 0) & (c * c > rhs), 1).otherwise(0).cast("int").alias("is_drift"),
+    )

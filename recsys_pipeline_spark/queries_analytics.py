@@ -1133,6 +1133,132 @@ FROM s
 """
 
 
+CUSUM_H = 5
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift flags over daily spend totals — the
+    sequential change-point test every metrics platform runs next to the
+    point-outlier scan (rolling_anomaly finds a spiked DAY; CUSUM finds a
+    sustained LEVEL SHIFT too small for any single day to trip k-sigma).
+    The recurrence is re-expressed as prefix-sum minus running-min
+    (operators/timeseries.py:cusum_drift), so the whole test is two
+    running windows and the full-partition stats riding ONE user
+    exchange, all in exact decimal(38,0) algebra — bit-identical flags
+    in both engines, no sqrt, no divide."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v_c").alias("spend_c"))
+    )
+    return timeseries.cusum_drift(daily, "user_id", "day", "spend_c", h=CUSUM_H)
+
+
+SQL_CUSUM_DRIFT = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+),
+d AS (SELECT user_id, day, CAST(SUM(v_c) AS BIGINT) AS spend_c
+      FROM e GROUP BY 1, 2),
+st AS (
+  -- scaled increments d_j = n*x_j - S in HUGEINT (the decimal(38,0) twin)
+  SELECT user_id, day, spend_c,
+         COUNT(*) OVER wa AS n,
+         SUM(CAST(spend_c AS HUGEINT)) OVER wa AS s,
+         SUM(CAST(spend_c AS HUGEINT) * spend_c) OVER wa AS q
+  FROM d
+  WINDOW wa AS (PARTITION BY user_id)
+),
+p AS (
+  SELECT user_id, day, spend_c, n, s, q,
+         SUM(CAST(n AS HUGEINT) * spend_c - s) OVER wr AS pp
+  FROM st
+  WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cc AS (
+  SELECT user_id, day, spend_c, n, s, q,
+         pp - LEAST(CAST(0 AS HUGEINT), MIN(pp) OVER wr) AS c
+  FROM p
+  WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day, spend_c,
+       CAST(c AS BIGINT) AS cusum_nx,
+       CAST(CASE WHEN c > 0 AND c * c > {CUSUM_H * CUSUM_H} * (n * q - s * s)
+                 THEN 1 ELSE 0 END AS INT) AS is_drift
+FROM cc
+"""
+
+
+RAU_WINDOW_DAYS = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness ppm per day — the
+    product-analytics engagement headline.  The scale-critical choice:
+    trailing distinct-count is NOT a range self-join or a distinct-over-
+    RANGE window (neither distributes); each distinct (user, day) activity
+    row instead CONTRIBUTES to the <=7 target days it is visible from — a
+    bounded fan-out of the per-day-deduped frame, then one count_distinct
+    per target day.  Three exchanges total (activity dedup, DAU agg, WAU
+    distinct agg); the day-span clip rides a broadcast 1-row max.
+    stickiness_ppm = dau * 1e6 DIV wau, exact integer."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    mx = ud.agg(F.max("day").alias("_dmax"))
+    contrib = ud.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.col("day") + F.lit(RAU_WINDOW_DAYS - 1), F.col("_dmax")),
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+        .withColumn(
+            "stickiness_ppm", F.expr("dau * 1000000 DIV wau").cast("long")
+        )
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+mx AS (SELECT max(day) AS dmax FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT user_id,
+         unnest(range(day, least(day + {RAU_WINDOW_DAYS}, (SELECT dmax FROM mx) + 1))) AS day
+  FROM ud
+),
+wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY 1)
+SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
+       CAST(COALESCE(d.dau, 0) * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+FROM wau w LEFT JOIN dau d USING (day)
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -1155,6 +1281,8 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "peak_concurrency": q_peak_concurrency,
     "rolling_anomaly": q_rolling_anomaly,
     "ols_qty_price": q_ols_qty_price,
+    "cusum_drift": q_cusum_drift,
+    "rolling_active_users": q_rolling_active_users,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1179,4 +1307,6 @@ ORACLES_AN: dict[str, str] = {
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "exact_percentiles": SQL_EXACT_PERCENTILES,
     "exact_mad": SQL_EXACT_MAD,
+    "cusum_drift": SQL_CUSUM_DRIFT,
+    "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
 }

@@ -1363,6 +1363,97 @@ SELECT item, CAST(rk AS BIGINT) AS rk, next_item, cnt FROM (
 """
 
 
+COOCCUR_MIN_USERS = 3
+
+
+def q_item_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-pair association LIFT over user co-occurrence sets — the
+    set-based covisitation channel next to item_transitions' sequential
+    one ("users who touch X also touch Y", order-free).  Lift is PMI's
+    argument before the log: lift_ppm = floor(n_ab * N * 1e6 /
+    (n_a * n_b)) on exact user counts, so the association score is pure
+    integer algebra — no ln() ulp to absorb, hash-exact in both engines
+    (> 1e6 ppm means the pair co-occurs more than independence predicts).
+
+    Scale: baskets are distinct (user, item) rows — ONE dedup exchange
+    reused by BOTH sides of the self-join (ReusedExchange, user-keyed),
+    so pair generation is Sigma basket² per user (vocabulary-bounded),
+    never corpus²; pair counts collapse map-side to an item²-bounded
+    dictionary; the per-item totals and the 1-row user count broadcast
+    in. Support floor n_ab >= COOCCUR_MIN_USERS keeps the tail noise
+    out."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    # materialize the deduped basket frame ONCE (lazy localCheckpoint):
+    # four consumers (both self-join sides, the item totals, the user
+    # count) would otherwise each re-scan the corpus — AQE replans each
+    # subtree independently, so the identical distinct exchanges are NOT
+    # reused across them (measured: 5 parquet scans without the pin)
+    ui = ev.filter(F.col("item").isNotNull()).distinct().localCheckpoint(eager=False)
+    n_users = ui.agg(F.count_distinct("user_id").alias("_nu"))
+    item_cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))
+    pairs = (
+        ui.alias("a")
+        .join(ui.alias("b"), "user_id")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= COOCCUR_MIN_USERS)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                item_cnt.select(F.col("item").alias("item_a"), F.col("n_i").alias("n_a"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_cnt.select(F.col("item").alias("item_b"), F.col("n_i").alias("n_b"))
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST((CAST(n_ab AS DECIMAL(38,0)) * _nu * 1000000)"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+SQL_ITEM_COOCCUR_LIFT = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ui),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM ui GROUP BY 1),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {COOCCUR_MIN_USERS}
+)
+SELECT item_a, item_b, n_ab, ca.n_i AS n_a, cb.n_i AS n_b,
+       CAST(CAST(n_ab AS HUGEINT) * (SELECT n_users FROM nu) * 1000000
+            // (CAST(ca.n_i AS HUGEINT) * cb.n_i) AS BIGINT) AS lift_ppm
+FROM p JOIN ic ca ON p.item_a = ca.item JOIN ic cb ON p.item_b = cb.item
+"""
+
+
 # ---------------------------------------------------------------------------
 # Skew-proof aggregation (salted two-stage) — value-identical to plain GROUP BY
 # ---------------------------------------------------------------------------
@@ -1417,6 +1508,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_recall": q_ivfpq_recall,
     "ivfpq_kmeans_recall": q_ivfpq_kmeans_recall,
     "item_transitions": q_item_transitions,
+    "item_cooccur_lift": q_item_cooccur_lift,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -1446,4 +1538,5 @@ ORACLES_EXT: dict[str, str] = {
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ivfpq_recall": SQL_IVFPQ_RECALL,
     "item_transitions": SQL_ITEM_TRANSITIONS,
+    "item_cooccur_lift": SQL_ITEM_COOCCUR_LIFT,
 }

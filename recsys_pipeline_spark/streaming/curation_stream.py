@@ -2124,3 +2124,56 @@ def exact_percentiles_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def cusum_drift_stream(
+    stream: DataFrame,
+    out_dir: str,
+    daily_dir: str,
+) -> None:
+    """CUSUM drift detection online — ORDER-FREE class: state is the per
+    (user, day) spend-cents total as SUM-MERGEABLE delta rows (plain
+    ``compact_state`` applies; any arrival order folds to the same daily
+    series).  Every epoch re-runs the SHARED ``timeseries.cusum_drift``
+    operator on the merged daily state, so each epoch's full report
+    equals batch ``q_cusum_drift`` on the events seen so far — prefix
+    parity in delivery order.  A retroactive re-statement is inherent to
+    CUSUM (a new day shifts every day's mean-relative increments), which
+    is why the emission is the full prefix report, not a delta.
+
+    State bounds: one row per active (user, day) per epoch — the
+    calendar support, never raw events.
+    """
+    from recsys_pipeline_spark.operators import timeseries
+    from recsys_pipeline_spark.queries_analytics import CUSUM_H
+
+    us_day = timeseries.US_PER_DAY
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(
+                "user_id",
+                F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {us_day}").alias(
+                    "day"
+                ),
+                F.round(F.col("value") * 100).cast("long").alias("v_c"),
+            )
+            .groupBy("user_id", "day")
+            .agg(F.sum("v_c").alias("spend_c"))
+        )
+        _write_epoch(delta, daily_dir, epoch_id)
+        merged = (
+            _read_state(spark, daily_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("user_id", "day")
+            .agg(F.sum("spend_c").alias("spend_c"))
+        )
+        report = timeseries.cusum_drift(
+            merged, "user_id", "day", "spend_c", h=CUSUM_H
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -788,3 +788,104 @@ def test_exact_mad_planted(spark, tmp_path):
     df.drop("value").join(m, "event_id").write.parquet(sf + "/events.parquet")
     r = q_exact_mad(spark, sf).first()
     assert (int(r["median_cents"]), int(r["mad_cents"]), int(r["n"])) == (200, 100, 5)
+
+
+def test_cusum_drift_operator_matches_textbook_recurrence(spark):
+    """The prefix-sum-minus-running-min identity must equal the textbook
+    recurrence C_i = max(0, C_{i-1} + (x_i - mu)) scaled by n, and the
+    flag must fire exactly where C > h*n*sigma: a sustained 5x level
+    shift flags (from the day the cumulative excess crosses 5 sigmas),
+    while a constant series and a single-day user never do."""
+    from recsys_pipeline_spark.operators.timeseries import cusum_drift
+
+    series = {
+        1: [1000] * 20 + [5000] * 10,  # calm then sustained shift
+        2: [700] * 15,                 # constant -> C = 0 everywhere
+        3: [123],                      # single observation
+    }
+    rows = [(u, d, v) for u, xs in series.items() for d, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id long, day long, spend_c long")
+    got = {
+        (int(r["user_id"]), int(r["day"])): (int(r["cusum_nx"]), int(r["is_drift"]))
+        for r in cusum_drift(df, "user_id", "day", "spend_c", h=5).collect()
+    }
+
+    for u, xs in series.items():
+        n, s = len(xs), sum(xs)
+        q = sum(v * v for v in xs)
+        var_scaled = n * q - s * s  # n^2 * sigma^2
+        c = 0
+        for d, v in enumerate(xs):
+            c = max(0, c + (n * v - s))  # textbook recurrence, scaled by n
+            want_flag = 1 if (c > 0 and c * c > 25 * var_scaled) else 0
+            assert got[(u, d)] == (c, want_flag), (u, d)
+    # the planted shift fires on elevated days 4..10 (cumulative excess
+    # crosses 5 sigmas on the 4th elevated day), never on calm days
+    flagged = sorted(d for (u, d), (_, f) in got.items() if u == 1 and f)
+    assert flagged == list(range(23, 30))
+    assert all(got[(2, d)] == (0, 0) for d in range(15))
+    assert got[(3, 0)] == (0, 0)
+
+
+def test_rolling_active_users_planted_window_and_stickiness(spark, tmp_path):
+    """Hand-computed DAU/WAU: activity on days 0 (users 1,2), 2 (user 3)
+    and 8 (user 2). Each activity is visible for 7 days clipped at the
+    global max day; days with zero trailing actives emit no row; the
+    stickiness is exact integer ppm."""
+    from recsys_pipeline_spark.queries_analytics import q_rolling_active_users
+
+    day = 86_400
+    rows = [
+        (1, 1, 0 * day + 10, "view"),
+        (2, 2, 0 * day + 20, "view"),
+        (3, 2, 0 * day + 30, "view"),  # same (user, day): dedups
+        (4, 3, 2 * day + 10, "view"),
+        (5, 2, 8 * day + 10, "view"),
+    ]
+    sf = str(tmp_path / "rau")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        int(r["day"]): (int(r["dau"]), int(r["wau"]), int(r["stickiness_ppm"]))
+        for r in q_rolling_active_users(spark, sf).collect()
+    }
+    assert got == {
+        0: (2, 2, 1000000),
+        1: (0, 2, 0),
+        2: (1, 3, 333333),
+        3: (0, 3, 0),
+        4: (0, 3, 0),
+        5: (0, 3, 0),
+        6: (0, 3, 0),
+        7: (0, 1, 0),   # only user 3's day-2 activity still visible
+        8: (1, 2, 500000),
+    }
+
+
+def test_item_cooccur_lift_planted_support_and_independence(spark, tmp_path):
+    """Three of four users share items {1,2} -> the pair passes the
+    support floor with lift = 3*4/(3*3) = 1.333x (1333333 ppm); pairs
+    involving the fourth user's solo item never reach support 3; repeat
+    events of the same (user, item) dedup before counting."""
+    import json
+
+    from recsys_pipeline_spark.queries_ext import q_item_cooccur_lift
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for item in (1, 2):
+            for _ in range(2):  # repeats must not inflate counts
+                eid += 1
+                rows.append((eid, u, 100 * eid, "view", 0.0, json.dumps({"k": item})))
+    eid += 1
+    rows.append((eid, 4, 100 * eid, "view", 0.0, json.dumps({"k": 3})))
+    import datetime
+    df = spark.createDataFrame(
+        [(e, datetime.datetime.utcfromtimestamp(t), u, et, v, p)
+         for e, u, t, et, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "lift")
+    df.write.parquet(sf + "/events.parquet")
+    out = [tuple(r) for r in q_item_cooccur_lift(spark, sf).collect()]
+    assert out == [(1, 2, 3, 3, 3, 1333333)]

@@ -139,6 +139,15 @@ CAPS = {
     # per-value agg + range-partitioned prefix; no global sort to regress
     "exact_mad": 4.0,        # measured 1.2 — two selection passes, each
     # the exact_percentiles shape (per-value agg + partitioned prefix)
+    # round 15 (measured quiet ratios 1.3-2.1)
+    "cusum_drift": 4.0,      # measured 1.3 — daily agg + ONE user exchange
+    # carrying the full-partition stats and both running windows
+    "rolling_active_users": 5.0,  # measured 2.1 — the bounded 7-day
+    # fan-out of the per-day-deduped frame; replication adds users, never
+    # days, so the fan-out frame scales linearly and the output stays
+    # timeline-bounded
+    "item_cooccur_lift": 4.0,  # measured 1.6 — basket self-join off ONE
+    # materialized dedup; pair work is item-vocabulary-bounded
     "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
     # query's WORST case: every doc gains 7 exact copies, so any doc with
     # an eval-designated replica becomes a true near-dup hit (flags grow
@@ -210,7 +219,7 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     """Replicated inputs must give ~8x outputs for the per-row queries — a
     quadratic blow-up (or a silently dropped replica) fails loudly."""
     q = _queries()
-    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly", "scd2_dim_join"]:
+    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly", "scd2_dim_join", "cusum_drift"]:
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == REPLICAS * n1, (name, n1, n8)
@@ -218,10 +227,22 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     # name-vocabulary functions and replication keeps the vocabulary fixed;
     # the concurrency timeline is hour-bounded (replication adds users, not
     # hours) — each must stay EXACTLY constant
-    for name in ["fuzzy_part_pairs", "fuzzy_name_clusters", "peak_concurrency"]:
+    for name in ["fuzzy_part_pairs", "fuzzy_name_clusters", "peak_concurrency", "rolling_active_users"]:
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == n1, (name, n1, n8)
+    # lift is a RATIO of co-occurrence to independence: counts and the
+    # user total all scale by 8, so every pair's lift_ppm must be
+    # bit-identical (and the pair set vocabulary-bounded -> constant)
+    lift1 = {
+        (r["item_a"], r["item_b"]): r["lift_ppm"]
+        for r in q["item_cooccur_lift"](spark, SF1).collect()
+    }
+    lift8 = {
+        (r["item_a"], r["item_b"]): r["lift_ppm"]
+        for r in q["item_cooccur_lift"](spark, sf8_dir).collect()
+    }
+    assert lift1 == lift8
     # rank_auc_det is a one-row metric at any scale
     assert q["rank_auc_det"](spark, SF1).count() == 1
     assert q["rank_auc_det"](spark, sf8_dir).count() == 1

@@ -2436,3 +2436,72 @@ def test_streaming_exact_percentiles_prefix_parity_any_order(spark, tmp_path):
     assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
         q_exact_percentiles(spark, sf)
     )
+
+
+def test_streaming_cusum_drift_prefix_parity_any_order(spark, tmp_path):
+    """The CUSUM twin is ORDER-FREE: per-(user, day) spend deltas are
+    sum-mergeable, so even REVERSED arrival folds to the same daily
+    series, and every epoch's full report equals batch q_cusum_drift on
+    the set of events seen so far (CUSUM re-states the whole prefix by
+    construction — a new day shifts every increment's mean)."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_cusum_drift
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    early = ev.filter(ts_us <= t_med)
+    late = ev.filter(ts_us > t_med)
+    src = str(tmp_path / "cu_src")
+    late.coalesce(1).write.parquet(src)  # REVERSED: late half arrives first
+    time.sleep(1.5)
+    early.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "cu_out")
+    daily = str(tmp_path / "cu_daily")
+    cs.cusum_drift_stream(stream, out, daily)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            (int(r["user_id"]), int(r["day"])): (int(r["cusum_nx"]), int(r["is_drift"]))
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "cu_prefix")
+    late.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_cusum_drift(spark, prefix_dir)
+    )
+    assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
+        q_cusum_drift(spark, sf)
+    )
+    # state is sum-mergeable: compaction must not change what a future
+    # epoch reads (the horizon clamps to the newest epoch, which stays a
+    # live delta — it may be an uncommitted first attempt)
+    def merged_daily():
+        return {
+            (int(r["user_id"]), int(r["day"])): int(r["spend_c"])
+            for r in spark.read.parquet(daily)
+            .groupBy("user_id", "day")
+            .agg(F.sum("spend_c").alias("spend_c"))
+            .collect()
+        }
+
+    before = merged_daily()
+    cs.compact_state(spark, daily, before_epoch=epochs[-1] + 1)
+    assert merged_daily() == before
+    assert set(
+        r["_epoch"]
+        for r in spark.read.parquet(daily).select("_epoch").distinct().collect()
+    ) == {-1, epochs[-1]}
