@@ -79,3 +79,99 @@ def salted_join(
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    threshold_ppm: int,
+    summary_k: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters by sketch-then-verify — every key whose global
+    share is >= ``threshold_ppm``, with its exact count.  The hot-key
+    DETECTION primitive next to this module's mitigation primitives (you
+    salt the keys this operator finds), and the first pass every frequent-
+    items / stop-gram / celebrity-vertex analysis runs at corpus scale.
+
+    Why not one groupBy: at 100 TB the key vocabulary (URLs, n-grams,
+    user ids) can be billions of distinct values, and a full count shuffles
+    ALL of them to find the few hundred frequent ones.  The classic fix
+    (Misra-Gries / Space-Saving + mergeable-summaries, Agarwal et al. 2012):
+
+      pass 1 — each partition streams its rows through a capacity-k
+        Misra-Gries summary inside ONE Arrow-batched ``mapInPandas``
+        (dict state across batches; per Arrow batch the update is a
+        vectorized value_counts merge followed by the standard reduce:
+        subtract the (k+1)-th largest count from all and drop the
+        non-positive).  Output: <= k candidate keys per partition —
+        KILOBYTES per task, no shuffle of the raw key stream.
+      pass 2 — candidates (<= partitions * k rows) collapse to a distinct
+        set, broadcast back, and ONLY matching rows aggregate to exact
+        counts: the one exchange carries candidate keys alone.
+
+    Guarantee: a key with global count >= N/k is, by averaging, locally
+    >= n_p/k on some partition, and a capacity-k MG summary keeps every
+    key with local count > n_p/(k+1) — so candidates ⊇ true hitters
+    whenever threshold_ppm > 1e6/k.  The default capacity 2e6/threshold
+    doubles that margin.  The summary CONTENT depends on arrival order
+    (it is a sketch), but the verified output does not: pass 2 thresholds
+    on exact counts, so extra candidates are filtered and true hitters
+    are guaranteed present — deterministic end to end.
+
+    -> (key_col, cnt, share_ppm), share in exact integer ppm.
+    """
+    if summary_k is None:
+        summary_k = max(16, (2_000_000 + threshold_ppm - 1) // threshold_ppm)
+    if threshold_ppm * summary_k <= 1_000_000:
+        raise ValueError(
+            f"summary_k={summary_k} cannot guarantee threshold_ppm="
+            f"{threshold_ppm}: need threshold_ppm > 1e6/k"
+        )
+    k = summary_k
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[key_col].dropna().value_counts()
+            for key, c in vc.items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > k:
+                # mergeable-summaries reduce: subtract the (k+1)-th
+                # largest count, drop the non-positive remainder
+                kth = sorted(counts.values(), reverse=True)[k]
+                counts = {key: c - kth for key, c in counts.items() if c > kth}
+        yield pd.DataFrame({key_col: list(counts.keys())})
+
+    cands = (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .mapInPandas(mg_summaries, schema=f"{key_col} string")
+        .distinct()
+    )
+    dec = "decimal(38,0)"
+    n_total = df.select(
+        F.count(F.col(key_col)).cast(dec).alias("_n")
+    )
+    exact = (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .join(F.broadcast(cands), key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(
+            F.col("cnt").cast(dec) * F.lit(1_000_000)
+            >= F.col("_n") * F.lit(threshold_ppm)
+        )
+        .select(
+            key_col,
+            F.col("cnt").cast("long").alias("cnt"),
+            # DIV, not /: decimal division rounds at its result scale,
+            # which can disagree with the oracle's integer floor
+            F.expr(
+                "CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) DIV _n AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -1694,6 +1694,174 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 20
 """
 
 
+HH_THRESHOLD_PPM = 1500  # 54 of 916 bigrams qualify at sf0.01 — the
+# selection genuinely bites (31-token vocabulary makes UNIGRAMS all-hitters)
+
+
+def q_heavy_hitter_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent word-bigrams with EXACT counts, found by
+    sketch-then-verify (operators/skew.heavy_hitters_exact): per-partition
+    Misra-Gries summaries inside one Arrow-batched mapInPandas produce a
+    bounded candidate set, and only candidate keys aggregate exactly — the
+    raw gram stream never shuffles.  The hot-key DETECTION primitive (the
+    stop-gram lists, boilerplate seeds, and celebrity-vertex guards other
+    operators take as inputs start exactly here), exact end to end, so the
+    oracle is the plain GROUP BY ... HAVING."""
+    from recsys_pipeline_spark.operators import skew
+
+    d = read_table(spark, sf_dir, "documents")
+    grams = curation.word_gram_rows(d, "doc_id", "text", 2).select("gram")
+    return skew.heavy_hitters_exact(grams, "gram", HH_THRESHOLD_PPM)
+
+
+_GRAM_LIST_2 = (
+    "list_transform(range(1, greatest(len(toks) - 1, 0) + 1),"
+    " i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+SQL_HEAVY_HITTER_GRAMS = f"""
+WITH hht AS (SELECT {_TOKENS} AS toks FROM documents),
+hhg AS (SELECT unnest({_GRAM_LIST_2}) AS gram FROM hht),
+hhc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM hhg GROUP BY 1),
+hhn AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n FROM hhc)
+SELECT gram, cnt,
+       CAST(CAST(cnt AS HUGEINT) * 1000000 // (SELECT n FROM hhn) AS BIGINT)
+         AS share_ppm
+FROM hhc
+WHERE CAST(cnt AS HUGEINT) * 1000000 >= (SELECT n FROM hhn) * {HH_THRESHOLD_PPM}
+"""
+
+
+RRF_K = 60       # the standard reciprocal-rank-fusion constant
+RRF_CH_K = 20    # per-channel depth
+RRF_TOPK = 10    # fused output depth
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval rank fusion (reciprocal rank fusion, Cormack et
+    al. 2009 — the fusion Elasticsearch/OpenSearch hybrid search ships):
+    the BM25 channel's top-20 and a TF-IDF dot-product channel's top-20
+    for the same query terms fuse by rrf_ppm = sum over channels of
+    floor(1e6 / (RRF_K + rank)), missing channels contributing 0; top-10
+    by (rrf_ppm desc, doc_id).  Each channel's score keeps the house ln()
+    discipline (6 dp rounding, rank ties broken by doc_id), and the
+    FUSION itself is exact integer algebra on the resulting ranks — the
+    two channels genuinely disagree (BM25 saturates tf and normalizes by
+    length; the dot product does neither), which is the point of fusing.
+
+    Scale: both channels filter the exploded token stream to the query's
+    terms BEFORE aggregating (one corpus pass via bm25_facts' checkpointed
+    base), df/stats broadcast; the fusion full-outer join runs on two
+    20-row frames."""
+    from recsys_pipeline_spark.operators.text import bm25_facts, bm25_topk_from_facts
+
+    d = read_table(spark, sf_dir, "documents")
+    tfdl, stats = bm25_facts(d, "doc_id", "text", BM25_TERMS)
+    tfdl = tfdl.localCheckpoint(eager=False)  # both channels + df read it
+
+    ch1 = bm25_topk_from_facts(
+        tfdl, stats, "doc_id", BM25_TERMS, BM25_K1, BM25_B, RRF_CH_K
+    )
+    w1 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    r1 = ch1.select("doc_id", F.row_number().over(w1).alias("bm25_rank"))
+
+    df_ = tfdl.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    sc = (
+        tfdl.join(F.broadcast(df_), "term")
+        .crossJoin(
+            F.broadcast(stats.select(F.col("n_docs").cast("double").alias("_nd")))
+        )
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf").cast("double") * F.log(F.col("_nd") / F.col("df"))).alias("_s"),
+        )
+    )
+    per_doc = sc.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_t{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        score = score + F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
+    ch2 = (
+        per_doc.select("doc_id", F.round(score, 6).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc())
+        .limit(RRF_CH_K)
+    )
+    w2 = Window.orderBy(F.col("tfidf").desc(), F.col("doc_id"))
+    r2 = ch2.select("doc_id", F.row_number().over(w2).alias("tfidf_rank"))
+
+    fused = r1.join(r2, "doc_id", "full")
+    rrf = F.coalesce(
+        F.expr(f"1000000 DIV ({RRF_K} + bm25_rank)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"1000000 DIV ({RRF_K} + tfidf_rank)"), F.lit(0))
+    return (
+        fused.select(
+            "doc_id",
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("tfidf_rank").cast("long").alias("tfidf_rank"),
+            rrf.cast("long").alias("rrf_ppm"),
+        )
+        .orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOPK)
+    )
+
+
+SQL_HYBRID_RRF_TOPK = f"""
+WITH hyt AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+hydl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM hyt),
+hyst AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                CAST(SUM(len(toks)) AS DOUBLE) AS tot FROM hyt),
+hytr AS (SELECT doc_id, unnest(toks) AS term FROM hyt),
+hytf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hytr
+         WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term),
+hydf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM hytf GROUP BY 1),
+hysc AS (
+  SELECT f.doc_id, f.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (f.tf * {BM25_K1 + 1.0})
+           / (f.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / (s.tot / s.n_docs)))
+           AS s
+  FROM hytf f JOIN hydf d USING (term) JOIN hydl l USING (doc_id), hyst s
+),
+hyagg AS (
+  SELECT doc_id,
+         {" + ".join(f"COALESCE(SUM(s) FILTER (WHERE term = '{t}'), 0.0)" for t in BM25_TERMS)} AS score
+  FROM hysc GROUP BY doc_id
+),
+hych1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM (SELECT doc_id, round(score, 6) AS bm25 FROM hyagg
+        ORDER BY round(score, 6) DESC, doc_id LIMIT {RRF_CH_K})
+),
+hytsc AS (
+  SELECT f.doc_id, f.term, f.tf * ln(s.n_docs / d.df) AS s
+  FROM hytf f JOIN hydf d USING (term), hyst s
+),
+hytagg AS (
+  SELECT doc_id,
+         {" + ".join(f"COALESCE(SUM(s) FILTER (WHERE term = '{t}'), 0.0)" for t in BM25_TERMS)} AS score
+  FROM hytsc GROUP BY doc_id
+),
+hych2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tfidf DESC, doc_id) AS tfidf_rank
+  FROM (SELECT doc_id, round(score, 6) AS tfidf FROM hytagg
+        ORDER BY round(score, 6) DESC, doc_id LIMIT {RRF_CH_K})
+)
+SELECT doc_id,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(tfidf_rank AS BIGINT) AS tfidf_rank,
+       CAST(COALESCE(1000000 // ({RRF_K} + bm25_rank), 0)
+            + COALESCE(1000000 // ({RRF_K} + tfidf_rank), 0) AS BIGINT)
+         AS rrf_ppm
+FROM hych1 FULL JOIN hych2 USING (doc_id)
+ORDER BY rrf_ppm DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
 LINE_TOKENS = 6  # tokens per synthesized line (261 duplicate lines dropped
 # at sf0.01 — the discard genuinely bites at test scale)
 
@@ -2200,6 +2368,9 @@ QUERIES_CUR: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "profile_drift": q_profile_drift,
     "dup_max_spans": q_dup_max_spans,
+    # round-15 additions (registered past the recorded window)
+    "heavy_hitter_grams": q_heavy_hitter_grams,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }
 
 ORACLES_CUR: dict[str, str] = {
@@ -2242,4 +2413,6 @@ ORACLES_CUR: dict[str, str] = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "url_dedup": SQL_URL_DEDUP,
     "dup_max_spans": SQL_DUP_MAX_SPANS,
+    "heavy_hitter_grams": SQL_HEAVY_HITTER_GRAMS,
+    "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
 }

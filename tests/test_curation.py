@@ -941,3 +941,69 @@ def test_fuzzy_decontaminate_sub_shingle_identical_docs_flagged(spark):
         ).collect()
     }
     assert out == {train_ids[0]: (1, 1.0)}
+
+
+def test_heavy_hitters_exact_with_forced_evictions(spark):
+    """Capacity-16 summaries over ~48 distinct keys FORCE Misra-Gries
+    evictions in every partition, yet the verified output must be exactly
+    the true hitters with exact counts — and identical under a different
+    partitioning (the summary content is order-dependent, the verified
+    result is not)."""
+    from recsys_pipeline_spark.operators.skew import heavy_hitters_exact
+
+    rows = (
+        [("hot",)] * 300          # 30% of 1000
+        + [("warm",)] * 150       # 15%
+        + [("edge",)] * 100       # exactly 10% — >= threshold keeps it
+        + [(f"noise{i % 45}",) for i in range(450)]  # 45 keys at 1%
+    )
+    df = spark.createDataFrame(rows, "k string")
+    want = {"hot": (300, 300000), "warm": (150, 150000), "edge": (100, 100000)}
+    for parts in (3, 17):
+        got = {
+            r["k"]: (int(r["cnt"]), int(r["share_ppm"]))
+            for r in heavy_hitters_exact(
+                df.repartition(parts), "k", threshold_ppm=100_000, summary_k=16
+            ).collect()
+        }
+        assert got == want, (parts, got)
+
+
+def test_heavy_hitters_guard_rejects_unsound_capacity(spark):
+    """threshold_ppm <= 1e6/k voids the summary guarantee — the operator
+    must refuse instead of silently missing hitters."""
+    import pytest as _pytest
+
+    from recsys_pipeline_spark.operators.skew import heavy_hitters_exact
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "k", threshold_ppm=1000, summary_k=1000)
+
+
+def test_hybrid_rrf_fusion_arithmetic_and_channel_membership(spark):
+    """The fused score must recompute exactly from the emitted ranks
+    (floor(1e6/(60+rank)) per present channel), every output doc must come
+    from at least one channel's top-20, the output must be rrf-descending,
+    and the two channels must genuinely DISAGREE somewhere at sf0.01
+    (otherwise the fusion tests nothing)."""
+    from recsys_pipeline_spark.queries_curation import q_hybrid_rrf_topk
+
+    out = q_hybrid_rrf_topk(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 10
+    scores = []
+    disagreement = False
+    for r in out:
+        b, t = r["bm25_rank"], r["tfidf_rank"]
+        assert b is not None or t is not None
+        want = (1_000_000 // (60 + b) if b is not None else 0) + (
+            1_000_000 // (60 + t) if t is not None else 0
+        )
+        assert int(r["rrf_ppm"]) == want
+        if b is not None and t is not None and b != t:
+            disagreement = True
+        if b is None or t is None:
+            disagreement = True
+        scores.append(int(r["rrf_ppm"]))
+    assert scores == sorted(scores, reverse=True)
+    assert disagreement

@@ -148,6 +148,11 @@ CAPS = {
     # timeline-bounded
     "item_cooccur_lift": 4.0,  # measured 1.6 — basket self-join off ONE
     # materialized dedup; pair work is item-vocabulary-bounded
+    "heavy_hitter_grams": 4.0,  # measured 1.2 — per-partition MG summaries
+    # bound pass 1's output at partitions x k; pass 2 shuffles candidate
+    # keys only
+    "hybrid_rrf_topk": 4.0,  # measured 1.3 — both channels filter to query
+    # terms before aggregating; the fusion joins two 20-row frames
     "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
     # query's WORST case: every doc gains 7 exact copies, so any doc with
     # an eval-designated replica becomes a true near-dup hit (flags grow
@@ -243,6 +248,20 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
         for r in q["item_cooccur_lift"](spark, sf8_dir).collect()
     }
     assert lift1 == lift8
+    # heavy hitters: replication preserves every gram's SHARE exactly, so
+    # the hitter set and share_ppm are invariant while counts scale by 8
+    hh1 = {
+        r["gram"]: (r["cnt"], r["share_ppm"])
+        for r in q["heavy_hitter_grams"](spark, SF1).collect()
+    }
+    hh8 = {
+        r["gram"]: (r["cnt"], r["share_ppm"])
+        for r in q["heavy_hitter_grams"](spark, sf8_dir).collect()
+    }
+    assert set(hh1) == set(hh8)
+    assert all(hh8[g] == (8 * hh1[g][0], hh1[g][1]) for g in hh1)
+    # rank fusion emits a fixed-depth list at any scale
+    assert q["hybrid_rrf_topk"](spark, sf8_dir).count() == 10
     # rank_auc_det is a one-row metric at any scale
     assert q["rank_auc_det"](spark, SF1).count() == 1
     assert q["rank_auc_det"](spark, sf8_dir).count() == 1
