@@ -274,3 +274,41 @@ def cusum_drift(
         c.cast("long").alias("cusum_nx"),
         F.when((c > 0) & (c * c > rhs), 1).otherwise(0).cast("int").alias("is_drift"),
     )
+
+
+def active_users_report(ud: DataFrame, window_days: int) -> DataFrame:
+    """DAU / trailing-``window_days`` distinct actives (WAU) / stickiness
+    ppm per day from a DISTINCT (user_id, day) activity frame — shared
+    verbatim by the registered query and its streaming twin (whose state
+    IS this frame as append-once deltas).
+
+    The trailing distinct-count is the scale-critical choice: each
+    activity row CONTRIBUTES to the <= window_days target days it is
+    visible from (a bounded explode of the per-day-deduped frame), then
+    one count_distinct per target day — never a range self-join or a
+    distinct-over-RANGE window, neither of which distributes.  The
+    day-span clip rides a broadcast 1-row max.
+    """
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    mx = ud.agg(F.max("day").alias("_dmax"))
+    contrib = ud.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.col("day") + F.lit(window_days - 1), F.col("_dmax")),
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+        .withColumn(
+            "stickiness_ppm", F.expr("dau * 1000000 DIV wau").cast("long")
+        )
+    )

@@ -1215,29 +1215,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         "user_id", F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day")
     ).distinct()
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    mx = ud.agg(F.max("day").alias("_dmax"))
-    contrib = ud.crossJoin(F.broadcast(mx)).select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("day"),
-                F.least(F.col("day") + F.lit(RAU_WINDOW_DAYS - 1), F.col("_dmax")),
-            )
-        ).alias("day"),
-    )
-    wau = contrib.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
-    return (
-        wau.join(dau, "day", "left")
-        .select(
-            "day",
-            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
-            F.col("wau").cast("long").alias("wau"),
-        )
-        .withColumn(
-            "stickiness_ppm", F.expr("dau * 1000000 DIV wau").cast("long")
-        )
-    )
+    return timeseries.active_users_report(ud, window_days=RAU_WINDOW_DAYS)
 
 
 SQL_ROLLING_ACTIVE_USERS = f"""

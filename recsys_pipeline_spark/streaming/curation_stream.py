@@ -2177,3 +2177,104 @@ def cusum_drift_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def rolling_active_users_stream(
+    stream: DataFrame,
+    out_dir: str,
+    pairs_dir: str,
+) -> None:
+    """DAU / trailing-WAU / stickiness online — ORDER-FREE class: state is
+    the distinct (user_id, day) activity set as APPEND-ONCE deltas (a set
+    union is order-free, so any arrival order folds to the same frame;
+    plain ``compact_state`` applies).  Every epoch re-runs the SHARED
+    ``timeseries.active_users_report`` on the merged set, so each epoch's
+    full report equals batch ``q_rolling_active_users`` on the events
+    seen so far.  The retroactive re-statement is inherent: a new
+    activity day extends the global day span and feeds the trailing
+    windows of the <= 7 days after it.
+
+    State bounds: one row per NEW (user, day) per epoch — the activity
+    support, never raw events.
+    """
+    from recsys_pipeline_spark.operators import timeseries
+    from recsys_pipeline_spark.queries_analytics import RAU_WINDOW_DAYS
+
+    us_day = timeseries.US_PER_DAY
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        pairs = batch.select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {us_day}").alias("day"),
+        ).distinct()
+        prior = _read_state(spark, pairs_dir, pairs, epoch_id)
+        delta = pairs.join(prior, ["user_id", "day"], "left_anti")
+        _write_epoch(delta, pairs_dir, epoch_id)
+        merged = prior.unionByName(delta)
+        report = timeseries.active_users_report(
+            merged, window_days=RAU_WINDOW_DAYS
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)
+
+
+def heavy_hitter_grams_stream(
+    stream: DataFrame,
+    out_dir: str,
+    counts_dir: str,
+) -> None:
+    """Frequent word-bigrams online — ORDER-FREE class: state is the
+    per-gram occurrence count as SUM-MERGEABLE deltas (gram-vocabulary-
+    bounded; plain ``compact_state`` applies).  Ingest needs NO sketch:
+    the per-batch gram mining (shared ``curation.word_gram_rows``, the
+    batch operator's pass) collapses each micro-batch to its gram
+    histogram delta — the batch side's Misra-Gries stage exists to bound
+    one pass over an unbounded CORPUS, while here each micro-batch is
+    bounded by construction and the state already is the exact histogram.
+    Every epoch thresholds the merged counts exactly, so each epoch's
+    report equals batch ``q_heavy_hitter_grams`` on the documents seen so
+    far (same exact counts, same integer share arithmetic — no
+    approximation anywhere online).
+    """
+    from recsys_pipeline_spark.operators import curation
+    from recsys_pipeline_spark.queries_curation import HH_THRESHOLD_PPM
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            curation.word_gram_rows(batch, "doc_id", "text", 2)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _write_epoch(delta, counts_dir, epoch_id)
+        merged = (
+            _read_state(spark, counts_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("gram")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        dec = "decimal(38,0)"
+        n_total = merged.agg(F.sum(F.col("cnt").cast(dec)).alias("_n"))
+        report = (
+            merged.crossJoin(F.broadcast(n_total))
+            .filter(
+                F.col("cnt").cast(dec) * F.lit(1_000_000)
+                >= F.col("_n") * F.lit(HH_THRESHOLD_PPM)
+            )
+            .select(
+                "gram",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.expr(
+                    "CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) DIV _n AS BIGINT)"
+                ).alias("share_ppm"),
+            )
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

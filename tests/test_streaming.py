@@ -2505,3 +2505,101 @@ def test_streaming_cusum_drift_prefix_parity_any_order(spark, tmp_path):
         r["_epoch"]
         for r in spark.read.parquet(daily).select("_epoch").distinct().collect()
     ) == {-1, epochs[-1]}
+
+
+def test_streaming_rolling_active_users_prefix_parity_any_order(spark, tmp_path):
+    """The DAU/WAU twin is ORDER-FREE: the distinct (user, day) activity
+    set is union-mergeable, so even REVERSED arrival folds to the same
+    frame and every epoch's full report equals batch
+    q_rolling_active_users on the events seen so far."""
+    import time
+
+    from recsys_pipeline_spark.queries_analytics import q_rolling_active_users
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    early = ev.filter(ts_us <= t_med)
+    late = ev.filter(ts_us > t_med)
+    src = str(tmp_path / "rau_src")
+    late.coalesce(1).write.parquet(src)  # REVERSED: late half arrives first
+    time.sleep(1.5)
+    early.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "rau_out")
+    pairs = str(tmp_path / "rau_pairs")
+    cs.rolling_active_users_stream(stream, out, pairs)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            int(r["day"]): (int(r["dau"]), int(r["wau"]), int(r["stickiness_ppm"]))
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "rau_prefix")
+    late.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_rolling_active_users(spark, prefix_dir)
+    )
+    assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
+        q_rolling_active_users(spark, sf)
+    )
+    # append-once state: re-arriving (user, day) pairs add no rows
+    n_state = spark.read.parquet(pairs).count()
+    n_true = (
+        read_table(spark, sf, "events")
+        .select("user_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+        .distinct()
+        .count()
+    )
+    assert n_state == n_true
+
+
+def test_streaming_heavy_hitter_grams_prefix_parity_any_order(spark, tmp_path):
+    """The heavy-hitters twin is ORDER-FREE (sum-mergeable gram counts) and
+    needs no sketch online: each micro-batch is bounded, so the state is
+    the exact histogram and every epoch's report equals batch
+    q_heavy_hitter_grams on the documents seen so far."""
+    from recsys_pipeline_spark.queries_curation import q_heavy_hitter_grams
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    d = read_table(spark, SF, "documents")
+    half0 = d.filter(F.col("doc_id") >= 250)  # REVERSED halves
+    half1 = d.filter(F.col("doc_id") < 250)
+    src = str(tmp_path / "hh_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "hh_out")
+    counts = str(tmp_path / "hh_counts")
+    cs.heavy_hitter_grams_stream(stream, out, counts)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            r["gram"]: (int(r["cnt"]), int(r["share_ppm"])) for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "hh_prefix")
+    half0.coalesce(1).write.parquet(f"{prefix_dir}/documents.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_heavy_hitter_grams(spark, prefix_dir)
+    )
+    assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
+        q_heavy_hitter_grams(spark, SF)
+    )
