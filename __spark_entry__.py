@@ -183,6 +183,8 @@ _DEFERRED = [
     "item_cooccur_lift",  # set-based covisitation association in exact
     # integer lift ppm (no ln() float risk); sequential channel
     # item_transitions stays the family's deferred sibling
+    "segment_quantiles",  # grouped exact quantiles on the per-(group,
+    # value) histogram — the recorded exact_percentiles kernel, grouped
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

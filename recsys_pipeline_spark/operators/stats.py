@@ -27,7 +27,7 @@ hash oracle, because sketch internals are engine-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(18,6)"
@@ -373,3 +373,61 @@ def kth_smallest(df: DataFrame, col: str, k: int) -> int:
     if row is None:
         raise ValueError(f"k={k} out of range for column {col!r}")
     return int(row[0])
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: tuple[int, ...],
+) -> DataFrame:
+    """EXACT per-group discrete quantiles (lower-rank rule: the k-th
+    smallest with k = (n-1)*p DIV 100 + 1) of an integer-valued column —
+    the grouped counterpart of the global exact_percentiles kernel.
+
+    Scale shape: the only corpus-sized operation is a map-side-combinable
+    hash aggregate to the per-(group, value) HISTOGRAM; the ordered
+    prefix window then runs on the histogram frame, which is bounded by
+    group-count x value-vocabulary, never row count — so a 5-segment,
+    billion-customer table sorts a few thousand histogram rows, not the
+    customers.  A per-group row_number over raw rows would put each
+    entire group on one reducer; this shape never does.  The k targets
+    ride a broadcast groups x pcts frame joined on the rank-membership
+    predicate (_before < k <= _before + cnt), the exact_percentiles
+    selection filter applied per group.
+
+    -> (group_col, pct, n, k, value_col) with n/k as BIGINT.
+    """
+    spark = df.sparkSession
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = hist.withColumn(
+        "_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("_n"))
+    pct_df = spark.createDataFrame([(int(p),) for p in pcts], "pct int")
+    ks = totals.crossJoin(F.broadcast(pct_df)).select(
+        F.col(group_col).alias("_g"),
+        "pct",
+        F.col("_n"),
+        F.expr("(_n - 1) * pct DIV 100 + 1").alias("_k"),
+    )
+    return (
+        pref.join(
+            F.broadcast(ks),
+            (F.col(group_col) == F.col("_g"))
+            & (F.col("_before") < F.col("_k"))
+            & (F.col("_k") <= F.col("_before") + F.col("cnt")),
+        )
+        .select(
+            group_col,
+            "pct",
+            F.col("_n").cast("long").alias("n"),
+            F.col("_k").cast("long").alias("k"),
+            value_col,
+        )
+    )

@@ -1237,6 +1237,52 @@ FROM wau w LEFT JOIN dau d USING (day)
 """
 
 
+SEG_PCTS = (50, 90)
+
+
+def q_segment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-market-segment account-balance quantiles (median + p90,
+    lower-rank rule) — the grouped counterpart of exact_percentiles,
+    computed on the per-(segment, cents) HISTOGRAM so the ordered window
+    never sees raw customer rows (operators/stats.grouped_exact_quantiles:
+    a per-group row_number over raw rows would put each whole segment on
+    one reducer; the histogram frame is segment-count x value-vocabulary
+    bounded)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    return stats.grouped_exact_quantiles(cust, "segment", "bal_c", SEG_PCTS)
+
+
+SQL_SEGMENT_QUANTILES = f"""
+WITH sq AS (
+  SELECT c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+sqh AS (SELECT segment, bal_c, CAST(count(*) AS BIGINT) AS cnt
+        FROM sq GROUP BY 1, 2),
+sqp AS (
+  SELECT segment, bal_c, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY segment ORDER BY bal_c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rows_before
+  FROM sqh
+),
+sqt AS (SELECT segment, CAST(SUM(cnt) AS BIGINT) AS n FROM sqh GROUP BY 1),
+sqk AS (
+  SELECT segment, pct, n, (n - 1) * pct // 100 + 1 AS k
+  FROM sqt, (SELECT unnest([{", ".join(str(p) for p in SEG_PCTS)}]) AS pct)
+)
+SELECT h.segment, CAST(k.pct AS INT) AS pct, k.n, CAST(k.k AS BIGINT) AS k,
+       h.bal_c
+FROM sqp h JOIN sqk k
+  ON h.segment = k.segment
+ AND h.rows_before < k.k AND k.k <= h.rows_before + h.cnt
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -1261,6 +1307,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ols_qty_price": q_ols_qty_price,
     "cusum_drift": q_cusum_drift,
     "rolling_active_users": q_rolling_active_users,
+    "segment_quantiles": q_segment_quantiles,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1287,4 +1334,5 @@ ORACLES_AN: dict[str, str] = {
     "exact_mad": SQL_EXACT_MAD,
     "cusum_drift": SQL_CUSUM_DRIFT,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+    "segment_quantiles": SQL_SEGMENT_QUANTILES,
 }

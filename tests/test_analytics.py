@@ -889,3 +889,32 @@ def test_item_cooccur_lift_planted_support_and_independence(spark, tmp_path):
     df.write.parquet(sf + "/events.parquet")
     out = [tuple(r) for r in q_item_cooccur_lift(spark, sf).collect()]
     assert out == [(1, 2, 3, 3, 3, 1333333)]
+
+
+def test_grouped_exact_quantiles_planted_ties_and_plan(spark):
+    """Hand-computed lower-rank quantiles per group on a tied frame, and
+    the scale shape: the ordered window must consume the per-(group,
+    value) HISTOGRAM aggregate, never raw rows (a per-group row_number
+    over raw rows puts each whole group on one reducer)."""
+    from recsys_pipeline_spark.operators.stats import grouped_exact_quantiles
+
+    rows = (
+        [("a", 1)] * 4 + [("a", 2)] * 4 + [("a", 9)] * 2  # n=10
+        + [("b", 7)]                                       # n=1
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = grouped_exact_quantiles(df, "g", "v", (50, 90))
+    got = {
+        (r["g"], int(r["pct"])): (int(r["n"]), int(r["k"]), int(r["v"]))
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 50): (10, 5, 2),   # k = 9*50//100+1 = 5 -> 5th smallest = 2
+        ("a", 90): (10, 9, 9),   # k = 9*90//100+1 = 9 -> 9
+        ("b", 50): (1, 1, 7),
+        ("b", 90): (1, 1, 7),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window's child chain must contain the histogram hash aggregate
+    # (partial+final) before any Window node sees data
+    assert "Window" in plan and "HashAggregate" in plan

@@ -35,6 +35,9 @@ SHIFT = {
     # bounded-dictionary property (bpe_train's), which is exactly the claim
     # the fuzzy caps pin
     "part": ["p_partkey"],
+    # round 15: segment_quantiles reads customer; shifted custkeys scale
+    # per-segment counts 8x while the balance-value vocabulary stays fixed
+    "customer": ["c_custkey"],
 }
 
 # query name -> wall-time ratio cap at 8x (PLANS.md measured ratio x ~1.5)
@@ -153,6 +156,8 @@ CAPS = {
     # keys only
     "hybrid_rrf_topk": 4.0,  # measured 1.3 — both channels filter to query
     # terms before aggregating; the fusion joins two 20-row frames
+    "segment_quantiles": 4.0,  # measured 0.9 — the ordered window runs on
+    # the (segment, value) histogram, never raw customer rows
     "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
     # query's WORST case: every doc gains 7 exact copies, so any doc with
     # an eval-designated replica becomes a true near-dup hit (flags grow
@@ -262,6 +267,14 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     assert all(hh8[g] == (8 * hh1[g][0], hh1[g][1]) for g in hh1)
     # rank fusion emits a fixed-depth list at any scale
     assert q["hybrid_rrf_topk"](spark, sf8_dir).count() == 10
+    # grouped quantiles: one row per (segment, pct) at any scale, group
+    # sizes scale by 8. (The lower-rank VALUE is deliberately not pinned:
+    # k = (8n-1)*p DIV 100 + 1 can legitimately shift one order statistic
+    # under replication when values are nearly unique.)
+    sq1 = {(r["segment"], r["pct"]): r["n"] for r in q["segment_quantiles"](spark, SF1).collect()}
+    sq8 = {(r["segment"], r["pct"]): r["n"] for r in q["segment_quantiles"](spark, sf8_dir).collect()}
+    assert set(sq1) == set(sq8) and len(sq1) == 10
+    assert all(sq8[k] == 8 * sq1[k] for k in sq1)
     # rank_auc_det is a one-row metric at any scale
     assert q["rank_auc_det"](spark, SF1).count() == 1
     assert q["rank_auc_det"](spark, sf8_dir).count() == 1
