@@ -133,8 +133,11 @@ def heavy_hitters_exact(
         import pandas as pd
 
         counts: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
-            vc = pdf[key_col].dropna().value_counts()
+            vals = pdf[key_col].dropna()
+            n_rows += int(len(vals))
+            vc = vals.value_counts()
             for key, c in vc.items():
                 counts[key] = counts.get(key, 0) + int(c)
             if len(counts) > k:
@@ -142,17 +145,24 @@ def heavy_hitters_exact(
                 # largest count, drop the non-positive remainder
                 kth = sorted(counts.values(), reverse=True)[k]
                 counts = {key: c - kth for key, c in counts.items() if c > kth}
-        yield pd.DataFrame({key_col: list(counts.keys())})
+        # the partition's row total rides the SAME pass as a key=NULL row:
+        # a separate count() consumer would re-scan the corpus a third
+        # time (heavy hitters is a 2-pass problem — keep it 2 passes)
+        yield pd.DataFrame(
+            {
+                key_col: list(counts.keys()) + [None],
+                "_prows": [0] * len(counts) + [n_rows],
+            }
+        )
 
-    cands = (
+    summ = (
         df.select(F.col(key_col).cast("string").alias(key_col))
-        .mapInPandas(mg_summaries, schema=f"{key_col} string")
-        .distinct()
+        .mapInPandas(mg_summaries, schema=f"{key_col} string, _prows long")
+        .localCheckpoint(eager=False)  # partitions*k rows, two consumers
     )
+    cands = summ.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
     dec = "decimal(38,0)"
-    n_total = df.select(
-        F.count(F.col(key_col)).cast(dec).alias("_n")
-    )
+    n_total = summ.agg(F.sum("_prows").cast(dec).alias("_n"))
     exact = (
         df.select(F.col(key_col).cast("string").alias(key_col))
         .join(F.broadcast(cands), key_col)

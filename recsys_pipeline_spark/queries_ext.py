@@ -1392,6 +1392,14 @@ def q_item_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree independently, so the identical distinct exchanges are NOT
     # reused across them (measured: 5 parquet scans without the pin)
     ui = ev.filter(F.col("item").isNotNull()).distinct().localCheckpoint(eager=False)
+    return item_lift_from_pairs(ui)
+
+
+def item_lift_from_pairs(ui: DataFrame) -> DataFrame:
+    """Lift report from a DISTINCT (user_id, item) basket frame — shared
+    verbatim by q_item_cooccur_lift and its streaming twin (whose state IS
+    this frame as append-once deltas). The caller materializes ``ui`` when
+    several consumers would otherwise re-derive it."""
     n_users = ui.agg(F.count_distinct("user_id").alias("_nu"))
     item_cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))
     pairs = (

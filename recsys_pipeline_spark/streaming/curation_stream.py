@@ -2278,3 +2278,43 @@ def heavy_hitter_grams_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def item_cooccur_lift_stream(
+    stream: DataFrame,
+    out_dir: str,
+    pairs_dir: str,
+) -> None:
+    """Item co-occurrence lift online — ORDER-FREE class: state is the
+    distinct (user_id, item) basket set as APPEND-ONCE deltas (set union
+    merges in any order; plain ``compact_state`` applies).  Every epoch
+    re-runs the SHARED ``queries_ext.item_lift_from_pairs`` on the merged
+    set, so each epoch's full report equals batch ``q_item_cooccur_lift``
+    on the events seen so far.  Retroactive re-statement is inherent: a
+    new (user, item) observation moves N, n_a and n_b for every pair the
+    user touches.
+
+    State bounds: one row per NEW (user, item) per epoch — the basket
+    support (users x item-vocabulary at saturation), never raw events.
+    """
+    from recsys_pipeline_spark.queries_ext import item_lift_from_pairs
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        pairs = (
+            batch.select(
+                "user_id",
+                F.get_json_object("props", "$.k").cast("long").alias("item"),
+            )
+            .filter(F.col("item").isNotNull())
+            .distinct()
+        )
+        prior = _read_state(spark, pairs_dir, pairs, epoch_id)
+        delta = pairs.join(prior, ["user_id", "item"], "left_anti")
+        _write_epoch(delta, pairs_dir, epoch_id)
+        merged = prior.unionByName(delta).localCheckpoint(eager=False)
+        _write_epoch(item_lift_from_pairs(merged), out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -421,3 +421,46 @@ def test_rank_auc_det_broadcast_offsets_no_global_sort(spark):
     assert wins, plan
     for w in wins:
         assert "_pid" in w, w
+
+
+def test_cusum_drift_rides_two_exchanges_no_join(spark):
+    """CUSUM is pure window algebra: the plan must hold exactly the daily
+    aggregate exchange + the user window exchange — no join node (the
+    recurrence's closed form needs none) and no global (empty-partitionBy)
+    window."""
+    from recsys_pipeline_spark.queries_analytics import q_cusum_drift
+
+    plan = _final_plan(q_cusum_drift(spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    for w in re.findall(r"Window .*", plan):
+        assert "user_id" in w, w
+
+
+def test_heavy_hitters_two_passes_and_candidate_broadcast(spark):
+    """Sketch-then-verify must stay 2 corpus passes: the visible plan
+    scans once (the summary pass materializes at checkpoint time, carrying
+    the row totals as key=NULL rows so no third counting pass exists), the
+    candidate set joins back by BROADCAST, and no exchange precedes the
+    MapInPandas summary stage (the raw key stream never shuffles)."""
+    from recsys_pipeline_spark.queries_curation import q_heavy_hitter_grams
+
+    df = q_heavy_hitter_grams(spark, SF)
+    plan = _final_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_segment_quantiles_window_consumes_histogram(spark):
+    """The ordered prefix window must run on the per-(segment, value)
+    histogram aggregate, not raw customer rows: the plan holds the
+    partial+final HashAggregate below the Window, and every window
+    partitions by segment (never a global sort)."""
+    from recsys_pipeline_spark.queries_analytics import q_segment_quantiles
+
+    plan = _final_plan(q_segment_quantiles(spark, SF))
+    assert "HashAggregate" in plan and "Window" in plan
+    for w in re.findall(r"Window .*", plan):
+        assert "segment" in w, w
+    assert "CartesianProduct" not in plan

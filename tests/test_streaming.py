@@ -2603,3 +2603,54 @@ def test_streaming_heavy_hitter_grams_prefix_parity_any_order(spark, tmp_path):
     assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
         q_heavy_hitter_grams(spark, SF)
     )
+
+
+def test_streaming_item_cooccur_lift_prefix_parity_any_order(spark, tmp_path):
+    """The lift twin is ORDER-FREE: the distinct (user, item) basket set
+    is union-mergeable, so even REVERSED arrival folds to the same frame
+    and every epoch's full report equals batch q_item_cooccur_lift on the
+    events seen so far (N, n_a, n_b and every pair count all re-state)."""
+    import time
+
+    from recsys_pipeline_spark.queries_ext import q_item_cooccur_lift
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    sf = SF
+    ev = read_table(spark, sf, "events")
+    t_med = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    early = ev.filter(ts_us <= t_med)
+    late = ev.filter(ts_us > t_med)
+    src = str(tmp_path / "il_src")
+    late.coalesce(1).write.parquet(src)  # REVERSED: late half arrives first
+    time.sleep(1.5)
+    early.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "il_out")
+    pairs = str(tmp_path / "il_pairs")
+    cs.item_cooccur_lift_stream(stream, out, pairs)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            (int(r["item_a"]), int(r["item_b"])): (
+                int(r["n_ab"]), int(r["n_a"]), int(r["n_b"]), int(r["lift_ppm"])
+            )
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "il_prefix")
+    late.coalesce(1).write.parquet(f"{prefix_dir}/events.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_item_cooccur_lift(spark, prefix_dir)
+    )
+    assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
+        q_item_cooccur_lift(spark, sf)
+    )
