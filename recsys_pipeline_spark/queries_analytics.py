@@ -500,13 +500,24 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("et"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("tse"),
     )
-    v = ev.filter(F.col("et") == "view").groupBy("user_id").agg(F.min("tse").alias("t1"))
+    # each frontier is consumed twice (the next stage's join + its own
+    # count row) — without the pin the view frontier re-derives three
+    # times and the corpus scans SIX times (plan-audit finding, round 15);
+    # pinned, the plan is one scan per stage filter and the frontiers are
+    # user-count-bounded
+    v = (
+        ev.filter(F.col("et") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tse").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
     c = (
         ev.filter(F.col("et") == "click")
         .join(v, "user_id")
         .filter(F.col("tse") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("tse").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("et") == "purchase")
