@@ -185,6 +185,10 @@ def concurrency_profile(iv: DataFrame, s_col: str = "s", e_col: str = "e") -> Da
             F.sum(F.when(F.col("dd") == 1, 1).otherwise(0)).alias("n_starts"),
             F.sum(F.when(F.col("dd") == -1, 1).otherwise(0)).alias("n_ends"),
         )
+        # hour-bounded frame with two consumers (the span agg + the carry
+        # join) — pin it or each re-runs the endpoint sweep over the
+        # corpus (plan-audit finding, round 15)
+        .localCheckpoint(eager=False)
     )
     span = hs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     cal = span.select(F.explode(F.sequence("h0", "h1")).alias("hour"))
@@ -289,6 +293,10 @@ def active_users_report(ud: DataFrame, window_days: int) -> DataFrame:
     distinct-over-RANGE window, neither of which distributes.  The
     day-span clip rides a broadcast 1-row max.
     """
+    # three consumers (DAU agg, the span max, the fan-out) — pin the
+    # deduped activity frame or each re-derives it from its source
+    # (plan-audit finding, round 15); it is activity-support-bounded
+    ud = ud.localCheckpoint(eager=False)
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     mx = ud.agg(F.max("day").alias("_dmax"))
     contrib = ud.crossJoin(F.broadcast(mx)).select(

@@ -608,7 +608,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `//` (floor) on negative epochs too and avoids double rounding
         F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {wk}").alias("week"),
     )
-    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # the first-week frame feeds both the offset join and the cohort-size
+    # denominator — pin it (user-count-bounded) or each consumer re-scans
+    # events (plan-audit finding, round 15)
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+        .localCheckpoint(eager=False)
+    )
     active = (
         ev.join(first, "user_id")
         .select(
