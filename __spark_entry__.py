@@ -185,6 +185,8 @@ _DEFERRED = [
     # item_transitions stays the family's deferred sibling
     "segment_quantiles",  # grouped exact quantiles on the per-(group,
     # value) histogram — the recorded exact_percentiles kernel, grouped
+    "session_conversions",  # MATCH_RECOGNIZE-style per-session sequence
+    # pattern (v.*c.*p) over the ordered initials string
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

@@ -1301,6 +1301,100 @@ FROM sqp h JOIN sqk k
 """
 
 
+SESSION_GAP_US_PM = 1800 * 1_000_000  # same 30-min gap as q_sessionize
+CONVERSION_PATTERN = "v.*c.*p"  # view, later click, later purchase — within
+# one session; '.*' semantics agree between Java regex (Spark rlike) and
+# RE2 (DuckDB regexp_matches), the html_extract cross-engine discipline
+
+
+def q_session_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-2016 MATCH_RECOGNIZE-style sequence-pattern matching over
+    sessions: each session's event-type initials concatenate (in exact
+    (ts, event_id) order) into a string, and 'did this session convert'
+    is the regex v.*c.*p on it — view, then click, then purchase, in
+    order, within ONE gap-bounded session (the ordered, session-scoped
+    sharpening of funnel_conversion's lifetime-scoped stages).  Spark has
+    no MATCH_RECOGNIZE operator; the string encoding IS the classic
+    re-expression (pattern over a per-group ordered reduction), exact in
+    both engines because the initials are single deterministic chars and
+    the order is total.
+
+    Scale: one user exchange carries the sessionize windows; the
+    per-session string builds with the array_sort-of-structs idiom (an
+    AGGREGATE with partial combine, not a second sort exchange) and is
+    session-length-bounded — sessions are gap-bounded, so no lifetime
+    concat ever materializes. The string never leaves the plan (only
+    n_events + the match flag are emitted)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_epoch").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    sess = (
+        ev.withColumn(
+            "_new", F.when(gap.isNull() | (gap > SESSION_GAP_US_PM), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts_epoch"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("i"),
+                    )
+                )
+            ),
+            lambda x: x["i"],
+        ),
+        "",
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            seq.rlike(CONVERSION_PATTERN).cast("int").alias("is_conversion"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "is_conversion",
+        )
+    )
+
+
+SQL_SESSION_CONVERSIONS = f"""
+WITH spg AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tse,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US_PM}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sps AS (
+  SELECT event_id, user_id, event_type, tse,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_idx
+  FROM spg
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CASE WHEN regexp_matches(
+              string_agg(substr(event_type, 1, 1), '' ORDER BY tse, event_id),
+              '{CONVERSION_PATTERN}') THEN 1 ELSE 0 END AS INT) AS is_conversion
+FROM sps GROUP BY 1, 2
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "spend_rank": q_spend_rank,
@@ -1326,6 +1420,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_drift": q_cusum_drift,
     "rolling_active_users": q_rolling_active_users,
     "segment_quantiles": q_segment_quantiles,
+    "session_conversions": q_session_conversions,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1353,4 +1448,5 @@ ORACLES_AN: dict[str, str] = {
     "cusum_drift": SQL_CUSUM_DRIFT,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "segment_quantiles": SQL_SEGMENT_QUANTILES,
+    "session_conversions": SQL_SESSION_CONVERSIONS,
 }

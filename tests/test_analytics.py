@@ -918,3 +918,37 @@ def test_grouped_exact_quantiles_planted_ties_and_plan(spark):
     # the window's child chain must contain the histogram hash aggregate
     # (partial+final) before any Window node sees data
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_session_conversions_pattern_and_session_scope(spark, tmp_path):
+    """Pattern semantics: v then c then p IN ORDER within ONE session
+    converts; wrong order does not; the pattern does not span a session
+    gap; equal-timestamp events order by event_id."""
+    from recsys_pipeline_spark.queries_analytics import q_session_conversions
+
+    gap = 2000  # > 30-min session gap, in seconds
+    rows = [
+        (1, 1, 100, "view"), (2, 1, 200, "click"), (3, 1, 300, "purchase"),
+        (4, 2, 100, "click"), (5, 2, 200, "view"), (6, 2, 300, "purchase"),
+        (7, 3, 100, "view"),                       # session 0: 'v'
+        (8, 3, 100 + gap, "click"),                # session 1: 'cp'
+        (9, 3, 110 + gap, "purchase"),
+        (10, 4, 100, "view"), (11, 4, 200, "purchase"),
+        (12, 5, 100, "view"), (13, 5, 100, "click"), (14, 5, 100, "purchase"),
+    ]
+    sf = str(tmp_path / "spm")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        (int(r["user_id"]), int(r["session_idx"])): (
+            int(r["n_events"]), int(r["is_conversion"])
+        )
+        for r in q_session_conversions(spark, sf).collect()
+    }
+    assert got == {
+        (1, 0): (3, 1),
+        (2, 0): (3, 0),   # click precedes view: 'cvp' does not match
+        (3, 0): (1, 0),   # the pattern cannot span the session gap
+        (3, 1): (2, 0),
+        (4, 0): (2, 0),   # no click stage
+        (5, 0): (3, 1),   # same-microsecond: event_id order gives 'vcp'
+    }

@@ -162,6 +162,8 @@ CAPS = {
     # terms before aggregating; the fusion joins two 20-row frames
     "segment_quantiles": 4.0,  # measured 0.9 — the ordered window runs on
     # the (segment, value) histogram, never raw customer rows
+    "session_conversions": 4.0,  # measured 0.9 — one user exchange
+    # (sessionize windows + the session-string aggregate ride it)
     "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
     # query's WORST case: every doc gains 7 exact copies, so any doc with
     # an eval-designated replica becomes a true near-dup hit (flags grow
@@ -233,7 +235,7 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     """Replicated inputs must give ~8x outputs for the per-row queries — a
     quadratic blow-up (or a silently dropped replica) fails loudly."""
     q = _queries()
-    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly", "scd2_dim_join", "cusum_drift"]:
+    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly", "scd2_dim_join", "cusum_drift", "session_conversions"]:
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == REPLICAS * n1, (name, n1, n8)
