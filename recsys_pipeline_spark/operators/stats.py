@@ -398,8 +398,20 @@ def grouped_exact_quantiles(
 
     -> (group_col, pct, n, k, value_col) with n/k as BIGINT.
     """
-    spark = df.sparkSession
     hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return grouped_exact_quantiles_from_hist(hist, group_col, value_col, pcts)
+
+
+def grouped_exact_quantiles_from_hist(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: tuple[int, ...],
+) -> DataFrame:
+    """The selection stage over an already-built (group, value, cnt)
+    histogram — shared by grouped_exact_quantiles and the streaming twin
+    (whose sum-mergeable state IS this histogram)."""
+    spark = hist.sparkSession
     w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)

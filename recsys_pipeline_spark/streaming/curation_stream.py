@@ -2318,3 +2318,49 @@ def item_cooccur_lift_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def segment_quantiles_stream(
+    stream: DataFrame,
+    out_dir: str,
+    counts_dir: str,
+) -> None:
+    """Grouped exact quantiles online — ORDER-FREE class: state is the
+    per-(segment, cent-value) count as SUM-MERGEABLE deltas (bounded by
+    segments x value vocabulary; plain ``compact_state`` applies).  Every
+    epoch re-runs the SHARED ``stats.grouped_exact_quantiles_from_hist``
+    selection over the merged histogram, so each epoch's report equals
+    batch ``q_segment_quantiles`` on the customers seen so far.  The
+    lower-rank selection re-states inherently: new rows move every
+    group's n and k.
+    """
+    from recsys_pipeline_spark.operators.stats import (
+        grouped_exact_quantiles_from_hist,
+    )
+    from recsys_pipeline_spark.queries_analytics import SEG_PCTS
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(
+                F.col("c_mktsegment").alias("segment"),
+                F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+            )
+            .groupBy("segment", "bal_c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _write_epoch(delta, counts_dir, epoch_id)
+        merged = (
+            _read_state(spark, counts_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("segment", "bal_c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        report = grouped_exact_quantiles_from_hist(
+            merged, "segment", "bal_c", SEG_PCTS
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

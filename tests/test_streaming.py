@@ -2654,3 +2654,44 @@ def test_streaming_item_cooccur_lift_prefix_parity_any_order(spark, tmp_path):
     assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
         q_item_cooccur_lift(spark, sf)
     )
+
+
+def test_streaming_segment_quantiles_prefix_parity_any_order(spark, tmp_path):
+    """The grouped-quantile twin is ORDER-FREE: per-(segment, value) count
+    deltas are sum-mergeable, so even REVERSED arrival folds to the same
+    histogram and every epoch's report equals batch q_segment_quantiles on
+    the customers seen so far."""
+    from recsys_pipeline_spark.queries_analytics import q_segment_quantiles
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    cust = read_table(spark, SF, "customer")
+    half0 = cust.filter(F.col("c_custkey") % 2 == 0)  # REVERSED halves
+    half1 = cust.filter(F.col("c_custkey") % 2 == 1)
+    src = str(tmp_path / "sq_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(cust.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "sq_out")
+    counts = str(tmp_path / "sq_counts")
+    cs.segment_quantiles_stream(stream, out, counts)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            (r["segment"], int(r["pct"])): (int(r["n"]), int(r["k"]), int(r["bal_c"]))
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "sq_prefix")
+    half0.coalesce(1).write.parquet(f"{prefix_dir}/customer.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_segment_quantiles(spark, prefix_dir)
+    )
+    assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
+        q_segment_quantiles(spark, SF)
+    )
