@@ -170,17 +170,25 @@ def candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two array columns (on distinct elements).
 
-    Zero-union convention: both-empty -> 1.0.  Empty shingle sets arise for
-    texts shorter than the shingle width; two such texts reaching a verify
-    stage collided in every band (the signature hashes the whole short
-    string), i.e. they are exact duplicates — scoring them 0 would unflag
-    true dups, and DuckDB's 0/0 is NaN which sorts ABOVE all numbers, so
-    the oracle would flag the pair while Spark dropped it (r14 ADVICE).
-    Every oracle SQL that recomputes a list Jaccard carries the matching
-    ``CASE WHEN union = 0 THEN 1.0`` branch."""
+    Zero-union convention: both-empty -> 1.0, mirrored into every oracle SQL
+    that recomputes a list Jaccard (``CASE WHEN union = 0 THEN 1.0``).  The
+    empty-set case is ORACLE-side only in the live pipelines: Spark's
+    ``char_shingles`` on sub-shingle-width text yields ``[whole-string]``
+    (the guard clamps ``sequence`` at the count-down ``[1, 0]`` positions,
+    and ``substr(s, 0)`` == ``substr(s, 1)``), never an empty array — so
+    identical short texts score 1/1 through the NORMAL branch while the
+    DuckDB twin's genuinely-empty ``range(1, 1)`` lists take the 1.0 branch;
+    both engines agree (r14/r15 ADVICE).  NULL inputs stay NULL (r15
+    ADVICE: ``F.size(NULL) = -1`` used to fall through to the 1.0 arm,
+    silently scoring NULL-vs-anything as an exact duplicate; DuckDB's CASE
+    yields NULL there).  No live caller passes NULL arrays."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    return (
+        F.when(union > 0, inter.cast("double") / union)
+        .when(union == 0, F.lit(1.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
 
 
 def minhash_dedup_pairs(

@@ -72,6 +72,51 @@ def test_ngram_jaccard_exact_values(docs, spark):
     assert j == 1.0
 
 
+def test_jaccard_null_and_empty_semantics(spark):
+    """r15 ADVICE: F.size(NULL) = -1 used to fall through the old
+    otherwise(1.0) arm, scoring jaccard(NULL, ['x']) as an exact duplicate
+    while DuckDB's CASE yields NULL — a latent cross-engine divergence.
+    Pin the three-way contract: union>0 -> ratio, both-empty -> 1.0,
+    any-NULL -> NULL (matching the oracle's CASE semantics)."""
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"], ["b", "c"]),  # normal branch: 1/3
+            (2, [], []),                  # zero-union convention: 1.0
+            (3, None, ["x"]),             # NULL in -> NULL out
+            (4, ["x"], None),
+            (5, None, None),
+        ],
+        "id int, a array<string>, b array<string>",
+    )
+    got = {
+        r["id"]: r["j"]
+        for r in df.select("id", dedup.jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    }
+    assert got[1] == pytest.approx(1 / 3, abs=1e-12)
+    assert got[2] == 1.0
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_char_shingles_sub_width_text_is_nonempty(spark):
+    """Documents the docstring premise fixed by the r15 ADVICE: Spark-side
+    char_shingles on sub-shingle-width text yields the whole string (via the
+    count-down sequence positions [1, 0] and substr(s, 0) == substr(s, 1)),
+    NEVER an empty array — the empty-set 1.0 branch of jaccard is
+    oracle-side only."""
+    from recsys_pipeline_spark.operators.text import char_shingles
+
+    row = (
+        spark.createDataFrame([("ok",)], "text string")
+        .select(
+            F.array_distinct(char_shingles("text", 5)).alias("sh"),
+            char_shingles("text", 5).alias("raw"),
+        )
+        .first()
+    )
+    assert row["sh"] == ["ok"]
+    assert row["raw"] == ["ok", "ok"]  # positions [1, 0] both clamp to pos 1
+
+
 def test_word_ngram_jaccard_pairs(docs):
     """BASE has 25 tokens -> 23 word-3-grams (all distinct); the one-word edit
     at token 24 changes the 2 grams covering it -> inter=21, union=25, j=0.84."""
