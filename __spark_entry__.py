@@ -174,6 +174,22 @@ _DEFERRED = [
     # gate family keeps 11 recorded rows and the df-share machinery is
     # exercised inside quality_filter's duplicate-3-gram signal and the
     # curate_corpus composite; pytest oracle parity still pins it
+    # Round-16 window audit (tenth): three in-window redundancies move
+    # here so the round-15 families gain their first hard-signal rows
+    # (promotions below: session_conversions, heavy_hitter_grams,
+    # hybrid_rrf_topk) —
+    "sessionize",  # its gap-window machinery is a strict subset of the
+    # promoted session_conversions (same 30-min gap sessionization, plus
+    # the ordered-initials pattern stage); pytest oracle parity + the
+    # sessionize streaming twin still pin it value-level
+    "salted_group_sum",  # same skew family as the promoted
+    # heavy_hitter_grams, whose sketch-then-verify path is the stronger
+    # evidence; the salted two-phase agg plan stays pinned by
+    # test_plan_shapes + pytest oracle parity
+    "trailing_spend_30d",  # the window family keeps 4 recorded rows
+    # (topk_orders_per_customer, user_state_last11, pit_sliding_features,
+    # and session_conversions' ordered-aggregate windows); the RANGE-frame
+    # machinery stays pinned by pytest oracle parity
     # Round-15 additions (beyond-reference analytics, registered past the
     # window by construction; pytest oracle-parity + type-guard pinned) —
     "cusum_drift",  # sequential change-point test (prefix-sum-minus-
@@ -185,8 +201,15 @@ _DEFERRED = [
     # item_transitions stays the family's deferred sibling
     "segment_quantiles",  # grouped exact quantiles on the per-(group,
     # value) histogram — the recorded exact_percentiles kernel, grouped
-    "session_conversions",  # MATCH_RECOGNIZE-style per-session sequence
-    # pattern (v.*c.*p) over the ordered initials string
+    # Round-16 additions (registered past the window by construction;
+    # pytest oracle-parity + type-guard pinned) —
+    "repeat_purchase_sessions",  # second MATCH_RECOGNIZE pattern (p.*p)
+    # on the parameterized windows.match_pattern kernel; the recorded
+    # representative is session_conversions (same kernel, promoted above)
+    "deepfm_score_det",  # M2-M5 forward pass with pinned literal weights
+    # (pure +,*,max column algebra, scaled-integer outputs); the ML
+    # surface keeps rank_auc_det (M8 metric) + the rank_auc/rank_deepfm_auc
+    # trained rows recorded
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take
@@ -216,6 +239,17 @@ _PROMOTED = [
     "rank_auc_det",
     "exact_percentiles",
     "scd2_dim_join",
+    # Round-16 audit (tenth): the round-15 families gain hard-signal rows —
+    # session_conversions pins the sequence-pattern (MATCH_RECOGNIZE
+    # re-expression) surface AND subsumes the deferred sessionize's gap
+    # machinery in one row; heavy_hitter_grams pins the skew family's
+    # sketch-then-verify path (per-partition Misra-Gries -> broadcast exact
+    # verify); hybrid_rrf_topk pins both retrieval channels (BM25 + TF-IDF)
+    # plus the integer RRF fusion algebra in one row. They take the slots
+    # sessionize / salted_group_sum / trailing_spend_30d freed.
+    "session_conversions",
+    "heavy_hitter_grams",
+    "hybrid_rrf_topk",
 ]
 # corr_qty_price (corr aggregate — the only recorded representative of the
 # bivariate-stats family) stays in the recorded window; the two slots the

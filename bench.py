@@ -169,6 +169,22 @@ def main() -> None:
     hist_all[str(sf)] = {
         q: round(min(t, quiet_medians.get(q, t)), 4) for q, t in timings.items()
     }
+    # Rolling last-3-QUIET-runs median (r15 VERDICT #5): the ratchet above
+    # can only improve, so a genuine slow drift would sit invisibly at
+    # ratio 1.00 forever. Keep the ratchet as the stall-guard reference,
+    # but ALSO persist the per-query median over the last 3 quiet runs —
+    # a value that can move UP, making round-over-round perf drift visible.
+    # A run qualifies as quiet when its noise_factor (vs the ratchet) is
+    # under 1.3 — noisy passes (r14/r15 drivers measured ~1.9x uniform
+    # host contention) would poison a rolling window that accepts them.
+    if noise_factor is None or noise_factor < 1.3:
+        runs = hist_all.setdefault("_history", {}).setdefault(str(sf), [])
+        runs.append({q: round(t, 4) for q, t in timings.items()})
+        del runs[:-3]
+        rolling = {}
+        for q in sorted({q for r in runs for q in r}):
+            rolling[q] = round(statistics.median([r[q] for r in runs if q in r]), 4)
+        hist_all.setdefault("_rolling", {})[str(sf)] = rolling
     try:
         with open(hist_path, "w") as fh:
             json.dump(hist_all, fh, indent=0, sort_keys=True)

@@ -720,6 +720,15 @@ def fuzzy_decontaminate_flags(
     sig = dedup.minhash_signature(
         docs, id_col, text_col, k=k, shingle_n=shingle_n, portable=portable
     )
+    # band_df feeds BOTH the eval and train sides of the bucket join, and sh
+    # BOTH sides of the verify join — both DELIBERATELY unpinned: an A/B at
+    # sf0.1 measured localCheckpoint pins on these 1.4x SLOWER (5.6 s ->
+    # 7.8 s median). Both frames are cheap whole-stage-codegen projections
+    # of the scan (the minhash kernel is expression-unrolled, not Arrow),
+    # so recomputing each side costs less than materializing corpus-wide
+    # wide rows; pins pay off for small aggregated frames with many
+    # consumers (item_cooccur_lift), not cheap corpus-wide maps (r16
+    # measurement, PLANS.md).
     band_df = dedup.lsh_bands(sig, id_col, bands, rows, k=k, portable=portable)
     ev_bands = band_df.filter(is_eval).select(
         "band_id", "band_hash", F.col(id_col).alias("_eval_id")

@@ -211,6 +211,14 @@ def minhash_dedup_pairs(
     """
     sig = minhash_signature(df, id_col, text_col, k=k, shingle_n=shingle_n, portable=portable)
     cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows, k=k, portable=portable), id_col)
+    # the shingle-set frame feeds BOTH sides of the verify join and the
+    # corpus re-shingles once per side — DELIBERATELY unpinned: shingling is
+    # pure whole-stage codegen over the scan, and an A/B at sf0.1 measured
+    # the localCheckpoint pin 1.5x SLOWER (2.6 s -> 4.0 s median) — wide
+    # array rows serialize for more than the recompute costs. The
+    # item_cooccur_lift pin wins because its frame is a small distinct
+    # AGGREGATE; a cheap-to-recompute corpus-wide projection is the
+    # opposite case (r16 measurement, PLANS.md).
     sh = df.select(
         F.col(id_col), F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh")
     )

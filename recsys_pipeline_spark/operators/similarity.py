@@ -283,6 +283,28 @@ def sketch_candidates_multi(
     qmem = sketch_memberships(queries, planes, id_col=query_id, vec_col=query_vec).select(
         "tbl", "sketch", F.col("_id").alias("_qid")
     )
+    return sketch_candidates_from_memberships(
+        mem, qmem, query_id=query_id, id_col=id_col
+    )
+
+
+def sketch_candidates_from_memberships(
+    mem: DataFrame,
+    qmem: DataFrame,
+    query_id: str = "qid",
+    id_col: str = "vec_id",
+    max_tables: int | None = None,
+) -> DataFrame:
+    """Bucket-join stage of sketch_candidates_multi, factored out so several
+    LSH operating points share ONE membership pass (r15 VERDICT #2): planes
+    are generated per-table from ``seed + 101*t`` (dedup.sketch_planes), so
+    a ``tables=T`` membership frame restricted to ``tbl < T'`` IS the
+    T'-table index bit-for-bit — the recall report derives its cheap LSH
+    point from the production point's memberships instead of running the
+    Arrow sketch pass over the corpus twice."""
+    if max_tables is not None:
+        mem = mem.filter(F.col("tbl") < max_tables)
+        qmem = qmem.filter(F.col("tbl") < max_tables)
     return (
         mem.join(F.broadcast(qmem), ["tbl", "sketch"])
         .select(F.col("_qid").alias(query_id), F.col("_id").alias(id_col), F.col("_v"))
@@ -316,20 +338,46 @@ def ivf_sketch_candidates_multi(
     qcells = sketch_memberships(queries, planes, id_col=query_id, vec_col=query_vec).select(
         F.col("_id").alias("_qid"), F.col("sketch").alias("_qcell")
     )
-    spark = emb.sparkSession
+    probe = ivf_probe_table(qcells, cell_bits=cell_bits, n_probe=n_probe)
+    return ivf_candidates_from_memberships(
+        mem, probe, query_id=query_id, id_col=id_col
+    )
+
+
+def ivf_probe_table(
+    qcells: DataFrame, cell_bits: int, n_probe: int
+) -> DataFrame:
+    """(_qid, _cell, _rk) probe table: each query's cells ranked by Hamming
+    distance to its own cell (ties by cell id), kept to ``n_probe``.  ``_rk``
+    is retained so a multi-point report computes the table ONCE at its
+    widest probe depth and derives narrower points with an ``_rk`` filter —
+    multi-probe prefixes are nested by construction."""
+    spark = qcells.sparkSession
     cells = spark.range(1 << cell_bits).select(F.col("id").alias("_cell"))
     ranked = (
         cells.crossJoin(F.broadcast(qcells))
         .withColumn("_ham", F.bit_count(F.col("_cell").bitwiseXOR(F.col("_qcell"))))
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_ham").asc(), F.col("_cell").asc())
-    probe = (
+    return (
         ranked.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_probe)
-        .select("_qid", "_cell")
+        .select("_qid", "_cell", "_rk")
     )
+
+
+def ivf_candidates_from_memberships(
+    mem: DataFrame,
+    probe: DataFrame,
+    query_id: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe-join stage of ivf_sketch_candidates_multi, factored out so
+    several probe depths share ONE coarse-quantizer membership pass (r15
+    VERDICT #2): the corpus side sees only a broadcast join on its cell
+    (the 100 TB partition key)."""
     return (
-        mem.join(F.broadcast(probe), mem["sketch"] == F.col("_cell"))
+        mem.join(F.broadcast(probe.select("_qid", "_cell")), mem["sketch"] == F.col("_cell"))
         .select(F.col("_qid").alias(query_id), F.col("_id").alias(id_col), F.col("_v"))
     )
 

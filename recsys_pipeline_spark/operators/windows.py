@@ -114,3 +114,68 @@ def trailing_range_agg(
         .rangeBetween(lower, upper)
     )
     return df.withColumn(out_col, F.sum(value_expr).over(w))
+
+
+def classify_events(classes: "list[tuple[str, Column]]", default: str = "_") -> Column:
+    """MATCH_RECOGNIZE ``DEFINE`` re-expression: map each row to a single
+    deterministic class character via a first-match-wins CASE chain.
+
+    ``classes`` is an ordered list of (char, boolean Column) pairs — the
+    SQL-2016 pattern-variable definitions.  Rows matching no definition get
+    ``default`` (a char the pattern must not reference), mirroring
+    MATCH_RECOGNIZE's undefined rows, which can never participate in a
+    match.  Every char must be exactly one character: the downstream pattern
+    indexes the concatenated string positionally, and multi-char classes
+    would make '.' span a fraction of an event.
+    """
+    for ch, _ in classes:
+        if len(ch) != 1:
+            raise ValueError(f"class char must be a single character, got {ch!r}")
+    if len(default) != 1:
+        raise ValueError(f"default char must be a single character, got {default!r}")
+    if len({ch for ch, _ in classes} | {default}) != len(classes) + 1:
+        raise ValueError("class chars (incl. default) must be distinct")
+    expr: Column = F.lit(default)
+    for ch, cond in reversed(classes):
+        expr = F.when(cond, F.lit(ch)).otherwise(expr)
+    return expr
+
+
+def match_pattern(
+    df: DataFrame,
+    part_cols: "list[str]",
+    order_cols: "list[str]",
+    class_col: Column,
+    pattern: str,
+    match_alias: str = "is_match",
+    count_alias: str = "n_events",
+) -> DataFrame:
+    """SQL-2016 MATCH_RECOGNIZE-style row-pattern matching, re-expressed as
+    a regex over a per-group ordered class string (the parameterized kernel
+    extracted from the r15 ``session_conversions`` query).
+
+    Each group's rows map to single class characters (``class_col``, usually
+    built with :func:`classify_events`) and concatenate in exact
+    ``order_cols`` order; ``pattern`` — a regex that MUST be valid and
+    equivalent under BOTH Java regex (Spark ``rlike``) and RE2 (DuckDB
+    ``regexp_matches``), so stick to literals, classes, ``.``, ``*``, ``+``,
+    ``?``, ``|`` and grouping; no backrefs or lookaround — decides whether
+    the group matched.  Output: one row per group with ``count_alias`` (row
+    count) and ``match_alias`` (0/1 int).
+
+    Scale (100 TB): ONE hash exchange on ``part_cols``.  The class string
+    builds with the array_sort-of-structs idiom — an AGGREGATE whose partial
+    combine runs map-side, not a second sort exchange — and is group-bounded
+    (callers group by gap-bounded sessions, never lifetimes).  The string
+    never leaves the plan: only the count and the match flag are emitted.
+    """
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], class_col.alias("_cls"))
+        )
+    )
+    seq = F.array_join(F.transform(ordered, lambda x: x["_cls"]), "")
+    return df.groupBy(*part_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(count_alias),
+        seq.rlike(pattern).cast("int").alias(match_alias),
+    )

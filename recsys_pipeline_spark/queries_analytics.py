@@ -1307,6 +1307,22 @@ CONVERSION_PATTERN = "v.*c.*p"  # view, later click, later purchase — within
 # RE2 (DuckDB regexp_matches), the html_extract cross-engine discipline
 
 
+def _gap_sessions(ev: DataFrame) -> DataFrame:
+    """30-min-gap sessionization shared by the pattern queries: adds
+    ``session_idx`` (0-based per user) over one user exchange — the same
+    gap rule as queries.q_sessionize."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_epoch").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    return ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > SESSION_GAP_US_PM), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
 def q_session_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-2016 MATCH_RECOGNIZE-style sequence-pattern matching over
     sessions: each session's event-type initials concatenate (in exact
@@ -1315,9 +1331,10 @@ def q_session_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, within ONE gap-bounded session (the ordered, session-scoped
     sharpening of funnel_conversion's lifetime-scoped stages).  Spark has
     no MATCH_RECOGNIZE operator; the string encoding IS the classic
-    re-expression (pattern over a per-group ordered reduction), exact in
-    both engines because the initials are single deterministic chars and
-    the order is total.
+    re-expression (pattern over a per-group ordered reduction — the
+    parameterized ``windows.match_pattern`` kernel, r16), exact in both
+    engines because the initials are single deterministic chars and the
+    order is total.
 
     Scale: one user exchange carries the sessionize windows; the
     per-session string builds with the array_sort-of-structs idiom (an
@@ -1325,47 +1342,19 @@ def q_session_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-length-bounded — sessions are gap-bounded, so no lifetime
     concat ever materializes. The string never leaves the plan (only
     n_events + the match flag are emitted)."""
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts_epoch").asc(), F.col("event_id").asc()
-    )
-    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
-    sess = (
-        ev.withColumn(
-            "_new", F.when(gap.isNull() | (gap > SESSION_GAP_US_PM), 1).otherwise(0)
-        )
-        .withColumn(
-            "session_idx",
-            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
-        )
-    )
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("ts_epoch"),
-                        F.col("event_id"),
-                        F.substring("event_type", 1, 1).alias("i"),
-                    )
-                )
-            ),
-            lambda x: x["i"],
-        ),
-        "",
-    )
-    return (
-        sess.groupBy("user_id", "session_idx")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            seq.rlike(CONVERSION_PATTERN).cast("int").alias("is_conversion"),
-        )
-        .select(
-            "user_id",
-            F.col("session_idx").cast("long").alias("session_idx"),
-            "n_events",
-            "is_conversion",
-        )
+    sess = _gap_sessions(_events(spark, sf_dir))
+    return windows.match_pattern(
+        sess,
+        part_cols=["user_id", "session_idx"],
+        order_cols=["ts_epoch", "event_id"],
+        class_col=F.substring("event_type", 1, 1),
+        pattern=CONVERSION_PATTERN,
+        match_alias="is_conversion",
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "is_conversion",
     )
 
 
@@ -1391,6 +1380,63 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(CASE WHEN regexp_matches(
               string_agg(substr(event_type, 1, 1), '' ORDER BY tse, event_id),
               '{CONVERSION_PATTERN}') THEN 1 ELSE 0 END AS INT) AS is_conversion
+FROM sps GROUP BY 1, 2
+"""
+
+
+REPEAT_PATTERN = "p.*p"  # two purchases in one session, any events between
+
+
+def q_repeat_purchase_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second MATCH_RECOGNIZE-style pattern on the shared kernel (r15
+    VERDICT #3): repeat-purchase sessions, ``p.*p`` over a DEFINE-mapped
+    class string — this one exercises ``windows.classify_events`` (explicit
+    pattern-variable definitions with a default filler char) rather than
+    the initials shortcut, proving the kernel is parameterized in both the
+    pattern AND the event-class axis.  Same sessionization, same single
+    user exchange, same never-materialized group-bounded string."""
+    sess = _gap_sessions(_events(spark, sf_dir))
+    cls = windows.classify_events(
+        [("p", F.col("event_type") == "purchase")], default="_"
+    )
+    return windows.match_pattern(
+        sess,
+        part_cols=["user_id", "session_idx"],
+        order_cols=["ts_epoch", "event_id"],
+        class_col=cls,
+        pattern=REPEAT_PATTERN,
+        match_alias="is_repeat",
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "is_repeat",
+    )
+
+
+SQL_REPEAT_PURCHASE_SESSIONS = f"""
+WITH spg AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tse,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US_PM}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sps AS (
+  SELECT event_id, user_id, event_type, tse,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_idx
+  FROM spg
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CASE WHEN regexp_matches(
+              string_agg(CASE WHEN event_type = 'purchase' THEN 'p' ELSE '_' END,
+                         '' ORDER BY tse, event_id),
+              '{REPEAT_PATTERN}') THEN 1 ELSE 0 END AS INT) AS is_repeat
 FROM sps GROUP BY 1, 2
 """
 
@@ -1421,6 +1467,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": q_rolling_active_users,
     "segment_quantiles": q_segment_quantiles,
     "session_conversions": q_session_conversions,
+    "repeat_purchase_sessions": q_repeat_purchase_sessions,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1449,4 +1496,5 @@ ORACLES_AN: dict[str, str] = {
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "segment_quantiles": SQL_SEGMENT_QUANTILES,
     "session_conversions": SQL_SESSION_CONVERSIONS,
+    "repeat_purchase_sessions": SQL_REPEAT_PURCHASE_SESSIONS,
 }

@@ -544,11 +544,144 @@ def _sql_rank_auc_det() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# deepfm_score_det (round 16, r15 VERDICT #6): the model FORWARD PASS with
+# the fit factored out. rank_auc_det closed the metric path (M8); this twin
+# closes M2-M5's arithmetic: linear (M3) + FM second-order (M2) + a 1-layer
+# relu MLP over the dense features (M4) + the additive logit stack (M5
+# fusion), all with PINNED literal weights, evaluated as pure column algebra
+# over deterministic features of the orders table. Every operation is
+# +,*,max — no transcendentals — with sums unrolled in a fixed
+# left-associated order shared by the Spark builder and the generated SQL,
+# so both engines produce bit-identical doubles; outputs are scaled-integer
+# (floor(z*1e6 + 0.5)), removing float compare entirely.
+# Reference analog: offline/torchfm/model.py:109-157 (sigmoid(linear + FM +
+# MLP)); the sigmoid is monotone, so the logit pins the same arithmetic.
+# ---------------------------------------------------------------------------
+
+_DFM_SEED = 318
+
+
+def _dfm_weights():
+    """Pinned DeepFM weights, identical literals on both engines: every
+    weight is round(uniform, 6) so its repr parses to the same binary64 in
+    Python (Spark lit) and the SQL text (DuckDB literal)."""
+    import random
+
+    rng = random.Random(_DFM_SEED)
+
+    def r():
+        return round(rng.uniform(-1.0, 1.0), 6)
+
+    lin = [r() for _ in range(4)]                  # M3 linear terms
+    V = [[r() for _ in range(4)] for _ in range(2)]   # M2 factors (k=2)
+    W1 = [[r() for _ in range(4)] for _ in range(2)]  # M4 hidden layer (2 units)
+    b1 = [r() for _ in range(2)]
+    u = [r() for _ in range(2)]
+    b2 = r()
+    w0 = r()                                       # M5 stack bias
+    return lin, V, W1, b1, u, b2, w0
+
+
+# feature expressions over orders, as (spark builder, sql text) pairs —
+# modular/ratio features so magnitudes stay O(1) (no catastrophic
+# cancellation to amplify any cross-engine ulp that the fixed op order
+# already rules out)
+def _dfm_features_spark():
+    # integer `div`, not `/`: double division + cast could land on the
+    # wrong side of a day boundary; DuckDB's `//` is integer division too
+    day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    return [
+        F.col("o_totalprice") / F.lit(100000.0),
+        (F.col("o_orderkey") % 97).cast("double") / F.lit(97.0),
+        (F.col("o_custkey") % 89).cast("double") / F.lit(89.0),
+        (day % 30).cast("double") / F.lit(30.0),
+    ]
+
+
+_DFM_FEATURES_SQL = [
+    "(o_totalprice / 100000.0)",
+    "(CAST(o_orderkey % 97 AS DOUBLE) / 97.0)",
+    "(CAST(o_custkey % 89 AS DOUBLE) / 89.0)",
+    "(CAST((epoch_us(o_orderdate) // 86400000000) % 30 AS DOUBLE) / 30.0)",
+]
+
+
+def _dot_spark(xs, ws):
+    acc = F.lit(ws[0]) * xs[0]
+    for w, x in zip(ws[1:], xs[1:]):
+        acc = acc + F.lit(w) * x
+    return acc
+
+
+def _dot_sql(xs, ws):
+    return "(" + " + ".join(f"{w!r}*{x}" for w, x in zip(ws, xs)) + ")"
+
+
+def _sq_sum_spark(xs, ws):
+    terms = [(F.lit(w) * x) * (F.lit(w) * x) for w, x in zip(ws, xs)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _sq_sum_sql(xs, ws):
+    return "(" + " + ".join(f"({w!r}*{x})*({w!r}*{x})" for w, x in zip(ws, xs)) + ")"
+
+
+def q_deepfm_score_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lin, V, W1, b1, u, b2, w0 = _dfm_weights()
+    x = _dfm_features_spark()
+    z_fm = _dot_spark(x, lin)
+    for Vf in V:
+        s = _dot_spark(x, Vf)
+        z_fm = z_fm + F.lit(0.5) * (s * s - _sq_sum_spark(x, Vf))
+    z_mlp = F.lit(b2)
+    for Wj, bj, uj in zip(W1, b1, u):
+        h = F.greatest(F.lit(0.0), _dot_spark(x, Wj) + F.lit(bj))
+        z_mlp = z_mlp + F.lit(uj) * h
+    z = F.lit(w0) + z_fm + z_mlp
+
+    def e6(c):
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        e6(z_fm).alias("z_fm_e6"),
+        e6(z_mlp).alias("z_mlp_e6"),
+        e6(z).alias("score_e6"),
+    )
+
+
+def _sql_deepfm_score_det() -> str:
+    lin, V, W1, b1, u, b2, w0 = _dfm_weights()
+    x = _DFM_FEATURES_SQL
+    z_fm = _dot_sql(x, lin)
+    for Vf in V:
+        s = _dot_sql(x, Vf)
+        z_fm = f"({z_fm} + 0.5*({s}*{s} - {_sq_sum_sql(x, Vf)}))"
+    z_mlp = f"{b2!r}"
+    for Wj, bj, uj in zip(W1, b1, u):
+        h = f"GREATEST(0.0, ({_dot_sql(x, Wj)} + {bj!r}))"
+        z_mlp = f"({z_mlp} + {uj!r}*{h})"
+    z = f"({w0!r} + {z_fm} + {z_mlp})"
+
+    def e6(expr):
+        return f"CAST(FLOOR({expr}*1000000.0 + 0.5) AS BIGINT)"
+
+    return (
+        f"SELECT o_orderkey, {e6(z_fm)} AS z_fm_e6, {e6(z_mlp)} AS z_mlp_e6,"
+        f" {e6(z)} AS score_e6 FROM orders"
+    )
+
+
 QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mf_recall_topk": q_mf_recall_topk,
     "rank_score_test": q_rank_score_test,
     "rank_auc": q_rank_auc,
     "rank_auc_det": q_rank_auc_det,
+    "deepfm_score_det": q_deepfm_score_det,
     "rank_deepfm_auc": q_rank_deepfm_auc,
     "recommend_top50": q_recommend_top50,
     "recommend_top50_det": q_recommend_top50_det,
@@ -562,4 +695,5 @@ QUERIES_ML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_ML: dict[str, str] = {
     "recommend_top50_det": SQL_RECOMMEND_TOP50_DET,
     "rank_auc_det": _sql_rank_auc_det(),
+    "deepfm_score_det": _sql_deepfm_score_det(),
 }

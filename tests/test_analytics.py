@@ -952,3 +952,85 @@ def test_session_conversions_pattern_and_session_scope(spark, tmp_path):
         (4, 0): (2, 0),   # no click stage
         (5, 0): (3, 1),   # same-microsecond: event_id order gives 'vcp'
     }
+
+
+def test_match_pattern_kernel_order_invariance_and_classes(spark):
+    """The parameterized MATCH_RECOGNIZE kernel (r16): the class string
+    builds in (order_cols) order regardless of input row order, and
+    classify_events applies DEFINE conditions first-match-wins with the
+    default filler for undefined rows."""
+    from recsys_pipeline_spark.operators import windows
+
+    rows = [  # (grp, ord1, ord2, etype) deliberately shuffled
+        (1, 300, 1, "purchase"),
+        (1, 100, 1, "view"),
+        (1, 200, 1, "purchase"),
+        (2, 100, 2, "purchase"),  # same ts: event_id breaks the tie
+        (2, 100, 1, "view"),
+        (3, 100, 1, "signup"),    # undefined class -> filler, never matches
+        (3, 200, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "grp int, o1 long, o2 long, event_type string")
+    cls = windows.classify_events(
+        [("p", F.col("event_type") == "purchase"),
+         ("v", F.col("event_type") == "view")],
+        default="_",
+    )
+    got = {
+        r["grp"]: (r["n_events"], r["is_match"])
+        for r in windows.match_pattern(
+            df, ["grp"], ["o1", "o2"], cls, "v.*p"
+        ).collect()
+    }
+    # grp 1 orders to 'vpp' -> match; grp 2 orders to 'vp' (tie broken by
+    # o2) -> match; grp 3 is '_p' (signup is filler) -> no match
+    assert got == {1: (3, 1), 2: (2, 1), 3: (2, 0)}
+    # repeat-purchase pattern on the same frames: only grp 1 has two p's
+    got2 = {
+        r["grp"]: r["is_match"]
+        for r in windows.match_pattern(
+            df, ["grp"], ["o1", "o2"], cls, "p.*p"
+        ).collect()
+    }
+    assert got2 == {1: 1, 2: 0, 3: 0}
+
+
+def test_classify_events_rejects_bad_definitions(spark):
+    from recsys_pipeline_spark.operators import windows
+
+    with pytest.raises(ValueError, match="single character"):
+        windows.classify_events([("pp", F.lit(True))])
+    with pytest.raises(ValueError, match="single character"):
+        windows.classify_events([("p", F.lit(True))], default="__")
+    with pytest.raises(ValueError, match="distinct"):
+        windows.classify_events([("p", F.lit(True)), ("p", F.lit(False))])
+    with pytest.raises(ValueError, match="distinct"):
+        windows.classify_events([("_", F.lit(True))], default="_")
+
+
+def test_repeat_purchase_sessions_planted(spark, tmp_path):
+    """p.*p matches only sessions holding >=2 purchases; the pattern does
+    not span the session gap; non-purchase events are filler chars."""
+    from recsys_pipeline_spark.queries_analytics import q_repeat_purchase_sessions
+
+    gap = 2000
+    rows = [
+        (1, 1, 100, "purchase"), (2, 1, 200, "view"), (3, 1, 300, "purchase"),
+        (4, 2, 100, "purchase"),
+        (5, 2, 100 + gap, "purchase"),  # second purchase in a NEW session
+        (6, 3, 100, "view"), (7, 3, 200, "click"),
+    ]
+    sf = str(tmp_path / "rps")
+    _ev_frame(spark, rows).write.parquet(sf + "/events.parquet")
+    got = {
+        (int(r["user_id"]), int(r["session_idx"])): (
+            int(r["n_events"]), int(r["is_repeat"])
+        )
+        for r in q_repeat_purchase_sessions(spark, sf).collect()
+    }
+    assert got == {
+        (1, 0): (3, 1),   # 'p_p' matches p.*p
+        (2, 0): (1, 0),   # gap splits the two purchases
+        (2, 1): (1, 0),
+        (3, 0): (2, 0),   # no purchase at all
+    }

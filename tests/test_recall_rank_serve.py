@@ -244,3 +244,54 @@ def test_recommend_end_to_end(world, mf_model, ranker):
         assert all(r["itemid"] not in seen_map.get(uid, set()) for r in rs)
     # unknown user got the P13 defaults and still receives recommendations
     assert 99999 in by_user
+
+
+def test_deepfm_score_det_matches_numpy_forward_pass(spark):
+    """deepfm_score_det's Spark builder and its SQL oracle are generated
+    from the SAME weight lists, so a bug in the shared construction logic
+    would cancel out in the parity gate. This test recomputes the forward
+    pass with an INDEPENDENT numpy implementation (matrix form, not the
+    unrolled scalar chain) on the sf0.001 orders and checks the
+    scaled-integer scores agree to the last digit (+-1 ulp tolerance zero:
+    the e6 floor is applied to doubles that agree to ~1e-10 rel)."""
+    import numpy as np
+
+    from recsys_pipeline_spark.queries_ml import (
+        _dfm_weights,
+        q_deepfm_score_det,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderkey"]: (r["z_fm_e6"], r["z_mlp_e6"], r["score_e6"])
+        for r in q_deepfm_score_det(spark, sf).collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderkey, o_totalprice / 100000.0,
+                   CAST(o_orderkey % 97 AS DOUBLE) / 97.0,
+                   CAST(o_custkey % 89 AS DOUBLE) / 89.0,
+                   CAST((epoch_us(o_orderdate) // 86400000000) % 30 AS DOUBLE) / 30.0
+            FROM '{sf}/orders.parquet'"""
+    ).fetchall()
+    lin, V, W1, b1, u, b2, w0 = _dfm_weights()
+    lin, V, W1, b1, u = map(np.array, (lin, V, W1, b1, u))
+    mismatches = 0
+    for key, *x in rows:
+        x = np.array(x)
+        s = V @ x
+        # 0.5 * sum_f (s_f^2 - sum_i (v_fi x_i)^2)
+        z_fm = float(lin @ x + 0.5 * np.sum(s * s - np.sum((V * x) ** 2, axis=1)))
+        h = np.maximum(0.0, W1 @ x + b1)
+        z_mlp = float(b2 + u @ h)
+        z = w0 + z_fm + z_mlp
+        exp = tuple(int(np.floor(v * 1e6 + 0.5)) for v in (z_fm, z_mlp, z))
+        if got[key] != exp:
+            # numpy dot reassociates; allow the floor boundary +-1
+            if all(abs(a - b) <= 1 for a, b in zip(got[key], exp)):
+                mismatches += 1
+            else:
+                raise AssertionError((key, got[key], exp))
+    # boundary cases must be rare or the e6 scale is too fine for the claim
+    assert mismatches <= len(rows) * 0.01

@@ -164,6 +164,10 @@ CAPS = {
     # the (segment, value) histogram, never raw customer rows
     "session_conversions": 4.0,  # measured 0.9 — one user exchange
     # (sessionize windows + the session-string aggregate ride it)
+    # round 16
+    "repeat_purchase_sessions": 4.0,  # measured 1.3 — identical shape to
+    # session_conversions (the shared match_pattern kernel: one user
+    # exchange, group-bounded class string); rows exactly 8x
     "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
     # query's WORST case: every doc gains 7 exact copies, so any doc with
     # an eval-designated replica becomes a true near-dup hit (flags grow
@@ -235,7 +239,7 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     """Replicated inputs must give ~8x outputs for the per-row queries — a
     quadratic blow-up (or a silently dropped replica) fails loudly."""
     q = _queries()
-    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly", "scd2_dim_join", "cusum_drift", "session_conversions"]:
+    for name in ["temporal_split", "sessionize", "daily_gapfill", "scd2_intervals", "rolling_anomaly", "scd2_dim_join", "cusum_drift", "session_conversions", "repeat_purchase_sessions"]:
         n1 = q[name](spark, SF1).count()
         n8 = q[name](spark, sf8_dir).count()
         assert n8 == REPLICAS * n1, (name, n1, n8)
