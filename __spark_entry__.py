@@ -210,6 +210,9 @@ _DEFERRED = [
     # (pure +,*,max column algebra, scaled-integer outputs); the ML
     # surface keeps rank_auc_det (M8 metric) + the rank_auc/rank_deepfm_auc
     # trained rows recorded
+    "segment_quantiles_cont",  # type-7 interpolated grouped quantiles in
+    # exact integer algebra (x100 scale); the histogram-selection family's
+    # recorded representatives are exact_percentiles + segment_quantiles
 ]
 
 # Promoted out of natural merge order INTO the recorded window: these take

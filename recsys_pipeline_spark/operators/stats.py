@@ -443,3 +443,92 @@ def grouped_exact_quantiles_from_hist(
             value_col,
         )
     )
+
+
+def grouped_interp_quantiles_from_hist(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: tuple[int, ...],
+    out_col: str = "q_x100",
+) -> DataFrame:
+    """Type-7 INTERPOLATED per-group quantiles (R default / NumPy linear /
+    DuckDB ``quantile_cont``) over the (group, value, cnt) histogram, in
+    EXACT integer arithmetic: with h = (n-1)*p/100, lo = floor(h) and
+    rem = (n-1)*p mod 100, the interpolated value v_lo + (rem/100) *
+    (v_hi - v_lo) is emitted scaled by 100 —
+
+        q_x100 = 100*v_lo + rem*(v_hi - v_lo)
+
+    — pure BIGINT algebra on integer-valued columns, so the cross-engine
+    float question never arises (the ln()-discipline lesson applied to
+    interpolation: scale the rational out instead of rounding it).
+
+    Selection shape is the exact kernel's: the two order statistics per
+    (group, pct) target (ranks lo+1 and lo+2 when rem > 0, twice lo+1
+    otherwise) ride ONE broadcast targets-frame join against the
+    prefix-histogram on the rank-membership predicate; the window still
+    runs on the histogram frame (group-count x value-vocabulary), never
+    raw rows.
+
+    -> (group_col, pct, n, q_x100) with n/q as BIGINT.
+    """
+    spark = hist.sparkSession
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = hist.withColumn(
+        "_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("_n"))
+    pct_df = spark.createDataFrame([(int(p),) for p in pcts], "pct int")
+    ks = (
+        totals.crossJoin(F.broadcast(pct_df))
+        .select(
+            F.col(group_col).alias("_g"),
+            "pct",
+            F.col("_n"),
+            F.expr("(_n - 1) * pct DIV 100 + 1").alias("_k1"),
+            F.expr("(_n - 1) * pct % 100").alias("_rem"),
+        )
+        .withColumn(
+            "_k2", F.col("_k1") + F.when(F.col("_rem") > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    targets = ks.select(
+        "_g",
+        "pct",
+        "_n",
+        "_rem",
+        F.explode(
+            F.array(
+                F.struct(F.col("_k1").alias("_k"), F.lit(0).alias("_hi")),
+                F.struct(F.col("_k2").alias("_k"), F.lit(1).alias("_hi")),
+            )
+        ).alias("_t"),
+    ).select("_g", "pct", "_n", "_rem", F.col("_t._k").alias("_k"), F.col("_t._hi").alias("_hi"))
+    sel = (
+        pref.join(
+            F.broadcast(targets),
+            (F.col(group_col) == F.col("_g"))
+            & (F.col("_before") < F.col("_k"))
+            & (F.col("_k") <= F.col("_before") + F.col("cnt")),
+        )
+        .groupBy(group_col, "pct")
+        .agg(
+            F.max("_n").alias("_n"),
+            F.max("_rem").alias("_rem"),
+            F.max(F.when(F.col("_hi") == 0, F.col(value_col))).alias("_v1"),
+            F.max(F.when(F.col("_hi") == 1, F.col(value_col))).alias("_v2"),
+        )
+    )
+    return sel.select(
+        group_col,
+        "pct",
+        F.col("_n").cast("long").alias("n"),
+        (
+            F.lit(100) * F.col("_v1") + F.col("_rem") * (F.col("_v2") - F.col("_v1"))
+        ).cast("long").alias(out_col),
+    )

@@ -1301,6 +1301,58 @@ FROM sqp h JOIN sqk k
 """
 
 
+def q_segment_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-7 INTERPOLATED per-segment balance quantiles (the R/NumPy/DuckDB
+    ``quantile_cont`` definition) on the same per-(segment, cents) histogram
+    as segment_quantiles — the interpolation stays EXACT integer algebra by
+    emitting 100*v_lo + rem*(v_hi - v_lo) (cents scaled x100), so no float
+    crosses the engine boundary (operators/stats.
+    grouped_interp_quantiles_from_hist; r15 verdict #7)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    hist = cust.groupBy("segment", "bal_c").agg(F.count(F.lit(1)).alias("cnt"))
+    return stats.grouped_interp_quantiles_from_hist(hist, "segment", "bal_c", SEG_PCTS)
+
+
+SQL_SEGMENT_QUANTILES_CONT = f"""
+WITH cq AS (
+  SELECT c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+cqh AS (SELECT segment, bal_c, CAST(count(*) AS BIGINT) AS cnt
+        FROM cq GROUP BY 1, 2),
+cqp AS (
+  SELECT segment, bal_c, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY segment ORDER BY bal_c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rows_before
+  FROM cqh
+),
+cqt AS (SELECT segment, CAST(SUM(cnt) AS BIGINT) AS n FROM cqh GROUP BY 1),
+cqk AS (
+  SELECT segment, pct, n,
+         (n - 1) * pct // 100 + 1 AS k1,
+         (n - 1) * pct % 100 AS rem
+  FROM cqt, (SELECT unnest([{", ".join(str(p) for p in SEG_PCTS)}]) AS pct)
+),
+cqk2 AS (
+  SELECT segment, pct, n, k1, rem,
+         k1 + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS k2
+  FROM cqk
+)
+SELECT k.segment, CAST(k.pct AS INT) AS pct, k.n,
+       CAST(100 * h1.bal_c + k.rem * (h2.bal_c - h1.bal_c) AS BIGINT) AS q_x100
+FROM cqk2 k
+JOIN cqp h1 ON h1.segment = k.segment
+           AND h1.rows_before < k.k1 AND k.k1 <= h1.rows_before + h1.cnt
+JOIN cqp h2 ON h2.segment = k.segment
+           AND h2.rows_before < k.k2 AND k.k2 <= h2.rows_before + h2.cnt
+"""
+
+
 SESSION_GAP_US_PM = 1800 * 1_000_000  # same 30-min gap as q_sessionize
 CONVERSION_PATTERN = "v.*c.*p"  # view, later click, later purchase — within
 # one session; '.*' semantics agree between Java regex (Spark rlike) and
@@ -1468,6 +1520,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_quantiles": q_segment_quantiles,
     "session_conversions": q_session_conversions,
     "repeat_purchase_sessions": q_repeat_purchase_sessions,
+    "segment_quantiles_cont": q_segment_quantiles_cont,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1497,4 +1550,5 @@ ORACLES_AN: dict[str, str] = {
     "segment_quantiles": SQL_SEGMENT_QUANTILES,
     "session_conversions": SQL_SESSION_CONVERSIONS,
     "repeat_purchase_sessions": SQL_REPEAT_PURCHASE_SESSIONS,
+    "segment_quantiles_cont": SQL_SEGMENT_QUANTILES_CONT,
 }

@@ -2364,3 +2364,46 @@ def segment_quantiles_stream(
     from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
 
     foreach_batch_sink(stream, step)
+
+
+def segment_quantiles_cont_stream(
+    stream: DataFrame,
+    out_dir: str,
+    counts_dir: str,
+) -> None:
+    """Type-7 interpolated grouped quantiles online (twin 36) — the same
+    ORDER-FREE sum-mergeable per-(segment, cent-value) histogram state as
+    ``segment_quantiles_stream``; only the selection stage differs (the
+    SHARED ``stats.grouped_interp_quantiles_from_hist`` kernel, exact x100
+    integer algebra), so each epoch's report equals batch
+    ``q_segment_quantiles_cont`` on the customers seen so far."""
+    from recsys_pipeline_spark.operators.stats import (
+        grouped_interp_quantiles_from_hist,
+    )
+    from recsys_pipeline_spark.queries_analytics import SEG_PCTS
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(
+                F.col("c_mktsegment").alias("segment"),
+                F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+            )
+            .groupBy("segment", "bal_c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _write_epoch(delta, counts_dir, epoch_id)
+        merged = (
+            _read_state(spark, counts_dir, delta, epoch_id)
+            .unionByName(delta)
+            .groupBy("segment", "bal_c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        report = grouped_interp_quantiles_from_hist(
+            merged, "segment", "bal_c", SEG_PCTS
+        )
+        _write_epoch(report, out_dir, epoch_id)
+
+    from recsys_pipeline_spark.streaming.pipeline import foreach_batch_sink
+
+    foreach_batch_sink(stream, step)

@@ -1034,3 +1034,46 @@ def test_repeat_purchase_sessions_planted(spark, tmp_path):
         (2, 1): (1, 0),
         (3, 0): (2, 0),   # no purchase at all
     }
+
+
+def test_grouped_interp_quantiles_match_duckdb_quantile_cont(spark, tmp_path):
+    """The x100 integer algebra must implement exactly the type-7
+    definition DuckDB's native quantile_cont uses — checked against the
+    NATIVE aggregate (not the twin SQL, which shares the algebra) on a
+    planted frame with ties, singletons, and both rem=0 and rem>0 targets."""
+    import duckdb
+
+    from recsys_pipeline_spark.operators import stats
+
+    rows = [
+        ("a", v) for v in [10, 10, 20, 30, 50]   # n=5: p50 rem=0, p90 rem=60
+    ] + [
+        ("b", v) for v in [7, 11]                 # n=2: p50 h=0.5
+    ] + [
+        ("c", 42),                                # singleton: both pcts = 42
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {
+        (r["g"], r["pct"]): (r["n"], r["q_x100"])
+        for r in stats.grouped_interp_quantiles_from_hist(
+            hist, "g", "v", (50, 90)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for pct in (50, 90):
+        ref = con.execute(
+            f"SELECT g, count(*), quantile_cont(v, {pct / 100.0}) FROM t GROUP BY g"
+        ).fetchall()
+        for g, n, q in ref:
+            gn, gq = got[(g, pct)]
+            assert gn == n
+            assert gq == pytest.approx(float(q) * 100, abs=1e-6), (g, pct, gq, q)
+    # spot-check the closed form: group a, p90 -> h=3.6, v[3]=30, v[4]=50,
+    # q = 30 + 0.6*20 = 42 -> 4200
+    assert got[("a", 90)] == (5, 4200)
+    assert got[("a", 50)] == (5, 2000)
+    assert got[("b", 50)] == (2, 900)
+    assert got[("c", 90)] == (1, 4200)

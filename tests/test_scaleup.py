@@ -168,6 +168,8 @@ CAPS = {
     "repeat_purchase_sessions": 4.0,  # measured 1.3 — identical shape to
     # session_conversions (the shared match_pattern kernel: one user
     # exchange, group-bounded class string); rows exactly 8x
+    "segment_quantiles_cont": 4.0,  # measured 1.0 — segment_quantiles'
+    # histogram-below-the-window shape with a two-target selection join
     "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
     # query's WORST case: every doc gains 7 exact copies, so any doc with
     # an eval-designated replica becomes a true near-dup hit (flags grow
@@ -285,6 +287,13 @@ def test_8x_output_cardinality_scales_linearly(spark, sf8_dir):
     sq8 = {(r["segment"], r["pct"]): r["n"] for r in q["segment_quantiles"](spark, sf8_dir).collect()}
     assert set(sq1) == set(sq8) and len(sq1) == 10
     assert all(sq8[k] == 8 * sq1[k] for k in sq1)
+    # interpolated variant: same shape pins (the type-7 interpolation point
+    # h = (8n-1)*p/100 legitimately shifts under replication, like the
+    # lower-rank rule above)
+    sc1 = {(r["segment"], r["pct"]): r["n"] for r in q["segment_quantiles_cont"](spark, SF1).collect()}
+    sc8 = {(r["segment"], r["pct"]): r["n"] for r in q["segment_quantiles_cont"](spark, sf8_dir).collect()}
+    assert set(sc1) == set(sc8) and len(sc1) == 10
+    assert all(sc8[k] == 8 * sc1[k] for k in sc1)
     # rank_auc_det is a one-row metric at any scale
     assert q["rank_auc_det"](spark, SF1).count() == 1
     assert q["rank_auc_det"](spark, sf8_dir).count() == 1

@@ -2695,3 +2695,43 @@ def test_streaming_segment_quantiles_prefix_parity_any_order(spark, tmp_path):
     assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
         q_segment_quantiles(spark, SF)
     )
+
+
+def test_streaming_segment_quantiles_cont_prefix_parity_any_order(spark, tmp_path):
+    """Twin 36 (interpolated grouped quantiles) shares segment_quantiles'
+    order-free histogram state; only the selection kernel differs. Reversed
+    arrival must still reproduce batch q_segment_quantiles_cont per epoch."""
+    from recsys_pipeline_spark.queries_analytics import q_segment_quantiles_cont
+    from recsys_pipeline_spark.streaming import curation_stream as cs
+
+    cust = read_table(spark, SF, "customer")
+    half0 = cust.filter(F.col("c_custkey") % 2 == 0)  # REVERSED halves
+    half1 = cust.filter(F.col("c_custkey") % 2 == 1)
+    src = str(tmp_path / "sqc_src")
+    half0.coalesce(1).write.parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(cust.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "sqc_out")
+    counts = str(tmp_path / "sqc_counts")
+    cs.segment_quantiles_cont_stream(stream, out, counts)
+
+    table = spark.read.parquet(out)
+    epochs = sorted(r["_epoch"] for r in table.select("_epoch").distinct().collect())
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            (r["segment"], int(r["pct"])): (int(r["n"]), int(r["q_x100"]))
+            for r in df.collect()
+        }
+
+    prefix_dir = str(tmp_path / "sqc_prefix")
+    half0.coalesce(1).write.parquet(f"{prefix_dir}/customer.parquet")
+    assert rows(table.filter(F.col("_epoch") == epochs[0])) == rows(
+        q_segment_quantiles_cont(spark, prefix_dir)
+    )
+    assert rows(table.filter(F.col("_epoch") == epochs[-1])) == rows(
+        q_segment_quantiles_cont(spark, SF)
+    )
