@@ -84,13 +84,26 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_HISTORY",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_medians.json"),
     )
-    # keyed by sf: quiet medians at sf0.001 would read as "stall" at sf0.1
+    # keyed by sf: quiet medians at sf0.001 would read as "stall" at sf0.1.
+    # ALSO keyed by core count when it differs from the 32-core reference
+    # (r16 measurement fix): the driver re-runs the bench at a lower
+    # SPARK_GRAFT_CPUS to measure scaling, where every query is legitimately
+    # ~2x slower than the committed 32-core medians — the full-window stall
+    # guard then fires its bounded retries on nearly every query (observed:
+    # an 8-core sf0.001 pass tripped dozens of retries, ~2x the wall time)
+    # while comparing apples to oranges. Medians at different core counts
+    # are different quantities; at a non-reference count the guard now
+    # bootstraps its own history (first such run has no reference, so no
+    # retries, and persists medians for the next). 32-core behaviour and the
+    # committed history format are unchanged.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    hist_key = str(sf) if cpus == "32" else f"{sf}@c{cpus}"
     try:
         with open(hist_path) as fh:
             hist_all = json.load(fh)
     except (OSError, ValueError):
         hist_all = {}
-    quiet_medians: dict[str, float] = hist_all.get(str(sf), {})
+    quiet_medians: dict[str, float] = hist_all.get(hist_key, {})
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
@@ -166,7 +179,7 @@ def main() -> None:
     noise_factor = round(statistics.median(ratios), 3) if ratios else None
 
     # Ratchet the quiet reference downward; never store an inflated number.
-    hist_all[str(sf)] = {
+    hist_all[hist_key] = {
         q: round(min(t, quiet_medians.get(q, t)), 4) for q, t in timings.items()
     }
     # Rolling last-3-QUIET-runs median (r15 VERDICT #5): the ratchet above
@@ -178,13 +191,13 @@ def main() -> None:
     # under 1.3 — noisy passes (r14/r15 drivers measured ~1.9x uniform
     # host contention) would poison a rolling window that accepts them.
     if noise_factor is None or noise_factor < 1.3:
-        runs = hist_all.setdefault("_history", {}).setdefault(str(sf), [])
+        runs = hist_all.setdefault("_history", {}).setdefault(hist_key, [])
         runs.append({q: round(t, 4) for q, t in timings.items()})
         del runs[:-3]
         rolling = {}
         for q in sorted({q for r in runs for q in r}):
             rolling[q] = round(statistics.median([r[q] for r in runs if q in r]), 4)
-        hist_all.setdefault("_rolling", {})[str(sf)] = rolling
+        hist_all.setdefault("_rolling", {})[hist_key] = rolling
     try:
         with open(hist_path, "w") as fh:
             json.dump(hist_all, fh, indent=0, sort_keys=True)

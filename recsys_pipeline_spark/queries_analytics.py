@@ -386,23 +386,54 @@ EXACT_PCTS = [50, 90, 99]
 def q_exact_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact MEDIAN ABSOLUTE DEVIATION of the cent-scaled event value —
     the robust dispersion statistic (outlier-insensitive, unlike stddev)
-    as TWO composed distributed-selection passes: m = exact median of v,
-    mad = exact median of |v − m|, both by the lower-rank rule stated
-    identically in both engines (stats.kth_smallest — rows-before counts
-    make each selection a pure filter, no global sort; the scalar median
-    crossing the driver between passes is the two-pass selection
-    algorithm's one synchronization point)."""
-    from recsys_pipeline_spark.operators.stats import kth_smallest
+    as TWO composed selection passes by the lower-rank rule stated
+    identically in both engines: m = exact median of v, mad = exact
+    median of |v − m|.
+
+    r16 shape (was: two raw-row kth_smallest passes + a count = THREE
+    corpus aggregations with two eager checkpoints and four driver
+    collects): the corpus is aggregated ONCE to its (value, cnt)
+    histogram; both selections AND n then run on the histogram, which is
+    bounded by the value vocabulary, never row count — the deviation
+    histogram is a pure regroup of the value histogram (|v − m| is a
+    function of v), so the second pass touches no raw rows at all. The
+    median reaches the deviation regroup as a broadcast 1-row frame, so
+    the whole query is one lazy plan with no driver synchronization
+    (guide §2.4/§5). Selection = grouped_exact_quantiles_from_hist with a
+    constant group — the same histogram-below-the-window kernel as
+    segment_quantiles."""
+    from recsys_pipeline_spark.operators.stats import (
+        grouped_exact_quantiles_from_hist,
+    )
 
     ev = read_table(spark, sf_dir, "events")
     base = ev.select(F.round(F.col("value") * 100).cast("long").alias("v_c"))
-    n = base.count()
-    k = (n - 1) * 50 // 100 + 1
-    med = kth_smallest(base, "v_c", k)
-    dev = base.select(F.abs(F.col("v_c") - F.lit(med)).alias("d_c"))
-    mad = kth_smallest(dev, "d_c", k)
-    return spark.createDataFrame(
-        [(med, mad, n)], "median_cents long, mad_cents long, n long"
+    # small aggregated frame with two expensive consumers (median selection
+    # + deviation regroup) — the pin class that measured as a WIN
+    # (item_cooccur_lift), unlike corpus-wide projection pins
+    hist = (
+        base.groupBy("v_c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    med = grouped_exact_quantiles_from_hist(
+        hist.withColumn("_gg", F.lit(0)), "_gg", "v_c", (50,)
+    ).select(F.col("v_c").alias("_m"), F.col("n").alias("_n"))
+    dev_hist = (
+        hist.crossJoin(F.broadcast(med.select("_m")))
+        .groupBy(F.abs(F.col("v_c") - F.col("_m")).alias("d_c"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = grouped_exact_quantiles_from_hist(
+        dev_hist.withColumn("_gg", F.lit(0)), "_gg", "d_c", (50,)
+    ).select(F.col("d_c").alias("_mad"))
+    return (
+        med.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("_m").alias("median_cents"),
+            F.col("_mad").alias("mad_cents"),
+            F.col("_n").alias("n"),
+        )
     )
 
 
@@ -430,38 +461,34 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete quantile, stated identically in both engines rather than
     trusting two engines' quantile interpolation to agree).
 
-    Shape: the rank_sum_auc ranking stage (stats.ranked_score_groups — one
-    per-value hash agg, a range-partitioned per-partition prefix, a scalar
-    offset collect) gives every distinct value its exact global
-    rows-before count; the k-th smallest is then a pure FILTER
-    (_before < k <= _before + cnt), and the 3-row percentile table joins
-    in by broadcast. The heaviest task touches one value-range partition —
-    the classic distributed selection, linear where sort is n·log n."""
-    from recsys_pipeline_spark.operators.stats import ranked_score_groups
+    r16 shape (was: stats.ranked_score_groups over raw rows — an EAGER
+    localCheckpoint of the pid-stamped histogram plus two driver collects,
+    three construction-time jobs before the timed consumer ran): ONE
+    map-side-combinable corpus aggregation to the (value, cnt) histogram
+    (lazily checkpointed — small aggregated frame, two consumers inside
+    the selection kernel), then the shared histogram selection kernel
+    (grouped_exact_quantiles_from_hist, constant group — the
+    segment_quantiles machinery) selects all three order statistics with
+    the k targets on a broadcast rank-membership join. One lazy plan, no
+    driver synchronization (guide §2.4/§5); the selection window sorts
+    the value vocabulary, never raw rows."""
+    from recsys_pipeline_spark.operators.stats import (
+        grouped_exact_quantiles_from_hist,
+    )
 
     ev = read_table(spark, sf_dir, "events")
-    base = ev.select(
-        F.round(F.col("value") * 100).cast("long").alias("v_c"),
-        F.lit(0).alias("_zero"),
+    base = ev.select(F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    hist = (
+        base.groupBy("v_c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    ranked = ranked_score_groups(base, "v_c", "_zero")
-    n = int(ranked.agg(F.sum("_cnt")).first()[0] or 0)
-    ks = [(p, (n - 1) * p // 100 + 1) for p in EXACT_PCTS]
-    k_df = spark.createDataFrame(ks, "pct int, k long")
-    return (
-        ranked.join(
-            F.broadcast(k_df),
-            (F.col("_before") < F.col("k"))
-            & (F.col("k") <= F.col("_before") + F.col("_cnt")),
-        )
-        .select(
-            "pct",
-            "k",
-            F.col("v_c").alias("value_cents"),
-            F.lit(n).cast("long").alias("n"),
-        )
-        .orderBy("pct")
+    sel = grouped_exact_quantiles_from_hist(
+        hist.withColumn("_gg", F.lit(0)), "_gg", "v_c", tuple(EXACT_PCTS)
     )
+    return sel.select(
+        "pct", "k", F.col("v_c").alias("value_cents"), "n"
+    ).orderBy("pct")
 
 
 SQL_EXACT_PERCENTILES = f"""
