@@ -739,6 +739,14 @@ def fuzzy_decontaminate_flags(
         .select(F.col(id_col), F.col("_eval_id"))
         .distinct()
     )
+    # NOTE (r16): the minhash_dedup_pairs verify restructure (shingle
+    # above the candidate join, text through the join) was A/B'd here too
+    # and did NOT win (quiet alternating reps: old median 9.7 s vs new
+    # 11.6 s at sf0.1) — this query's banded (train x eval) candidate set
+    # is comparable in size to the corpus, so per-PAIR re-shingling costs
+    # more than the corpus-wide shingle projection it would replace.
+    # Kept the corpus-wide shingle frame; the tradeoff flips exactly when
+    # candidates << corpus (minhash_dup_pairs' regime).
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(dedup.char_shingles(text_col, shingle_n)).alias("_sh"),
@@ -1073,7 +1081,7 @@ def bpe_char_state(word_dict: DataFrame) -> DataFrame:
     )
 
 
-def bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
+def bpe_round(state: DataFrame, pin_best: bool = False) -> tuple[DataFrame, DataFrame]:
     """One BPE iteration: returns (best, new_state).
 
     ``best`` is the 0-or-1-row frame (lhs, rhs, cnt) — the most frequent
@@ -1101,7 +1109,15 @@ def bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     best = counts.orderBy(
         F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc()
     ).limit(1)
-    return best, bpe_apply_merge(state, best.select("lhs", "rhs"))
+    if pin_best:
+        # the 1-row winner has TWO consumers in the training path (the
+        # emitted merge-table row and the broadcast merge apply), each of
+        # which would otherwise re-run the charset²-bounded pair count —
+        # the small-aggregate pin class that wins (r16)
+        best = best.localCheckpoint(eager=False)
+    # the paired window is shared with the merge apply instead of being
+    # recomputed there (one less dictionary-wide window per round, r16)
+    return best, _bpe_apply_from_paired(state, paired, best.select("lhs", "rhs"))
 
 
 def bpe_apply_merge(state: DataFrame, pair: DataFrame) -> DataFrame:
@@ -1110,6 +1126,14 @@ def bpe_apply_merge(state: DataFrame, pair: DataFrame) -> DataFrame:
     pair frame leaves the state unchanged — the left joins see no starts."""
     w_ord = Window.partitionBy("word").orderBy("pos")
     paired = state.withColumn("nxt", F.lead("tok").over(w_ord))
+    return _bpe_apply_from_paired(state, paired, pair)
+
+
+def _bpe_apply_from_paired(
+    state: DataFrame, paired: DataFrame, pair: DataFrame
+) -> DataFrame:
+    """Merge-apply core over an already-paired (word, pos, tok, nxt) frame."""
+    w_ord = Window.partitionBy("word").orderBy("pos")
     m = paired.join(
         F.broadcast(pair),
         (paired["tok"] == pair["lhs"]) & (paired["nxt"] == pair["rhs"]),
@@ -1160,7 +1184,7 @@ def bpe_train_from_dict(word_dict: DataFrame, rounds: int = 3) -> DataFrame:
     outs = []
     for r in range(1, rounds + 1):
         state = state.localCheckpoint(eager=False)
-        best, state = bpe_round(state)
+        best, state = bpe_round(state, pin_best=True)
         outs.append(
             best.select(
                 F.lit(r).cast("long").alias("merge_round"),

@@ -211,23 +211,32 @@ def minhash_dedup_pairs(
     """
     sig = minhash_signature(df, id_col, text_col, k=k, shingle_n=shingle_n, portable=portable)
     cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows, k=k, portable=portable), id_col)
-    # the shingle-set frame feeds BOTH sides of the verify join and the
-    # corpus re-shingles once per side — DELIBERATELY unpinned: shingling is
-    # pure whole-stage codegen over the scan, and an A/B at sf0.1 measured
-    # the localCheckpoint pin 1.5x SLOWER (2.6 s -> 4.0 s median) — wide
-    # array rows serialize for more than the recompute costs. The
-    # item_cooccur_lift pin wins because its frame is a small distinct
-    # AGGREGATE; a cheap-to-recompute corpus-wide projection is the
-    # opposite case (r16 measurement, PLANS.md).
-    sh = df.select(
-        F.col(id_col), F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh")
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify-side shingling runs ABOVE the candidate join (r16, guide
+    # §2.3/§4.1-adjacent): raw text rides the broadcast-candidate join and
+    # the shingle arrays + set intersection are computed only for rows that
+    # survive it — candidates, never the corpus. (The r16 A/B that measured
+    # a localCheckpoint pin of the old corpus-wide shingle frame 1.5x
+    # SLOWER still stands; this removes the corpus-wide shingle work
+    # entirely instead of materializing it.) A candidate id appearing in
+    # several pairs re-shingles per pair — bucket-bounded multiplicity,
+    # cheaper than shingling every non-candidate document.
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b"))
+    # broadcast the candidate side EXPLICITLY: size estimates after the
+    # banded self-join are unreliable and the planner otherwise broadcasts
+    # the corpus-text side (observed in the r16 plan), which is wrong at
+    # every scale — candidates are the Σ bucket²-bounded frame
     verified = (
-        cand.join(a, "id_a")
+        F.broadcast(F.broadcast(cand).join(a, "id_a"))
         .join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(
+                F.array_distinct(char_shingles("_t_a", shingle_n)),
+                F.array_distinct(char_shingles("_t_b", shingle_n)),
+            ).alias("jaccard"),
+        )
     )
     return verified.filter(F.col("jaccard") >= threshold)
 

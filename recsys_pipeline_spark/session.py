@@ -32,6 +32,17 @@ def get_spark(app_name: str = "recsys_pipeline_spark", shuffle_partitions: str |
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join-strategy knobs (guide §3.1), env-parameterised for A/B and
+        # cluster tuning; defaults preserve Spark's stock behaviour until a
+        # measured win says otherwise.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "0"),
+        )
         # Wide-aggregate codegen: the 64-bit-vote SimHash and the pivoted PIT
         # feature build carry >100 aggregate buffers; the default
         # codegen.maxFields=100 silently drops WholeStageCodegen for exactly
