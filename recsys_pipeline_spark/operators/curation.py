@@ -747,18 +747,24 @@ def fuzzy_decontaminate_flags(
     # more than the corpus-wide shingle projection it would replace.
     # Kept the corpus-wide shingle frame; the tradeoff flips exactly when
     # candidates << corpus (minhash_dup_pairs' regime).
-    sh = docs.select(
+    # r16 (guide §6: make predicates reach the scan): candidate ids are
+    # train docs and _eval_id values eval docs BY CONSTRUCTION (they come
+    # from the filtered band sides), so each verify side statically
+    # restricts to its half of the eval split — is_eval is a pure function
+    # of the id, so the filter pushes below the shingle projection to the
+    # scan. The eval side shrinks ~10x (eval_pct of the corpus), which
+    # also shrinks the broadcast the planner builds from it.
+    sh = docs.filter(~is_eval).select(
         F.col(id_col),
         F.array_distinct(dedup.char_shingles(text_col, shingle_n)).alias("_sh"),
     )
+    sh_e = docs.filter(is_eval).select(
+        F.col(id_col).alias("_eval_id"),
+        F.array_distinct(dedup.char_shingles(text_col, shingle_n)).alias("_sh_e"),
+    )
     verified = (
         cand.join(sh, id_col)
-        .join(
-            sh.select(
-                F.col(id_col).alias("_eval_id"), F.col("_sh").alias("_sh_e")
-            ),
-            "_eval_id",
-        )
+        .join(sh_e, "_eval_id")
         .select(
             F.col(id_col),
             dedup.jaccard(F.col("_sh"), F.col("_sh_e")).alias("_j"),

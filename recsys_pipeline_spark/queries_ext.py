@@ -769,12 +769,16 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     effectively-exact ANN (num_candidates=3952, es_caller.py:43) operates
     in, side by side.
 
-    Plan shape (r15 VERDICT #2 trim): every join downstream of candidate
-    generation is k-bounded (<= 40 rows) and explicitly broadcast — the
-    r15 plan's 8 sort-merge joins are gone. The exact baseline and each
-    candidate set materialize exactly once (lazy localCheckpoint); the
-    membership passes stay fused per-point (see inline comment — the
-    shared-membership variant measured slower)."""
+    Plan shape (r15 VERDICT #2 trim + r16 family sharing): every join
+    downstream of candidate generation is k-bounded (<= 40 rows) and
+    explicitly broadcast — the r15 plan's 8 sort-merge joins are gone.
+    The exact baseline and each family's SUPERSET candidate set
+    materialize exactly once (lazy localCheckpoint); the cheap operating
+    point of each family is a filter of its production point's candidates
+    (nested by construction), so the corpus runs 2 membership passes, not
+    4 (see inline comment)."""
+    from recsys_pipeline_spark.operators.dedup import sketch_memberships, sketch_planes
+
     e = _emb(spark, sf_dir)
     queries = _ann_queries_df(spark, sf_dir)
     # exact feeds all four methods' hit joins; each cand feeds its n_cand
@@ -787,7 +791,6 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def method_report(cand: DataFrame, method: str) -> DataFrame:
-        cand = cand.localCheckpoint(eager=False)
         topk = similarity.rerank_topk(cand, queries, k=10).select("qid", "vec_id")
         hits = topk.join(F.broadcast(exact), ["qid", "vec_id"]).groupBy("qid").agg(
             F.count(F.lit(1)).alias("_hits")
@@ -800,23 +803,44 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_hits"), F.lit(0)) * 100000).cast("long").alias("recall_ppm"),
         )
 
-    # Each point's membership pass stays FUSED into its own candidate
-    # pipeline (4 passes), deliberately: an r16 A/B at sf0.1 measured the
-    # share-one-checkpointed-membership-frame variant 1.3x SLOWER (7.8 s ->
-    # 10.0 s median) — the pass is a cheap Arrow map over a small corpus
-    # frame, and pinning it adds serialized checkpoint jobs. The win that
-    # survived measurement is below: every join downstream of candidate
-    # generation is k-bounded and explicitly broadcast (was 8 SMJs).
-    lsh_cand = similarity.sketch_candidates_multi(e, queries, bits=4, tables=6, seed=11)
-    ivf_cand = similarity.ivf_sketch_candidates_multi(
-        e, queries, cell_bits=3, n_probe=4, seed=7
+    # ONE corpus membership pass per index FAMILY (r16, guide §1.2 step 1 /
+    # §2.4): the cheap point of each family is a FILTER of its production
+    # point's candidates, because both structures nest by construction —
+    # sketch_planes seeds per table, so tables 0..5 of the 16-table index
+    # ARE the 6-table index bit-for-bit (candidate ∈ lsh ⟺ min matching
+    # tbl < 6), and multi-probe prefixes nest (candidate ∈ ivf ⟺ its
+    # cell's probe rank <= 4). The earlier r16 A/B that shared the
+    # corpus-wide MEMBERSHIP frame via checkpoint measured 1.3x slower
+    # (wide vector rows × tables serialize for more than they save); the
+    # shared frames here are the candidate-bounded SUPERSETS, which were
+    # being checkpointed per-method already — 4 Arrow membership passes
+    # over the corpus (6+16+1+1 table-rows each) become 2 (16+1).
+    planes = sketch_planes(64, bits=4, tables=ANN_HI_TABLES, seed=11)
+    mem = sketch_memberships(e, planes)
+    qmem = sketch_memberships(queries, planes, id_col="qid", vec_col="qvec").select(
+        "tbl", "sketch", F.col("_id").alias("_qid")
     )
-    lsh_hi_cand = similarity.sketch_candidates_multi(
-        e, queries, bits=4, tables=ANN_HI_TABLES, seed=11
+    lsh_hi_cand = (
+        mem.join(F.broadcast(qmem), ["tbl", "sketch"])
+        .groupBy(F.col("_qid").alias("qid"), F.col("_id").alias("vec_id"))
+        .agg(F.min("tbl").alias("_min_tbl"), F.first("_v").alias("_v"))
+        .localCheckpoint(eager=False)
     )
-    ivf_hi_cand = similarity.ivf_sketch_candidates_multi(
-        e, queries, cell_bits=3, n_probe=ANN_HI_NPROBE, seed=7
+    lsh_cand = lsh_hi_cand.filter(F.col("_min_tbl") < 6)
+
+    cell_planes = sketch_planes(64, bits=3, tables=1, seed=7)
+    mem_i = sketch_memberships(e, cell_planes)
+    qcells = sketch_memberships(queries, cell_planes, id_col="qid", vec_col="qvec").select(
+        F.col("_id").alias("_qid"), F.col("sketch").alias("_qcell")
     )
+    probe = similarity.ivf_probe_table(qcells, cell_bits=3, n_probe=ANN_HI_NPROBE)
+    ivf_hi_cand = (
+        mem_i.join(F.broadcast(probe), mem_i["sketch"] == F.col("_cell"))
+        .select(F.col("_qid").alias("qid"), F.col("_id").alias("vec_id"), "_v", "_rk")
+        .localCheckpoint(eager=False)
+    )
+    ivf_cand = ivf_hi_cand.filter(F.col("_rk") <= 4)
+
     return (
         method_report(lsh_cand, "lsh")
         .unionByName(method_report(ivf_cand, "ivf"))
