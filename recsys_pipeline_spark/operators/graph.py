@@ -35,7 +35,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     on_nonconverge: str = "raise",
-    check_every: int = 2,
+    check_every: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
     """-> (id, component) for every vertex appearing in ``edges``; component
@@ -49,10 +49,14 @@ def connected_components(
 
     ``check_every``: convergence-probe cadence. The checksum is a scalar
     reduce per probe; labels are monotone non-increasing, so an UNCHANGED sum
-    across k rounds proves every one of those rounds was a no-op — probing
-    every 2nd round halves the driver round-trips for at most one wasted
-    propagation round after the fixpoint (VERDICT r6: the right trade at
-    100x scale, where each driver barrier costs scheduler latency).
+    across k rounds proves every one of those rounds was a no-op. Default 1
+    (r16): a probe is one scalar job over the already-checkpointed label
+    frame, while a propagation round is a join + shuffle + checkpoint — for
+    the near-clique dup graphs every caller feeds (which converge at the
+    fused init), probing every round certifies the fixpoint after ONE
+    propagation round instead of two (A/B at sf0.1: dup_clusters
+    2.54 s -> 2.45 s min). Raise the cadence for graphs whose diameter is
+    known to be large, where intermediate probes cannot hit the fixpoint.
 
     ``stats``: optional dict; on return, ``stats["rounds"]`` = number of
     propagation rounds executed (convergence-cadence tests pin this).

@@ -192,32 +192,58 @@ def pagerank(
         "host", F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
         F.lit(scale // n).cast("long").alias("rank"),
     )
+    # Dangling-mass share per iteration: on the broadcast path the share is
+    # a global window over the node-sized ranks frame (one single-partition
+    # window inside the update stage) instead of a separate filter+agg job
+    # crossJoined as a broadcast — that was one extra broadcast-build job
+    # per iteration, and on a node-bounded graph the per-iteration cost IS
+    # the job scheduling (r16 A/B at sf0.1: 1.67 s -> 1.54 s min for 5
+    # rounds on the 600-host graph). The window frame is node-sized and
+    # capped by max_broadcast_nodes, the same bound that lets ranks
+    # broadcast at all. The shuffle path keeps the scalar agg + 1-row
+    # crossJoin: a URL-scale ranks frame must never collapse to one
+    # partition.
+    from pyspark.sql import Window as _W
+
+    _wall = _W.partitionBy()
     for _ in range(iters):
         ranks = ranks.localCheckpoint(eager=False)
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
-            .select(F.expr(f"d DIV {n}").alias("share"))
-        )
         contrib = edges.join(bcast(ranks), edges.src == ranks.host).select(
             "dst", F.expr("rank DIV out_deg").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
-        ranks = (
-            ranks.join(bcast(inflow), ranks.host == inflow.dst, "left")
-            .crossJoin(F.broadcast(dangling))  # always 1 row
-            .select(
-                "host",
-                "out_deg",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * (coalesce(inflow, 0) + share))"
-                        f" DIV {PR_DAMP_DEN}"
-                    )
-                ).cast("long").alias("rank"),
+        new_rank = (
+            F.lit(base)
+            + F.expr(
+                f"({PR_DAMP_NUM} * (coalesce(inflow, 0) + (_dang DIV {n})))"
+                f" DIV {PR_DAMP_DEN}"
             )
-        )
+        ).cast("long").alias("rank")
+        if broadcast_ok:
+            ranks = (
+                ranks.withColumn(
+                    "_dang",
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("out_deg") == 0, F.col("rank"))
+                        ).over(_wall),
+                        F.lit(0),
+                    ),
+                )
+                .join(F.broadcast(inflow), ranks.host == inflow.dst, "left")
+                .select("host", "out_deg", new_rank)
+            )
+        else:
+            dangling = (
+                ranks.filter(F.col("out_deg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
+                .select(F.col("d").alias("_dang"))
+            )
+            ranks = (
+                ranks.join(inflow, ranks.host == inflow.dst, "left")
+                .crossJoin(F.broadcast(dangling))  # always 1 row
+                .select("host", "out_deg", new_rank)
+            )
     return ranks.select("host", "out_deg", F.col("rank").alias("rank_scaled"))
 
 

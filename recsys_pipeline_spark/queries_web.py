@@ -513,18 +513,23 @@ def q_host_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts = spark.range(WEB_N_HOSTS).select(F.col("id").alias("host"))
     ranks = W.pagerank(edges, hosts, iters=PR_ITERS).select("host", "rank_scaled")
     uniform = W.PR_SCALE // WEB_N_HOSTS
+    # r16 (guide §2.4): the doc->host map is a pure function of doc_id, so
+    # it is computed INLINE on the gate output instead of joining the gate
+    # back to a second corpus projection on doc_id — that join was a
+    # corpus x corpus equi-join (sort-merge at scale) plus one more
+    # documents scan, for a column the gate rows already determine.
     gate = quality_gate(
         d, "doc_id", "text",
         min_tokens=QF_MIN_TOKENS, max_tokens=QF_MAX_TOKENS,
         min_mtl_x100=QF_MTL_MIN_X100, max_mtl_x100=QF_MTL_MAX_X100,
         dup3_ppm_max=QF_DUP3_PPM_MAX,
-    ).select("doc_id", F.col("keep").alias("doc_ok"))
-    docs_hosted = d.select(
-        "doc_id", (F.col("doc_id") % WEB_N_HOSTS).cast("long").alias("host")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") % WEB_N_HOSTS).cast("long").alias("host"),
+        F.col("keep").alias("doc_ok"),
     )
     return (
-        docs_hosted.join(F.broadcast(ranks), "host")
-        .join(gate, "doc_id")
+        gate.join(F.broadcast(ranks), "host")
         .select(
             "doc_id",
             "host",
