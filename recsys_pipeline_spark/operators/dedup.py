@@ -289,9 +289,9 @@ def ngram_jaccard_pairs(
     # sizes/df-count/join branches off the distinct) re-scans the table 6x
     # (no exchange reuse, measured). Instead: per-doc distinct-gram SETS in
     # one groupBy (map-side partial set-merge; per-doc state is bounded by
-    # doc length), n_g carried inline through the re-explode, and the df cap
-    # as an inline window count on the gram-partitioned data so both
-    # self-join sides reuse the same exchange.
+    # doc length), n_g carried inline through the re-explode, the df cap
+    # as an inline window count on the gram-partitioned data, and pair
+    # generation by collect-within-gram (NOT a self-join — see below).
     raw = word_ngram_rows(df, id_col, text_col, n, distinct=False)
     per_doc = raw.groupBy(id_col).agg(F.collect_set("gram").alias("_grams"))
     e = per_doc.select(
@@ -302,13 +302,31 @@ def ngram_jaccard_pairs(
     eg = e.select(
         id_col, "n_g", "gram", F.count(F.lit(1)).over(Window.partitionBy("gram")).alias("_df")
     ).filter(F.col("_df") <= max_df)
-    a = eg.select(F.col("gram"), F.col(id_col).alias("id_a"), F.col("n_g").alias("_na"))
-    b = eg.select(F.col("gram"), F.col(id_col).alias("id_b"), F.col("n_g").alias("_nb"))
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"), F.min("_na").alias("_na"), F.min("_nb").alias("_nb"))
+    # Candidate pairs via groupBy-collect WITHIN the df-capped gram, not a
+    # self-join (r16, guide §2.4): the join's broadcast side defeated
+    # identical-exchange reuse, so the ENTIRE mining pipeline (scan ->
+    # explode -> collect_set -> window) executed twice — visible as two
+    # full subtrees in the plan. The collected member list is bounded at
+    # max_df structs per gram (the filter runs BEFORE the collect), the
+    # chained explode emits the same a<b pairs, and the groupBy rides the
+    # window's gram partitioning (no new exchange). A/B at sf0.1: 1.87 ->
+    # 1.64 s min (0.88x), values identical at both SFs.
+    members = eg.groupBy("gram").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("_id"), F.col("n_g").alias("_n"))
+        ).alias("_ms")
+    )
+    pairs = (
+        members.select(F.explode("_ms").alias("_a"), "_ms")
+        .select("_a", F.explode("_ms").alias("_b"))
+        .filter(F.col("_a._id") < F.col("_b._id"))
+    )
+    inter = pairs.groupBy(
+        F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b")
+    ).agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.min("_a._n").alias("_na"),
+        F.min("_b._n").alias("_nb"),
     )
     jac = F.col("inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("inter"))
     return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(

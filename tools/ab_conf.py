@@ -1,0 +1,100 @@
+"""A/B a runtime SQL conf across the whole bench surface.
+
+Alternates conf settings pass-by-pass in ONE session (A,B,A,B,...) so both
+variants sample the same host-noise windows; per-query and total deltas
+come from pass medians.
+
+Usage: python tools/ab_conf.py [passes_per_variant] [sf_dir]
+Edit CONFS below for the experiment.
+"""
+from __future__ import annotations
+
+import gc
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bench import SKIP_TRAINING  # noqa: E402
+from recsys_pipeline_spark.session import get_spark  # noqa: E402
+
+CONFS = {
+    "parfirst_true": {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+    },
+    "parfirst_false": {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    },
+}
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("ab-conf")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = {n: f for n, f in entrymod.queries().items() if n not in SKIP_TRAINING}
+
+    warm = "/root/testdata/sf0.001"
+    for name, fn in qs.items():
+        try:
+            materialize(fn(spark, warm))
+        except Exception:
+            pass
+
+    results: dict[str, dict[str, list[float]]] = {
+        c: {n: [] for n in qs} for c in CONFS
+    }
+    for p in range(passes):
+        for cname, confs in CONFS.items():
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            t_pass = 0.0
+            for name, fn in qs.items():
+                spark.sparkContext.setJobDescription(f"{cname}#{p}:{name}")
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                materialize(df)
+                dt = time.perf_counter() - t0
+                del df
+                gc.collect()
+                results[cname][name].append(dt)
+                t_pass += dt
+            print(f"[pass {p}] {cname}: total {t_pass:.1f}s", flush=True)
+            # restore defaults so the next variant starts clean
+            for k in confs:
+                spark.conf.unset(k)
+
+    names = list(CONFS)
+    base, other = names[0], names[1]
+    print(f"\n=== per-query min ({base} -> {other}) ===")
+    tot_a = tot_b = 0.0
+    rows = []
+    for n in qs:
+        a = min(results[base][n])
+        b = min(results[other][n])
+        tot_a += a
+        tot_b += b
+        rows.append((b - a, n, a, b))
+    rows.sort()
+    for d, n, a, b in rows:
+        if abs(d) > 0.08:
+            print(f"  {n}: {a:.3f} -> {b:.3f} ({b/a:.2f}x)")
+    print(f"TOTAL(min): {tot_a:.1f} -> {tot_b:.1f} ({tot_b/tot_a:.3f}x)")
+    med_a = {n: statistics.median(results[base][n]) for n in qs}
+    med_b = {n: statistics.median(results[other][n]) for n in qs}
+    print(
+        f"TOTAL(median): {sum(med_a.values()):.1f} -> {sum(med_b.values()):.1f}"
+        f" ({sum(med_b.values())/sum(med_a.values()):.3f}x)"
+    )
+
+
+if __name__ == "__main__":
+    main()
