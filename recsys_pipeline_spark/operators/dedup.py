@@ -614,12 +614,25 @@ def sketch_of_vec(vec, planes) -> list[int]:
 
 
 def sketch_memberships(
-    emb: DataFrame, planes, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    planes,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_vec: bool = True,
 ) -> DataFrame:
-    """(tbl, sketch, _id, _v) bucket memberships of every vector under every
-    table's hyperplane sketch — ONE scan, one Arrow-batched pandas pass for
-    ALL tables (sign(X @ P_t^T) bit-packed; see embedding_near_dup_pairs_sketch
-    for why per-table expression sketches compile combinatorially instead).
+    """(tbl, sketch, _id[, _v]) bucket memberships of every vector under
+    every table's hyperplane sketch — ONE scan, one Arrow-batched pandas
+    pass for ALL tables (sign(X @ P_t^T) bit-packed; see
+    embedding_near_dup_pairs_sketch for why per-table expression sketches
+    compile combinatorially instead).
+
+    ``with_vec=False`` drops ``_v`` from the OUTPUT (the vector still
+    crosses INTO the worker — it is what gets sketched): callers that only
+    need bucket ids (query-side cells, probe tables, candidate-id
+    pipelines) should not ship ``tables`` copies of every 64-double vector
+    back across the Arrow boundary and through the downstream shuffles —
+    the opaque function defeats column pruning, so the projection must be
+    explicit (guide §4.1).
 
     Per-bit dots accumulate SEQUENTIALLY along the dimension axis — the
     left-associated fold DuckDB's list_sum computes — so the sign pattern
@@ -649,13 +662,15 @@ def sketch_memberships(
                     for k in range(1, X.shape[1]):
                         acc = acc + X[:, k] * p[k]
                     words |= (acc >= 0).astype(np.int64) << b
-                yield pd.DataFrame(
-                    {"tbl": t, "sketch": words, "_id": ids, "_v": pdf["_v"]}
-                )
+                cols = {"tbl": t, "sketch": words, "_id": ids}
+                if with_vec:
+                    cols["_v"] = pdf["_v"]
+                yield pd.DataFrame(cols)
 
-    return prepared.mapInPandas(
-        gen_memberships, schema="tbl int, sketch long, _id long, _v array<double>"
-    )
+    schema = "tbl int, sketch long, _id long"
+    if with_vec:
+        schema += ", _v array<double>"
+    return prepared.mapInPandas(gen_memberships, schema=schema)
 
 
 def embedding_near_dup_pairs_sketch(

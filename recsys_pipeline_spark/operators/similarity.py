@@ -280,9 +280,10 @@ def sketch_candidates_multi(
 
     planes = sketch_planes(dim, bits=bits, tables=tables, seed=seed)
     mem = sketch_memberships(emb, planes, id_col=id_col, vec_col=vec_col)
-    qmem = sketch_memberships(queries, planes, id_col=query_id, vec_col=query_vec).select(
-        "tbl", "sketch", F.col("_id").alias("_qid")
-    )
+    # query-side memberships only feed the bucket join key — no vector out
+    qmem = sketch_memberships(
+        queries, planes, id_col=query_id, vec_col=query_vec, with_vec=False
+    ).select("tbl", "sketch", F.col("_id").alias("_qid"))
     return sketch_candidates_from_memberships(
         mem, qmem, query_id=query_id, id_col=id_col
     )
@@ -323,6 +324,7 @@ def ivf_sketch_candidates_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    with_vec: bool = True,
 ) -> DataFrame:
     """Multi-query IVF candidate sets under the deterministic coarse
     quantizer: each query probes its ``n_probe`` Hamming-nearest cells
@@ -330,14 +332,20 @@ def ivf_sketch_candidates_multi(
     (qid, cell) probe table is tiny (|queries| * n_probe rows, built from a
     range(2^cell_bits) cross of the broadcast query cells) so the corpus
     side again sees only a broadcast join on its partition key.
+
+    ``with_vec=False`` for callers that rerank on PQ codes instead of the
+    raw vector (ivfpq_topk/ivfpq_recall): the membership pass then never
+    ships vectors back across the Arrow boundary (guide §4.1).
     """
     from recsys_pipeline_spark.operators.dedup import sketch_memberships, sketch_planes
 
     planes = sketch_planes(dim, bits=cell_bits, tables=1, seed=seed)
-    mem = sketch_memberships(emb, planes, id_col=id_col, vec_col=vec_col)
-    qcells = sketch_memberships(queries, planes, id_col=query_id, vec_col=query_vec).select(
-        F.col("_id").alias("_qid"), F.col("sketch").alias("_qcell")
+    mem = sketch_memberships(
+        emb, planes, id_col=id_col, vec_col=vec_col, with_vec=with_vec
     )
+    qcells = sketch_memberships(
+        queries, planes, id_col=query_id, vec_col=query_vec, with_vec=False
+    ).select(F.col("_id").alias("_qid"), F.col("sketch").alias("_qcell"))
     probe = ivf_probe_table(qcells, cell_bits=cell_bits, n_probe=n_probe)
     return ivf_candidates_from_memberships(
         mem, probe, query_id=query_id, id_col=id_col
@@ -375,11 +383,14 @@ def ivf_candidates_from_memberships(
     """Probe-join stage of ivf_sketch_candidates_multi, factored out so
     several probe depths share ONE coarse-quantizer membership pass (r15
     VERDICT #2): the corpus side sees only a broadcast join on its cell
-    (the 100 TB partition key)."""
-    return (
-        mem.join(F.broadcast(probe.select("_qid", "_cell")), mem["sketch"] == F.col("_cell"))
-        .select(F.col("_qid").alias(query_id), F.col("_id").alias(id_col), F.col("_v"))
-    )
+    (the 100 TB partition key). ``_v`` rides through only when the
+    membership frame carries it."""
+    cols = [F.col("_qid").alias(query_id), F.col("_id").alias(id_col)]
+    if "_v" in mem.columns:
+        cols.append(F.col("_v"))
+    return mem.join(
+        F.broadcast(probe.select("_qid", "_cell")), mem["sketch"] == F.col("_cell")
+    ).select(*cols)
 
 
 def rerank_topk(

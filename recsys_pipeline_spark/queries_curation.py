@@ -365,7 +365,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     planes = sketch_planes(EMB_DIM, bits=BAL_BITS, tables=1, seed=BAL_SEED)
-    mem = sketch_memberships(e, planes).select(
+    mem = sketch_memberships(e, planes, with_vec=False).select(
         F.col("_id").alias("vec_id"), F.col("sketch").cast("long").alias("cell")
     )
     return curation.cap_per_group(mem, "cell", "vec_id", BAL_K, salt="bal").select(

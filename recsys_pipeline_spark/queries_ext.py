@@ -817,9 +817,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the corpus (6+16+1+1 table-rows each) become 2 (16+1).
     planes = sketch_planes(64, bits=4, tables=ANN_HI_TABLES, seed=11)
     mem = sketch_memberships(e, planes)
-    qmem = sketch_memberships(queries, planes, id_col="qid", vec_col="qvec").select(
-        "tbl", "sketch", F.col("_id").alias("_qid")
-    )
+    qmem = sketch_memberships(
+        queries, planes, id_col="qid", vec_col="qvec", with_vec=False
+    ).select("tbl", "sketch", F.col("_id").alias("_qid"))
     lsh_hi_cand = (
         mem.join(F.broadcast(qmem), ["tbl", "sketch"])
         .groupBy(F.col("_qid").alias("qid"), F.col("_id").alias("vec_id"))
@@ -830,9 +830,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cell_planes = sketch_planes(64, bits=3, tables=1, seed=7)
     mem_i = sketch_memberships(e, cell_planes)
-    qcells = sketch_memberships(queries, cell_planes, id_col="qid", vec_col="qvec").select(
-        F.col("_id").alias("_qid"), F.col("sketch").alias("_qcell")
-    )
+    qcells = sketch_memberships(
+        queries, cell_planes, id_col="qid", vec_col="qvec", with_vec=False
+    ).select(F.col("_id").alias("_qid"), F.col("sketch").alias("_qcell"))
     probe = similarity.ivf_probe_table(qcells, cell_bits=3, n_probe=ANN_HI_NPROBE)
     ivf_hi_cand = (
         mem_i.join(F.broadcast(probe), mem_i["sketch"] == F.col("_cell"))
@@ -1168,7 +1168,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _ann_queries_df(spark, sf_dir)
     lut = pq.adc_lut(queries, cents)
     cand = similarity.ivf_sketch_candidates_multi(
-        e, queries, cell_bits=3, n_probe=4, seed=7
+        e, queries, cell_bits=3, n_probe=4, seed=7, with_vec=False
     ).select("qid", "vec_id")
     scored = (
         cand.join(codes, "vec_id")
@@ -1226,7 +1226,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = pq.adc_lut(queries, cents)
     cand = (
         similarity.ivf_sketch_candidates_multi(
-            e, queries, cell_bits=3, n_probe=4, seed=7
+            e, queries, cell_bits=3, n_probe=4, seed=7, with_vec=False
         )
         .select("qid", "vec_id")
         .localCheckpoint(eager=False)  # feeds n_cand AND the rerank
@@ -1307,7 +1307,7 @@ def q_ivfpq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = pq.adc_lut(queries, cents)
     cand = (
         similarity.ivf_sketch_candidates_multi(
-            e, queries, cell_bits=3, n_probe=4, seed=7
+            e, queries, cell_bits=3, n_probe=4, seed=7, with_vec=False
         )
         .select("qid", "vec_id")
         .localCheckpoint(eager=False)  # feeds n_cand AND the rerank
