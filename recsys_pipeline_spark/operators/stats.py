@@ -228,6 +228,61 @@ FROM v
 """
 
 
+def ranked_score_groups_bits(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    shift: int = 50,
+) -> DataFrame:
+    """(score, _cnt, _pos, _before) per distinct score for LONG-typed
+    scores, via deterministic high-bits bucketing instead of range
+    partitioning (r16, guide §2.4/§5): ``score >> shift`` is monotone on
+    the whole long range (arithmetic shift), so bucket order IS score
+    order — rows_before = in-bucket prefix + the lower-buckets total. The
+    offset vector comes from a window over the TINY bucket-total frame
+    (<= 2^(64-shift) rows) broadcast back, replacing the range kernel's
+    RangePartitioner sampling job, eager checkpoint pin (needed there
+    because range bounds re-sample per job) and driver offset collect —
+    one raw exchange on the bucket, zero driver synchronization, fully
+    lazy.
+
+    CORRECT for any long score distribution; BALANCED only when the high
+    bits spread (uniform hash scores — rank_auc_det's domain). Clustered
+    long scores land in few buckets (one big window partition): use the
+    sampling-based ``ranked_score_groups`` there, which adapts its bounds
+    to the data. A/B at sf0.1 on the hash-score AUC: 2.77 -> 1.88 s min
+    (0.68x), bit-identical output."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    part = df.select(
+        F.shiftright(F.col(score_col), shift).alias("_bkt"),
+        F.col(score_col),
+        F.col(label_col),
+    ).repartition(F.col("_bkt"))
+    g = part.groupBy("_bkt", score_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btot = g.groupBy("_bkt").agg(F.sum("_cnt").alias("_btot"))
+    w_off = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = btot.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    return (
+        g.withColumn("_pre", F.coalesce(F.sum("_cnt").over(w_in), F.lit(0)))
+        .join(F.broadcast(off), "_bkt")
+        .withColumn("_before", (F.col("_pre") + F.col("_off")).cast(dec))
+    )
+
+
 def ranked_score_groups(
     df: DataFrame,
     score_col: str,
@@ -282,6 +337,7 @@ def rank_sum_auc(
     score_col: str,
     label_col: str,
     n_partitions: int | None = None,
+    kernel: str = "range",
 ) -> DataFrame:
     """Exact Mann-Whitney AUC as pure integer rank-sum algebra ->
     one row (n_pos, n_neg, auc_ppm).
@@ -304,7 +360,12 @@ def rank_sum_auc(
     """
     spark = df.sparkSession
     dec = "decimal(38,0)"
-    ranked = ranked_score_groups(df, score_col, label_col, n_partitions)
+    # kernel="bits": long-typed uniform-hash score domains skip the range
+    # sampling/checkpoint/collect machinery (see ranked_score_groups_bits)
+    if kernel == "bits":
+        ranked = ranked_score_groups_bits(df, score_col, label_col)
+    else:
+        ranked = ranked_score_groups(df, score_col, label_col, n_partitions)
     sums = ranked.agg(
         F.sum(
             F.col("_pos").cast(dec)

@@ -523,7 +523,11 @@ def q_rank_auc_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         F.when(F.col("value") > LABEL_THRESHOLD, 1).otherwise(0).alias("label"),
     )
-    return stats.rank_sum_auc(base, "score", "label").select(
+    # kernel="bits": the score domain is a 60-bit uniform hash, so the
+    # deterministic high-bits bucketing kernel applies — no range-sampling
+    # job, no eager checkpoint, no driver offset collect (r16 A/B: 2.77 ->
+    # 1.88 s min at sf0.1, bit-identical AUC).
+    return stats.rank_sum_auc(base, "score", "label", kernel="bits").select(
         F.lit("rank_auc_det").alias("metric"), "n_pos", "n_neg", "auc_ppm"
     )
 
