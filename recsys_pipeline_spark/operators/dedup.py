@@ -156,7 +156,35 @@ def lsh_bands(
 
 
 def candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
-    """Self-join within LSH buckets -> distinct (id_a < id_b) candidates."""
+    """Distinct (id_a < id_b) candidates within LSH buckets, via
+    collect-within-bucket + chained explode (r16). The previous self-join
+    broadcast one side at local scale, defeating identical-exchange reuse —
+    the ENTIRE upstream signature pipeline (scan -> shingle explode -> k-min
+    aggregate -> banding) executed twice (the same defect fixed in
+    ngram_jaccard_pairs; A/B at sf0.1 on minhash_dup_pairs: 2.28 -> 2.08 s
+    min, pair set identical). One band-keyed exchange, one kernel pass.
+
+    Per-bucket aggregation state is O(bucket size) — comparable to what a
+    bucket-keyed SMJ buffers per key group, but collect_list cannot spill:
+    for corpora where a degenerate bucket (near-identical boilerplate under
+    too-lenient b x r) could hold a large fraction of the corpus, use
+    ``candidate_pairs_join`` and fix the banding parameters."""
+    members = band_df.groupBy("band_id", "band_hash").agg(
+        F.collect_list(F.col(id_col)).alias("_ids")
+    )
+    return (
+        members.filter(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def candidate_pairs_join(band_df: DataFrame, id_col: str) -> DataFrame:
+    """Self-join formulation of ``candidate_pairs`` — spill-safe under
+    degenerate bucket skew (see note there)."""
     a = band_df.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     b = band_df.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (
