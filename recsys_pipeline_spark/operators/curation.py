@@ -717,9 +717,23 @@ def fuzzy_decontaminate_flags(
     from recsys_pipeline_spark.operators import dedup
 
     is_eval = hash_bucket(F.col(id_col), salt) < eval_pct
-    sig = dedup.minhash_signature(
-        docs, id_col, text_col, k=k, shingle_n=shingle_n, portable=portable
-    )
+    # r16 (guide §4.2): the portable signature pass uses the Arrow/numpy
+    # kernel — this query consumes the band frame twice (eval + train
+    # sides), so the signature subtree executes twice, and the scan here is
+    # single-split; the mapInPandas kernel (zero shuffle, md5 once per
+    # unique shingle, vectorized affine mins, spread input) measured
+    # 4.35 -> 2.99 s min / 4.52 -> 3.24 s median at sf0.1 in the
+    # alternating A/B (tools/ab_minhash_arrow.py; values bit-identical at
+    # both SFs). portable=False callers keep the expression kernel
+    # (xxhash64 has no Python twin).
+    if portable:
+        sig = dedup.minhash_signature_arrow(
+            docs, id_col, text_col, k=k, shingle_n=shingle_n
+        )
+    else:
+        sig = dedup.minhash_signature(
+            docs, id_col, text_col, k=k, shingle_n=shingle_n, portable=portable
+        )
     # band_df feeds BOTH the eval and train sides of the bucket join, and sh
     # BOTH sides of the verify join — both DELIBERATELY unpinned: an A/B at
     # sf0.1 measured localCheckpoint pins on these 1.4x SLOWER (5.6 s ->
@@ -1138,42 +1152,56 @@ def bpe_apply_merge(state: DataFrame, pair: DataFrame) -> DataFrame:
 def _bpe_apply_from_paired(
     state: DataFrame, paired: DataFrame, pair: DataFrame
 ) -> DataFrame:
-    """Merge-apply core over an already-paired (word, pos, tok, nxt) frame."""
+    """Merge-apply core over an already-paired (word, pos, tok, nxt) frame.
+
+    Pure window algebra on the word partitioning the paired frame already
+    established (r16, guide §2.4 — the former formulation mined merge
+    starts into a separate frame and joined it back to state TWICE on
+    (word, pos), paying join exchanges per round): ``_f`` marks match
+    positions (left broadcast join against the 0-or-1-row pair, so an
+    empty merge leaves the state unchanged), a run's start is the last
+    head at or before the row (runs of matches are contiguous in the dense
+    pos numbering), even parity of (pos − run_start) marks the greedy
+    left-to-right merge STARTS, and ``lag(_ms)`` marks the consumed
+    followers. Every window shares one (word, pos) sort; the ``state``
+    argument is unused but kept for the call-shape (and for alternative
+    implementations that need it). Measured (alternating A/B, sf0.1,
+    tools/ab_bpe.py): bpe_train 2.72 → 2.18 s min (0.80×), bpe_encode
+    4.12 → 3.43 (0.83×), training_batches 5.18 → 4.76 (0.92×); outputs
+    bit-identical at 1–4 rounds on adversarial repeat-run fixtures and at
+    sf0.01 for all three queries (plus the oracle suite)."""
     w_ord = Window.partitionBy("word").orderBy("pos")
-    m = paired.join(
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    p = paired.join(
         F.broadcast(pair),
         (paired["tok"] == pair["lhs"]) & (paired["nxt"] == pair["rhs"]),
-    ).select("word", "pos", F.concat("tok", "nxt").alias("merged"))
-    runs = m.withColumn(
-        "_grp", F.col("pos") - F.row_number().over(w_ord)
+        "left",
+    ).select(
+        paired["word"],
+        paired["wcnt"],
+        paired["pos"],
+        paired["tok"],
+        paired["nxt"],
+        pair["lhs"].isNotNull().alias("_f"),
     )
-    w_run = Window.partitionBy("word", "_grp").orderBy("pos")
-    starts = (
-        runs.withColumn("_off", F.row_number().over(w_run) - 1)
-        .filter(F.col("_off") % 2 == 0)
-        .select("word", "pos", "merged")
+    p = p.withColumn(
+        "_head", F.col("_f") & ~F.coalesce(F.lag("_f").over(w_ord), F.lit(False))
     )
+    p = p.withColumn(
+        "_rs",
+        F.last(F.when(F.col("_head"), F.col("pos")), ignorenulls=True).over(w_cum),
+    )
+    p = p.withColumn("_ms", F.col("_f") & (((F.col("pos") - F.col("_rs")) % 2) == 0))
+    p = p.withColumn("_dr", F.coalesce(F.lag("_ms").over(w_ord), F.lit(False)))
     return (
-        state.join(starts, ["word", "pos"], "left")
-        .join(
-            starts.select(
-                "word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("_dr")
-            ),
-            ["word", "pos"],
-            "left",
-        )
-        .filter(F.col("_dr").isNull())
-        .select(
-            "word",
-            "wcnt",
-            "pos",
-            F.coalesce("merged", F.col("tok")).alias("tok"),
-        )
+        p.filter(~F.col("_dr"))
         .select(
             "word",
             "wcnt",
             F.row_number().over(w_ord).cast("long").alias("pos"),
-            "tok",
+            F.when(F.col("_ms"), F.concat("tok", "nxt"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
         )
     )
 

@@ -116,6 +116,135 @@ def minhash_signature(
     return sig.select(F.col(id_col), F.array(*[F.col(f"_mh{i}") for i in range(k)]).alias("sig"))
 
 
+def minhash_signature_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 32,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Portable-hash minhash signatures as ONE Arrow-batched ``mapInPandas``
+    pass — bit-identical to ``minhash_signature(..., portable=True)`` (same
+    md5-fold shingle hash, same affine family, verified by collect-compare
+    and the shared oracles), with a different cost model:
+
+      * zero shuffle — the signature is a per-row map, not an explode +
+        k-buffer groupBy (the expression kernel pays one id-keyed exchange
+        and k codegen agg-buffer updates per shingle POSITION);
+      * md5 runs once per UNIQUE shingle per task (dict cache — real corpora
+        draw shingles from a vocabulary: the sf0.1 corpus has 2k unique
+        5-shingles across 1.5M positions), where the expression kernel
+        re-hashes every position;
+      * the k affine mins are one vectorized numpy pass per doc-chunk.
+
+    Chunked evaluation with a REUSED buffer is load-bearing on this host:
+    a fresh (k, n_shingles) allocation page-faults at ~8 MB/s here
+    (one-shot broadcast form measured 63 s at sf0.1; chunked+out= 1.9 s).
+    Chunks close at ``_CHUNK_BUDGET`` shingles, so one enormous document
+    cannot force a giant allocation — an oversized doc is reduced in
+    buffer-width segments with a running elementwise min.
+
+    When to use which kernel (measured, r16): this one wins when the
+    signature subtree is consumed more than once or the scan yields fewer
+    splits than cores (fuzzy_decontaminate: 4.35 -> 2.99 s min alternating
+    A/B at sf0.1); the expression kernel stays for the already-spread
+    single-consumer pipelines (minhash_dup_pairs: arrow measured a wash
+    there) and for every ``portable=False`` caller (xxhash64 has no
+    Python-side twin).
+    """
+    params = _hash_params(k, seed)
+    n = shingle_n
+    _CHUNK_BUDGET = 1 << 16
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in params], dtype=np.int64).reshape(-1, 1)
+        B = np.array([b for _, b in params], dtype=np.int64).reshape(-1, 1)
+        md5 = hashlib.md5
+        cache: dict[str, int] = {}
+        buf = np.empty((k, _CHUNK_BUDGET), dtype=np.int64)
+
+        def hash_doc(t):
+            L = len(t)
+            m = L - n + 1 if L >= n else 1
+            row = np.empty(m, dtype=np.int64)
+            for j in range(m):
+                s = t[j : j + n]
+                h = cache.get(s)
+                if h is None:
+                    h = int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % _P
+                    cache[s] = h
+                row[j] = h
+            return row
+
+        def affine_min_chunk(seg, offs):
+            # (k,) mins per doc for one <=budget-sized flat hash segment
+            b = buf[:, : len(seg)]
+            np.multiply(A, seg[None, :], out=b)
+            np.add(b, B, out=b)
+            np.mod(b, _P, out=b)
+            return np.minimum.reduceat(b, offs, axis=1)
+
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            n_docs = len(texts)
+            if n_docs == 0:
+                continue
+            sigs: list = [None] * n_docs
+            chunk: list = []  # per-doc hash arrays accumulated to the budget
+            chunk_ix: list[int] = []
+            chunk_len = 0
+
+            def flush():
+                nonlocal chunk, chunk_ix, chunk_len
+                if not chunk:
+                    return
+                seg = np.concatenate(chunk)
+                offs = np.cumsum([0] + [len(c) for c in chunk[:-1]])
+                S = affine_min_chunk(seg, offs)
+                for col, ix in enumerate(chunk_ix):
+                    sigs[ix] = S[:, col].tolist()
+                chunk, chunk_ix, chunk_len = [], [], 0
+
+            for i, t in enumerate(texts):
+                if t is None:
+                    # expression-kernel parity: md5(NULL) -> all-NULL mins
+                    sigs[i] = [None] * k
+                    continue
+                row = hash_doc(t)
+                if len(row) >= _CHUNK_BUDGET:
+                    # oversized doc: segment with a running min, never a
+                    # bigger-than-budget allocation
+                    acc = None
+                    for s0 in range(0, len(row), _CHUNK_BUDGET):
+                        part = affine_min_chunk(
+                            row[s0 : s0 + _CHUNK_BUDGET], np.array([0])
+                        )[:, 0]
+                        acc = part if acc is None else np.minimum(acc, part)
+                    sigs[i] = acc.tolist()
+                    continue
+                if chunk_len + len(row) > _CHUNK_BUDGET:
+                    flush()
+                chunk.append(row)
+                chunk_ix.append(i)
+                chunk_len += len(row)
+            flush()
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    from recsys_pipeline_spark.io import spread
+
+    # spread(): the per-doc kernel is the CPU-heavy class io.spread exists
+    # for — without it a single-split scan serializes every doc on one task
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} long, sig array<bigint>"
+    )
+
+
 def lsh_bands(
     sig_df: DataFrame,
     id_col: str,

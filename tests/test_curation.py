@@ -776,6 +776,26 @@ def test_bpe_train_greedy_overlap_and_state_evolution(spark):
     ]
 
 
+def test_bpe_apply_even_run_parity(spark):
+    """Even-length repeat runs pin the windowed merge-apply's parity rule
+    (r16 rewrite): 'xxxxxx' r1 counts 5 (x,x) adjacencies but greedy
+    left-to-right collapses to xx,xx,xx (starts at run offsets 0,2,4); r2
+    the (xx,xx) run of length 2 merges only its head -> xxxx,xx."""
+    from recsys_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame([(1, "xxxxxx")], ["doc_id", "text"])
+    got = [
+        (int(r["merge_round"]), r["merged"], int(r["cnt"]))
+        for r in curation.bpe_train(docs, "text", rounds=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [(1, "xx", 5), (2, "xxxx", 2)]
+    state = curation.bpe_final_state(docs, "text", rounds=2)
+    toks = [r["tok"] for r in state.orderBy("pos").collect()]
+    assert toks == ["xxxx", "xx"]
+
+
 def test_bpe_train_word_frequency_weighting(spark):
     """Pair counts weight by word FREQUENCY, not dictionary membership:
     'xy' twice beats 'zw' once."""

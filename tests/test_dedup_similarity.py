@@ -828,3 +828,39 @@ def test_span_family_reconciles_on_corpus(spark):
             assert s > prev_end  # disjoint, truly maximal (no touching)
             assert s >= 1 and s + ln - 1 <= n_tokens
             prev_end = s + ln - 1
+
+
+def test_minhash_arrow_kernel_bit_identical_to_expression(spark):
+    """The r16 Arrow/numpy portable signature kernel must reproduce the
+    expression kernel exactly — the DuckDB oracles recompute signatures from
+    the same math, so any divergence is a wrong answer, not a slowdown.
+    Covers the edge classes: sub-shingle-width text (whole-string shingle),
+    empty string, NULL text (all-NULL sig), chunk-boundary-sized and
+    oversized-vs-budget docs (the segmented running-min path), and unicode
+    (code-point slicing + utf-8 md5)."""
+    long_doc = ("spark shuffles sort and spill " * 4000).strip()  # ~120k chars
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "ok"),  # shorter than shingle_n
+        (3, ""),  # empty string
+        (4, None),  # NULL text
+        (5, long_doc),  # far past the 2^16 chunk budget
+        (6, "naïve café précis — ünïcode 文字列 test"),  # non-ascii
+        (7, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n in (3, 5):
+        expr = {
+            r["doc_id"]: r["sig"]
+            for r in dedup.minhash_signature(
+                df, "doc_id", "text", k=32, shingle_n=n, portable=True
+            ).collect()
+        }
+        arrow = {
+            r["doc_id"]: r["sig"]
+            for r in dedup.minhash_signature_arrow(
+                df, "doc_id", "text", k=32, shingle_n=n
+            ).collect()
+        }
+        assert expr == arrow
+        assert arrow[4] == [None] * 32  # NULL text parity
