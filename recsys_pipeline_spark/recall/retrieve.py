@@ -60,6 +60,7 @@ def vector_scores(
     item_vecs: DataFrame,
     users_filter: DataFrame | None = None,
     max_broadcast_items: int = 100_000,
+    n_items: int | None = None,
 ) -> DataFrame:
     """V4: (userid, itemid, cos_score) for every user×item pair — exact
     brute-force, executed with numpy kernels that are vectorized across pairs
@@ -90,7 +91,10 @@ def vector_scores(
     i = item_vecs.select("itemid", F.col("vector").cast("array<double>").alias("ivec"))
 
     spark = user_vecs.sparkSession
-    n_items = i.count()
+    # callers that already counted the catalog (fused_recall's strategy
+    # switch) pass n_items down — one scalar job instead of two
+    if n_items is None:
+        n_items = i.count()
     if n_items > max_broadcast_items:
         out = _blocked_vector_scores(u, i, max_block_rows=8192)
     else:
@@ -277,11 +281,18 @@ def fused_recall(
     cos 0 — the same truncation the reference's ES kNN applies.
     """
     n_items = item_vecs.count()
-    if n_items > ann_item_threshold:
-        vec = vector_scores_ann(user_vecs, item_vecs, k=max(k * 4, k))
+    complete = n_items <= ann_item_threshold
+    if complete:
+        vec = vector_scores(user_vecs, item_vecs, n_items=n_items)
     else:
-        vec = vector_scores(user_vecs, item_vecs)
+        vec = vector_scores_ann(user_vecs, item_vecs, k=max(k * 4, k))
     term = term_scores(user_terms, item_terms)
+    # Channel fusion stays a full outer join: on the complete-matrix branch
+    # it decomposes exactly into a (broadcastable) left join plus the term
+    # rows outside the vector catalog/request set, but that variant measured
+    # 1.26x SLOWER at sf0.1 (tools/ab_fusedrecall.py, value-identical) — the
+    # removed 150k-row sort is cheaper than the added pin/broadcast/union
+    # stages. See OPTIMIZATION_r16.md.
     fused = (
         vec.join(term, ["userid", "itemid"], "full_outer")
         .select(
