@@ -16,11 +16,14 @@ Scale notes:
     are unions of near-cliques (diameter 2-3); for long-chain graphs switch
     to the large-star/small-star contraction variant, which converges in
     O(log n) rounds at higher per-round cost;
-  * each iteration truncates lineage with an eager localCheckpoint —
+  * each iteration truncates lineage with a localCheckpoint —
     persist() alone keeps the logical plan growing by one round every
     iteration and Catalyst re-analyzes the whole chain each time (quadratic
-    driver time; measured minutes on a 60-round chain).  On a real cluster
-    prefer reliable checkpoint(dir) so a lost executor can recompute.
+    driver time; measured minutes on a 60-round chain).  The checkpoints
+    are LAZY: plan truncation happens at the API call, and materialization
+    folds into the convergence probe that follows — one job per round, not
+    two.  On a real cluster prefer reliable checkpoint(dir) so a lost
+    executor can recompute.
 """
 
 from __future__ import annotations
@@ -79,11 +82,16 @@ def connected_components(
     # propagation round into init — for the near-clique graphs dedup
     # produces, that is one full join+agg round (a shuffle barrier) saved
     # (r13 verdict item 3).
+    # Lazy checkpoints throughout the loop: truncation of the logical plan
+    # happens at the API call either way, but lazy materialization folds the
+    # checkpoint job into the scalar probe that immediately follows — one
+    # job per round instead of two (r16; converged-at-init dup graphs run
+    # 2 jobs total instead of 4).
     labels = (
         sym.groupBy("a")
         .agg(F.least(F.min("b"), F.min("a")).alias("lbl"))
         .select(F.col("a").alias("id"), "lbl")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # exact, overflow-proof checksum: labels only ever decrease, so the sum
     # strictly decreases every round until the fixpoint
@@ -97,7 +105,7 @@ def connected_components(
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels
         if (it + 1) % max(1, check_every) == 0 or it == max_iter - 1:
@@ -146,7 +154,7 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the checksum probe
     )
 
     def _checksum(e: DataFrame):
@@ -187,7 +195,7 @@ def connected_components_star(
 
     prev = _checksum(cur)
     for _ in range(max_rounds):
-        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
+        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=False)
         chk = _checksum(nxt)
         cur = nxt
         if (chk["n"], chk["s"]) == (prev["n"], prev["s"]):

@@ -281,9 +281,11 @@ def q_recommend_top50_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage, same effect). Project down to the four columns the branches
     # read BEFORE the checkpoint: materializing 4 cols instead of 9 is
     # another ~12% wall at sf0.1 (quiet A/B, value-identical) and 2x less
-    # state at any scale.
+    # state at any scale. Lazy: the materialization folds into the first
+    # consumer job (the catalog count) instead of a standalone barrier —
+    # 0.96x on an alternating sf0.1 A/B, same once-only caching.
     train = train.select("userid", "itemid", "event_type", "label").localCheckpoint(
-        eager=True
+        eager=False
     )
 
     # ONE aggregation pass per side: profile counts + seen/terms + entity
