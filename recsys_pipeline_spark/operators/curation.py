@@ -748,10 +748,25 @@ def fuzzy_decontaminate_flags(
         "band_id", "band_hash", F.col(id_col).alias("_eval_id")
     )
     tr_bands = band_df.filter(~is_eval)
+    # Candidate dedup with an EXPLICIT-width repartition on the exact keys
+    # (the aggregate reuses the partitioning — still one exchange). The
+    # pair rows are ~16 bytes but each EXPANDS ~1000x downstream (the
+    # verify probes two broadcast shingle relations and runs set ops over
+    # ~2k-element arrays per pair), so AQE's byte-based coalescing — which
+    # cannot see compute density — shrank this exchange to ~3 partitions
+    # at the 8x gate and serialized the whole verify (measured 44 s -> 6 s
+    # with coalescing disabled; ratio 13.8 -> ~2 with this fix). An
+    # explicit numPartitions is exempt from AQE coalescing, and
+    # defaultParallelism keeps it scale-adaptive rather than a local
+    # constant. Same lesson as the rejected parallelismFirst config A/B:
+    # post-shuffle COMPUTE stages must not be coalesced to byte-sized
+    # partition counts.
+    n_verify = docs.sparkSession.sparkContext.defaultParallelism
     cand = (
         tr_bands.join(ev_bands, ["band_id", "band_hash"])
         .select(F.col(id_col), F.col("_eval_id"))
-        .distinct()
+        .repartition(n_verify, F.col(id_col), F.col("_eval_id"))
+        .dropDuplicates()
     )
     # NOTE (r16): the minhash_dedup_pairs verify restructure (shingle
     # above the candidate join, text through the join) was A/B'd here too

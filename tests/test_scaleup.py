@@ -170,11 +170,17 @@ CAPS = {
     # exchange, group-bounded class string); rows exactly 8x
     "segment_quantiles_cont": 4.0,  # measured 1.0 — segment_quantiles'
     # histogram-below-the-window shape with a two-target selection join
-    "fuzzy_decontaminate": 6.0,  # measured 3.9 — replication is this
-    # query's WORST case: every doc gains 7 exact copies, so any doc with
-    # an eval-designated replica becomes a true near-dup hit (flags grow
-    # 42 -> ~20k) and eval-bucket x train-bucket candidate work densifies;
-    # real corpora add mostly-novel text, not copies
+    "fuzzy_decontaminate": 6.0,  # measured 2.1 (r16; was 3.9) — replication
+    # is this query's WORST case: every doc gains 7 exact copies, so any doc
+    # with an eval-designated replica becomes a true near-dup hit (flags grow
+    # 42 -> ~20k, candidate pairs to ~191k) and eval-bucket x train-bucket
+    # candidate work densifies; real corpora add mostly-novel text, not
+    # copies. This gate caught a real r16 regression: the Arrow signature
+    # kernel removed the upstream doc_id exchange, the candidate dedup's new
+    # ~3 MB exchange got AQE-coalesced to ~3 partitions, and the verify
+    # (each 16-byte pair row expands into ~2k-element array set ops)
+    # serialized — ratio 13.8. Fixed with an explicit-width repartition on
+    # the dedup keys (operators/curation.py), which AQE coalescing respects.
 }
 
 
