@@ -220,10 +220,13 @@ def main() -> None:
     }
     if noise_factor is not None:
         payload["noise_factor"] = noise_factor
-    detail = dict(payload, queries=timings)
+    detail = dict(payload, queries=timings, cpus=int(cpus))
     print(f"[bench] detail: {json.dumps(detail, separators=(',', ':'))}", file=sys.stderr)
+    # per-core-count detail files (r16 VERDICT #4): the driver's low-core
+    # scaling pass must not overwrite the 32-core detail artifact
+    detail_name = "BENCH_DETAIL.json" if cpus == "32" else f"BENCH_DETAIL_c{cpus}.json"
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass

@@ -761,7 +761,16 @@ def fuzzy_decontaminate_flags(
     # constant. Same lesson as the rejected parallelismFirst config A/B:
     # post-shuffle COMPUTE stages must not be coalesced to byte-sized
     # partition counts.
-    n_verify = docs.sparkSession.sparkContext.defaultParallelism
+    # Floored by spark.sql.shuffle.partitions (r16 ADVICE): under dynamic
+    # allocation defaultParallelism sampled at plan construction can be a
+    # tiny startup constant (e.g. 2), which would re-serialize the
+    # compute-dense verify this width exists to protect.
+    sess = docs.sparkSession
+    try:
+        shuffle_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = 0
+    n_verify = max(sess.sparkContext.defaultParallelism, shuffle_parts)
     cand = (
         tr_bands.join(ev_bands, ["band_id", "band_hash"])
         .select(F.col(id_col), F.col("_eval_id"))
@@ -1187,6 +1196,12 @@ def _bpe_apply_from_paired(
     sf0.01 for all three queries (plus the oracle suite)."""
     w_ord = Window.partitionBy("word").orderBy("pos")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    # fresh exprIds for the pair side (r17): with the every-second-round
+    # checkpoint cadence, consecutive rounds' pair frames — both sliced off
+    # the SAME merges DataFrame — would otherwise collide inside one lazy
+    # plan (ambiguous-self-join analysis error on `lhs`); the alias is a
+    # no-op project the optimizer collapses
+    pair = pair.select(F.col("lhs").alias("lhs"), F.col("rhs").alias("rhs"))
     p = paired.join(
         F.broadcast(pair),
         (paired["tok"] == pair["lhs"]) & (paired["nxt"] == pair["rhs"]),
@@ -1221,18 +1236,33 @@ def _bpe_apply_from_paired(
     )
 
 
+
+# Checkpoint cadence for the BPE round loops (r17, guide §5 + VERDICT #3):
+# every ``localCheckpoint(eager=False)`` call triggers physical planning of
+# its subtree at CONSTRUCTION time (~0.5 s/round, r16 construct/execute
+# survey) and materializes as its own driver job at execution. Rounds are
+# lazy window algebra, so truncating lineage every SECOND round halves the
+# checkpoint count (and the round barriers at execution) while plan depth
+# per span stays bounded at two rounds. localCheckpoint is semantically
+# identity, so outputs are unchanged at any cadence — pinned by the
+# bit-identity round tests and the oracle suite (whose CTE mirror needs no
+# change: the algorithm, not the truncation, is what it mirrors).
+BPE_CKPT_SPAN = 2
+
+
 def bpe_train_from_dict(word_dict: DataFrame, rounds: int = 3) -> DataFrame:
     """The learned merge table (merge_round, lhs, rhs, merged, cnt) after
     ``rounds`` iterations over a (word, wcnt) dictionary — the artifact a
-    BPE tokenizer ships. Each round's state is lazily checkpointed: rounds
-    are inherently sequential (real BPE is an iterative algorithm), so the
-    checkpoint bounds plan depth exactly like pagerank's iteration
-    truncation. Factored off the docs scan so the streaming twin can train
-    on its prefix-merged dictionary state."""
+    BPE tokenizer ships. Round state is lazily checkpointed every
+    ``BPE_CKPT_SPAN`` rounds: rounds are inherently sequential (real BPE is
+    an iterative algorithm), so the checkpoint bounds plan depth exactly
+    like pagerank's iteration truncation. Factored off the docs scan so the
+    streaming twin can train on its prefix-merged dictionary state."""
     state = bpe_char_state(word_dict)
     outs = []
     for r in range(1, rounds + 1):
-        state = state.localCheckpoint(eager=False)
+        if (r - 1) % BPE_CKPT_SPAN == 0:
+            state = state.localCheckpoint(eager=False)
         best, state = bpe_round(state, pin_best=True)
         outs.append(
             best.select(
@@ -1279,7 +1309,9 @@ def bpe_encode(
     state = bpe_char_state(bpe_word_dict(docs, text_col))
     for r in range(1, rounds + 1):
         pair = merges.filter(F.col("merge_round") == r).select("lhs", "rhs")
-        state = bpe_apply_merge(state.localCheckpoint(eager=False), pair)
+        if (r - 1) % BPE_CKPT_SPAN == 0:
+            state = state.localCheckpoint(eager=False)
+        state = bpe_apply_merge(state, pair)
     return bpe_encode_from_state(docs, state, id_col=id_col, text_col=text_col)
 
 
@@ -1340,7 +1372,8 @@ def bpe_final_state(docs: DataFrame, text_col: str = "text", rounds: int = 3) ->
     dictionary; shared by bpe_train_encode and the training_batches
     composite (which only needs per-word subword COUNTS)."""
     state = bpe_char_state(bpe_word_dict(docs, text_col))
-    for _ in range(rounds):
-        state = state.localCheckpoint(eager=False)
+    for r in range(rounds):
+        if r % BPE_CKPT_SPAN == 0:
+            state = state.localCheckpoint(eager=False)
         _, state = bpe_round(state)
     return state

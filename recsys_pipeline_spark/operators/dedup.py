@@ -794,35 +794,70 @@ def sketch_memberships(
     Per-bit dots accumulate SEQUENTIALLY along the dimension axis — the
     left-associated fold DuckDB's list_sum computes — so the sign pattern
     (and thus every bucket) is oracle-identical; a matmul's pairwise
-    summation could flip a near-zero sign.
+    summation could flip a near-zero sign. The fold is vectorized across
+    all (table, bit) rows per dimension step with REUSED ``out=`` buffers:
+    per element the op sequence is identical (acc = acc + x_k*p_k, and
+    IEEE multiply is commutative so p*x == x*p bit-for-bit), but the
+    per-batch allocation count drops from tables*bits*dim*2 fresh arrays
+    to zero — fresh allocations page-fault at ~8 MB/s on this host
+    (the minhash_signature_arrow finding; r16 VERDICT traced ivfpq_recall's
+    32-core regression to exactly this kernel's allocation churn).
     """
     import numpy as np
     import pandas as pd
 
     tables, bits = len(planes), planes[0].shape[0]
+    dim = planes[0].shape[1]
     prepared = emb.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
 
     def gen_memberships(batches):
+        # one-time per-task state; np.empty pages fault only when written,
+        # so the unused tail of a generous row budget costs nothing
+        P = np.concatenate([np.asarray(p, dtype=np.float64) for p in planes])
+        TB = tables * bits
+        R = 1 << 14  # rows per chunk (>= the 10k default Arrow batch)
+        XROW = np.empty((R, dim))           # batch vectors, row-major fill
+        XT = np.empty((dim, R))             # transposed: contiguous per-dim rows
+        ACC3 = np.empty((tables, bits, R))  # running per-(t,b) dot products
+        TMP3 = np.empty((tables, bits, R))
+        ACC2, TMP2 = ACC3.reshape(TB, R), TMP3.reshape(TB, R)
+        MASK = np.empty((tables, bits, R), dtype=bool)
+        BIT3 = np.empty((tables, bits, R), dtype=np.int64)
+        WORDS = np.empty((tables, R), dtype=np.int64)
+        SHIFTS = np.arange(bits, dtype=np.int64).reshape(1, bits, 1)
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            vals = pdf["_v"].to_numpy()
             ids = pdf["_id"].to_numpy()
-            for t in range(tables):
-                words = np.zeros(len(ids), dtype=np.int64)
-                for b in range(bits):
-                    p = planes[t][b]
-                    acc = X[:, 0] * p[0]
-                    for k in range(1, X.shape[1]):
-                        acc = acc + X[:, k] * p[k]
-                    words |= (acc >= 0).astype(np.int64) << b
-                cols = {"tbl": t, "sketch": words, "_id": ids}
-                if with_vec:
-                    cols["_v"] = pdf["_v"]
-                yield pd.DataFrame(cols)
+            for lo in range(0, n, R):
+                r = min(lo + R, n) - lo
+                for j in range(r):
+                    XROW[j] = vals[lo + j]
+                np.copyto(XT[:, :r], XROW[:r].T)
+                acc, tmp = ACC2[:, :r], TMP2[:, :r]
+                # left fold over dims: acc = x0*p0; acc = acc + xk*pk
+                np.multiply(P[:, :1], XT[:1, :r], out=acc)
+                for k in range(1, dim):
+                    np.multiply(P[:, k : k + 1], XT[k : k + 1, :r], out=tmp)
+                    np.add(acc, tmp, out=acc)
+                np.greater_equal(ACC3[:, :, :r], 0.0, out=MASK[:, :, :r])
+                np.copyto(BIT3[:, :, :r], MASK[:, :, :r], casting="unsafe")
+                np.left_shift(BIT3[:, :, :r], SHIFTS, out=BIT3[:, :, :r])
+                np.bitwise_or.reduce(BIT3[:, :, :r], axis=1, out=WORDS[:, :r])
+                for t in range(tables):
+                    cols = {
+                        "tbl": t,
+                        "sketch": WORDS[t, :r].copy(),
+                        "_id": ids[lo : lo + r],
+                    }
+                    if with_vec:
+                        cols["_v"] = pdf["_v"].iloc[lo : lo + r].reset_index(drop=True)
+                    yield pd.DataFrame(cols)
 
     schema = "tbl int, sketch long, _id long"
     if with_vec:

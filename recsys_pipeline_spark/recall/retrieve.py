@@ -92,7 +92,10 @@ def vector_scores(
 
     spark = user_vecs.sparkSession
     # callers that already counted the catalog (fused_recall's strategy
-    # switch) pass n_items down — one scalar job instead of two
+    # switch) pass n_items down — one scalar job instead of two. n_items
+    # MUST be the exact count of item_vecs rows: a stale small value would
+    # route an oversized catalog into the toPandas broadcast branch below
+    # (driver OOM risk); when in doubt pass None and pay the count.
     if n_items is None:
         n_items = i.count()
     if n_items > max_broadcast_items:

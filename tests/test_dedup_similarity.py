@@ -864,3 +864,51 @@ def test_minhash_arrow_kernel_bit_identical_to_expression(spark):
         }
         assert expr == arrow
         assert arrow[4] == [None] * 32  # NULL text parity
+
+
+def test_sketch_memberships_bit_identical_to_sequential_fold(spark):
+    """The r17 reused-buffer membership kernel must reproduce the sequential
+    left-associated per-(table,bit) fold EXACTLY (oracle sign parity): same
+    buckets for every (tbl, _id), including the adversarial classes — the
+    all-zero vector (acc == 0 sets the bit), denormal-small and huge mixed
+    magnitudes (near-zero accumulations where a pairwise matmul sum could
+    flip a sign), and both plane shapes the queries use (IVF 1x3,
+    LSH-hi 16x4)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    V = rng.standard_normal((40, dim)) * np.exp(rng.uniform(-30, 6, (40, 1)))
+    V[0] = 0.0
+    V[1] = np.where(np.arange(dim) % 2 == 0, 1e-300, -1e-300)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    for tables, bits in ((1, 3), (16, 4), (6, 4)):
+        planes = dedup.sketch_planes(dim, bits=bits, tables=tables, seed=11)
+        got = {
+            (r["tbl"], r["_id"]): r["sketch"]
+            for r in dedup.sketch_memberships(
+                emb, planes, with_vec=False
+            ).collect()
+        }
+        # reference: the pre-r17 scalar fold, one (t, b, row) at a time
+        for t in range(tables):
+            for i in range(len(V)):
+                w = 0
+                for b in range(bits):
+                    p = planes[t][b]
+                    acc = V[i][0] * p[0]
+                    for k in range(1, dim):
+                        acc = acc + V[i][k] * p[k]
+                    if acc >= 0:
+                        w |= 1 << b
+                assert got[(t, i)] == w, (tables, bits, t, i)
+        assert len(got) == tables * len(V)
+
+    # with_vec=True must ship the vectors back aligned to their ids
+    planes = dedup.sketch_planes(dim, bits=3, tables=2, seed=11)
+    out = dedup.sketch_memberships(emb, planes, with_vec=True).collect()
+    assert len(out) == 2 * len(V)
+    for r in out:
+        assert np.allclose(r["_v"], V[r["_id"]], rtol=0, atol=0)

@@ -110,23 +110,27 @@ def main():
         print("EQUIV PASS" if ok else "EQUIV FAIL", flush=True)
         sys.exit(0 if ok else 1)
 
-    # timed mode
+    # timed mode (restore the real fused_recall whatever REPS' parity is)
     sf_dir = "/root/testdata/sf0.1"
     fn = qs["recommend_top50_det"]
-    variants = {"new": retrieve.fused_recall, "old": fused_recall_old}
-    # warm both
-    for name, impl in variants.items():
-        retrieve.fused_recall = impl
-        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    times = {"new": [], "old": []}
-    for r in range(REPS):
-        for name in ("new", "old") if r % 2 == 0 else ("old", "new"):
-            retrieve.fused_recall = variants[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            times[name].append(dt)
-            print(f"rep{r} {name}: {dt:.3f}s", flush=True)
+    saved = retrieve.fused_recall
+    variants = {"new": saved, "old": fused_recall_old}
+    try:
+        # warm both
+        for name, impl in variants.items():
+            retrieve.fused_recall = impl
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        times = {"new": [], "old": []}
+        for r in range(REPS):
+            for name in ("new", "old") if r % 2 == 0 else ("old", "new"):
+                retrieve.fused_recall = variants[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                times[name].append(dt)
+                print(f"rep{r} {name}: {dt:.3f}s", flush=True)
+    finally:
+        retrieve.fused_recall = saved
     for name, ts in times.items():
         print(f"{name}: min={min(ts):.3f} median={statistics.median(ts):.3f}", flush=True)
 
