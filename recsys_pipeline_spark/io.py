@@ -121,8 +121,26 @@ def parquet_ts_unit(path: str, col: str) -> str | None:
     return None
 
 
+# Session-scoped table registry (r17, guide §6 / VERDICT #5): building the
+# scan DataFrame costs ~87 ms per `spark.read.parquet` call even with warm
+# footers (schema inference + py4j round trips), and the long tail of
+# sub-second queries pays it 1-3x each. A real deployment reads through a
+# metastore catalog that resolves the table ONCE per session; this registry
+# is that catalog — it memoizes the lazy scan DATAFRAME (a plan object;
+# nothing is materialized, no .cache(), every bench invocation still
+# computes from parquet in its own process). Weakly keyed by session so a
+# stopped session's entries are collectable; kill switch for A/B.
+import os as _os
+import weakref as _weakref
+
+_TABLE_REGISTRY: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of a driver testdata table (predicate/column pushdown free).
+    """Parquet scan of a driver testdata table (predicate/column pushdown
+    free), resolved through the session-scoped registry above.
 
     Timestamp columns are era-guarded: TIMESTAMP(NANOS)-era files surface as a
     raw long under ``spark.sql.legacy.parquet.nanosAsLong`` and are truncated
@@ -131,6 +149,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(MICROS)-era files (the current testdata) already read natively
     as timestamp and the ``bigint`` dtype check leaves them untouched.
     """
+    if _os.environ.get("SPARK_GRAFT_TABLE_REGISTRY", "1") != "0":
+        reg = _TABLE_REGISTRY.setdefault(spark, {})
+        key = (_os.path.abspath(sf_dir), name)
+        df = reg.get(key)
+        if df is None:
+            df = _read_table_uncached(spark, sf_dir, name)
+            reg[key] = df
+        return df
+    return _read_table_uncached(spark, sf_dir, name)
+
+
+def _read_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -172,7 +202,20 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    # df.rdd.getNumPartitions() physically plans the frame (~17 ms/call);
+    # scans are immutable per session, so memoize on the DataFrame object
+    # (registry-shared frames pay it once per session, not once per query).
+    # Only the spread/don't-spread heuristic reads this, so a stale value
+    # under a mid-session scan-conf change can only flip the (semantically
+    # neutral) repartition decision.
+    n_parts = getattr(df, "_graft_num_parts", None)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        try:
+            df._graft_num_parts = n_parts
+        except Exception:
+            pass
+    if n_parts < target:
         return df.repartition(target)
     return df
 

@@ -1237,16 +1237,22 @@ def _bpe_apply_from_paired(
 
 
 
-# Checkpoint cadence for the BPE round loops (r17, guide §5 + VERDICT #3):
-# every ``localCheckpoint(eager=False)`` call triggers physical planning of
-# its subtree at CONSTRUCTION time (~0.5 s/round, r16 construct/execute
-# survey) and materializes as its own driver job at execution. Rounds are
-# lazy window algebra, so truncating lineage every SECOND round halves the
-# checkpoint count (and the round barriers at execution) while plan depth
-# per span stays bounded at two rounds. localCheckpoint is semantically
-# identity, so outputs are unchanged at any cadence — pinned by the
-# bit-identity round tests and the oracle suite (whose CTE mirror needs no
-# change: the algorithm, not the truncation, is what it mirrors).
+# Checkpoint cadence for the bpe_train_from_dict round loop (r17, guide §5
+# + VERDICT #3): every ``localCheckpoint(eager=False)`` call triggers
+# physical planning of its subtree at CONSTRUCTION time (~0.5 s/round, r16
+# construct/execute survey) and materializes as its own driver job at
+# execution; truncating lineage every SECOND round halves both counts.
+# localCheckpoint is semantically identity, so outputs are unchanged at any
+# cadence — pinned by the bit-identity round tests and the oracle suite
+# (whose CTE mirror needs no change: it mirrors the algorithm, not the
+# truncation). Measured (tools/ab_bpe_span.py via ab_bench, 6 alternating
+# reps, sf0.1): span 2 wins ONLY for the merge-table trainer — bpe_train
+# min 1.30 → 1.20 s (0.92x), median 1.40 → 1.25 (0.89x); the encoder-state
+# loop (bpe_final_state, measured through bpe_encode and training_batches)
+# got SLOWER at span 2 (be min 2.29 → 2.41, +5%; tb a wash) — its
+# two-round spans stack the heavy apply algebra into one subtree whose
+# planning outgrows the saved checkpoint — so that loop keeps per-round
+# checkpoints below.
 BPE_CKPT_SPAN = 2
 
 
@@ -1309,9 +1315,9 @@ def bpe_encode(
     state = bpe_char_state(bpe_word_dict(docs, text_col))
     for r in range(1, rounds + 1):
         pair = merges.filter(F.col("merge_round") == r).select("lhs", "rhs")
-        if (r - 1) % BPE_CKPT_SPAN == 0:
-            state = state.localCheckpoint(eager=False)
-        state = bpe_apply_merge(state, pair)
+        # per-round checkpoint (NOT BPE_CKPT_SPAN): the span-2 cadence
+        # measured +5% on this loop's consumers — see the constant's note
+        state = bpe_apply_merge(state.localCheckpoint(eager=False), pair)
     return bpe_encode_from_state(docs, state, id_col=id_col, text_col=text_col)
 
 
@@ -1372,8 +1378,9 @@ def bpe_final_state(docs: DataFrame, text_col: str = "text", rounds: int = 3) ->
     dictionary; shared by bpe_train_encode and the training_batches
     composite (which only needs per-word subword COUNTS)."""
     state = bpe_char_state(bpe_word_dict(docs, text_col))
-    for r in range(rounds):
-        if r % BPE_CKPT_SPAN == 0:
-            state = state.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        # per-round checkpoint (NOT BPE_CKPT_SPAN): the span-2 cadence
+        # measured +5% on this loop's consumers — see the constant's note
+        state = state.localCheckpoint(eager=False)
         _, state = bpe_round(state)
     return state

@@ -73,6 +73,30 @@ def d2_micro(a: Column, b: Column, dim: int) -> Column:
     return F.floor(sq_l2(a, b, dim) * MICRO + F.lit(0.5)).cast("long")
 
 
+def sq_l2_sql(a: str, b: str, dim: int) -> str:
+    """``sq_l2`` as ONE SQL string over SQL operand expressions — the same
+    unrolled left-associated tree after parsing (same ops, same order, same
+    codegen, bit-identical values), built in one ``F.expr`` round trip
+    instead of ~5*dim py4j Column calls (measured 0.45 s of pure driver
+    time per 64-dim call — r17, guide §1.2 step 2: construction latency is
+    per-task work for the DRIVER)."""
+    terms = [
+        f"(element_at({a},{i})-element_at({b},{i}))"
+        f"*(element_at({a},{i})-element_at({b},{i}))"
+        for i in range(1, dim + 1)
+    ]
+    return "+".join(terms)
+
+
+def d2_micro_expr(a: str, b: str, dim: int) -> Column:
+    """``d2_micro`` over SQL operand strings via one ``F.expr`` call —
+    value-identical to the Column form (collect-compare pinned in
+    tests/test_pq.py)."""
+    return F.expr(
+        f"CAST(FLOOR(({sq_l2_sql(a, b, dim)}) * {MICRO} + 0.5D) AS BIGINT)"
+    )
+
+
 def _subvectors(vec: Column, m_sub: int, sub: int) -> Column:
     """ARRAY of the m_sub contiguous sub-slices of a (double-cast) vector."""
     v = vec.cast("array<double>")
@@ -219,7 +243,7 @@ def pq_encode(
         F.col(id_col),
         F.col("m"),
         F.struct(
-            d2_micro(F.col("svec"), F.col("cvec"), sub).alias("d"),
+            d2_micro_expr("svec", "cvec", sub).alias("d"),
             F.col("k").alias("k"),
         ).alias("_dk"),
     )
@@ -260,7 +284,7 @@ def adc_lut(
     cells = qsubs.join(F.broadcast(cents), "m").select(
         F.col(query_id),
         (F.col("m") * k_cent + F.col("k")).cast("int").alias("_idx"),
-        d2_micro(F.col("svec"), F.col("cvec"), sub).alias("d2i"),
+        d2_micro_expr("svec", "cvec", sub).alias("d2i"),
     )
     pad = F.lit(2**62).cast("long")  # never indexed: codes argmin over real k
     return cells.groupBy(query_id).agg(
@@ -334,8 +358,10 @@ def l2_topk_for_queries(
     scored = pairs.select(
         F.col(query_id),
         F.col(id_col),
-        d2_micro(
-            F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>"), dim
+        d2_micro_expr(
+            f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)",
+            f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)",
+            dim,
         ).alias("d2i"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("d2i").asc(), F.col(id_col).asc())

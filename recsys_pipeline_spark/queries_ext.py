@@ -1069,15 +1069,19 @@ adc AS (SELECT l.qid, co.vec_id, CAST(SUM(l.d2i) AS BIGINT) AS adc_d2_micro
 
 
 def _pq_frames(spark: SparkSession, sf_dir: str):
-    """(embeddings, codebook, codes) with the shared frames lazily
-    checkpointed: the 128-row codebook feeds both the encoder and the query
-    LUT, and the codes table feeds every scoring consumer — each must
-    materialize once (on a cluster these ARE the stored index tables)."""
+    """(embeddings, codebook, codes): the 128-row codebook is lazily
+    checkpointed — it feeds TWO consumers (the encoder and the query LUT).
+    The codes frame is NOT (r17): every registered caller joins it exactly
+    once, so its former checkpoint bought no reuse while costing 0.45-0.85 s
+    of physical planning at construction plus a materialization barrier at
+    execution (measured, tools/construct_split.py). A caller that fans codes
+    out to several consumers should checkpoint at its own call site (on a
+    cluster the stored index table plays that role)."""
     from recsys_pipeline_spark.operators import pq
 
     e = _emb(spark, sf_dir)
     cents = pq.pq_centroids(e).localCheckpoint(eager=False)
-    codes = pq.pq_encode(e, cents).localCheckpoint(eager=False)
+    codes = pq.pq_encode(e, cents)
     return e, cents, codes
 
 

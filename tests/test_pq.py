@@ -390,3 +390,30 @@ def test_production_ann_operating_point_recall_gate(spark):
     # can only add recall under exact rerank — a union-monotonicity check)
     assert mean_ppm["lsh_hi"] >= mean_ppm["lsh"], mean_ppm
     assert mean_ppm["ivf_hi"] >= mean_ppm["ivf"], mean_ppm
+
+
+def test_d2_micro_expr_bit_identical_to_column_form(spark):
+    """The one-F.expr unrolled distance (r17 — built in 1 py4j call instead
+    of ~5*dim) must parse to the same left-associated tree as the Column
+    fold: bit-identical BIGINT micro-distances on real vectors, including
+    the operand-cast form l2_topk_for_queries uses."""
+    from pyspark.sql import functions as F
+
+    from recsys_pipeline_spark.io import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.limit(5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pairs = e.crossJoin(F.broadcast(q))
+    old = pairs.select(
+        "qid", "vec_id",
+        pq.d2_micro(F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"), 64).alias("d"),
+    )
+    new = pairs.select(
+        "qid", "vec_id",
+        pq.d2_micro_expr("CAST(`embedding` AS ARRAY<DOUBLE>)",
+                         "CAST(`qvec` AS ARRAY<DOUBLE>)", 64).alias("d"),
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))

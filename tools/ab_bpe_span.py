@@ -6,6 +6,12 @@ are unchanged at any cadence; what moves is driver-side physical planning
 the number of materialization jobs at execution.
 
 Run via: python tools/ab_bench.py tools.ab_bpe_span [reps] [sf_dir]
+
+RESULT (6 alternating reps, sf0.1, quiet): span 2 won for bpe_train
+(min 1.30->1.20, median 1.40->1.25) and LOST for the bpe_final_state
+consumers (bpe_encode min 2.29->2.41; training_batches wash), so
+BPE_CKPT_SPAN=2 was landed on bpe_train_from_dict only — this harness's
+global patch now only moves the trainer loop.
 """
 from __future__ import annotations
 
