@@ -1132,6 +1132,23 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ts_epoch DIV {timeseries.US_PER_DAY}").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("v_c"),
     )
+    # Explicit-width repartition on the window key (r17, guide §2.2): the
+    # ~2 MB exchange under the window is byte-tiny but COMPUTE-dense
+    # (decimal(38,0) sliding-frame aggregation, tens of int128 ops per
+    # 16-byte row), and AQE's byte-based coalescing serialized it
+    # (measured: 1.02-1.09 s with coalescing on vs 0.45-0.48 s off — the
+    # r16 fuzzy_decontaminate verify class). REPARTITION_BY_NUM is exempt
+    # from coalescing; the window reuses the hash partitioning, so this is
+    # still exactly one exchange. Width floored by shuffle.partitions for
+    # dynamic-allocation sessions.
+    sess = spark
+    try:
+        _sp = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _sp = 0
+    base = base.repartition(
+        max(sess.sparkContext.defaultParallelism, _sp), F.col("user_id")
+    )
     dec = "decimal(38,0)"
     w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-29, -1)
     n = F.count("v_c").over(w)

@@ -20,13 +20,22 @@ import __spark_entry__ as entrymod  # noqa: E402
 from bench import SKIP_TRAINING  # noqa: E402
 from recsys_pipeline_spark.session import get_spark  # noqa: E402
 
+# r16 experiment (kept for the record): parallelismFirst=false measured
+# 1.055x SLOWER on pass mins — post-shuffle compute stages must not be
+# coalesced to byte-sized partition counts. Stock kept.
+#
+# r17 experiment (guide §6 / VERDICT #5): scan split sizing. At sf0.1 every
+# table is a single file; defaultMaxSplitBytes = min(maxPartitionBytes,
+# max(openCostInBytes, bytes/parallelism)) = 4m, so lineitem scans as 3
+# tasks and everything else as 1 — raising openCost collapses multi-split
+# scans to one task (less scheduling, less parallelism; compute-dense text
+# pipelines re-fan via io.spread regardless).
 CONFS = {
-    "parfirst_true": {
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+    "minpart_1m": {
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
     },
-    "parfirst_false": {
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    "minpart_64k": {
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     },
 }
 
