@@ -1196,12 +1196,11 @@ def _bpe_apply_from_paired(
     sf0.01 for all three queries (plus the oracle suite)."""
     w_ord = Window.partitionBy("word").orderBy("pos")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    # fresh exprIds for the pair side (r17): with the every-second-round
-    # checkpoint cadence, consecutive rounds' pair frames — both sliced off
-    # the SAME merges DataFrame — would otherwise collide inside one lazy
-    # plan (ambiguous-self-join analysis error on `lhs`); the alias is a
-    # no-op project the optimizer collapses
-    pair = pair.select(F.col("lhs").alias("lhs"), F.col("rhs").alias("rhs"))
+    # NOTE (r17): running bpe_encode with a checkpoint span > 1 requires
+    # re-aliasing `pair` here (consecutive uncheckpointed rounds slice the
+    # same merges frame and collide on exprIds). The per-round cadence
+    # landed (span experiments all measured negative) does not need it,
+    # and the extra project measured ~+5% on bpe_train, so it is not paid.
     p = paired.join(
         F.broadcast(pair),
         (paired["tok"] == pair["lhs"]) & (paired["nxt"] == pair["rhs"]),
@@ -1237,23 +1236,21 @@ def _bpe_apply_from_paired(
 
 
 
-# Checkpoint cadence for the bpe_train_from_dict round loop (r17, guide §5
-# + VERDICT #3): every ``localCheckpoint(eager=False)`` call triggers
-# physical planning of its subtree at CONSTRUCTION time (~0.5 s/round, r16
-# construct/execute survey) and materializes as its own driver job at
-# execution; truncating lineage every SECOND round halves both counts.
-# localCheckpoint is semantically identity, so outputs are unchanged at any
-# cadence — pinned by the bit-identity round tests and the oracle suite
-# (whose CTE mirror needs no change: it mirrors the algorithm, not the
-# truncation). Measured (tools/ab_bpe_span.py via ab_bench, 6 alternating
-# reps, sf0.1): span 2 wins ONLY for the merge-table trainer — bpe_train
-# min 1.30 → 1.20 s (0.92x), median 1.40 → 1.25 (0.89x); the encoder-state
-# loop (bpe_final_state, measured through bpe_encode and training_batches)
-# got SLOWER at span 2 (be min 2.29 → 2.41, +5%; tb a wash) — its
-# two-round spans stack the heavy apply algebra into one subtree whose
-# planning outgrows the saved checkpoint — so that loop keeps per-round
-# checkpoints below.
-BPE_CKPT_SPAN = 2
+# Checkpoint cadence for the bpe_train_from_dict round loop (r17, VERDICT
+# #3 — MEASURED NEGATIVE, kept at 1): every ``localCheckpoint(eager=False)``
+# call triggers physical planning of its subtree at construction (~0.5
+# s/round), so truncating every second round looked like a win — and an
+# ab_bench run (FIXED variant order) did read span 2 at 0.92x for
+# bpe_train. A controlled ORDER-ALTERNATING 3-way A/B reversed it:
+# span 1 min 1.31 / med 1.50 vs span 2 min 1.52 / med 1.60 — the first
+# reading was position bias, and the closing bench passes agreed (bpe_train
+# 1.48x above its quiet ratchet with span 2 landed). The encoder-state
+# loops measured span 2 at +5% from the start. Per-round checkpoints stay
+# everywhere; tools/ab_bpe_span.py reproduces the experiment (a span > 1
+# needs the pair frame re-aliased in _bpe_apply_from_paired — consecutive
+# uncheckpointed rounds slice the SAME merges frame and collide on exprIds;
+# the landed per-round form does not need it and does not pay it).
+BPE_CKPT_SPAN = 1
 
 
 def bpe_train_from_dict(word_dict: DataFrame, rounds: int = 3) -> DataFrame:

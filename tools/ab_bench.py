@@ -55,7 +55,13 @@ def main() -> None:
     steals: dict[str, list[int]] = {n: [] for n in variants}
     import gc
     for rep in range(reps):
-        for name, fn in variants.items():
+        # Alternate the variant order per rep (r17): a FIXED order gave every
+        # variant a systematic neighbour (GC debt, block-manager pressure from
+        # whoever ran before it), which flipped the sign of one bpe_train
+        # experiment — the span-2 "win" vanished under order alternation.
+        order = list(variants) if rep % 2 == 0 else list(variants)[::-1]
+        for name in order:
+            fn = variants[name]
             spark.sparkContext.setJobDescription(f"{name}#{rep}")
             s0 = steal_jiffies()
             t0 = time.perf_counter()

@@ -7,11 +7,13 @@ the number of materialization jobs at execution.
 
 Run via: python tools/ab_bench.py tools.ab_bpe_span [reps] [sf_dir]
 
-RESULT (6 alternating reps, sf0.1, quiet): span 2 won for bpe_train
-(min 1.30->1.20, median 1.40->1.25) and LOST for the bpe_final_state
-consumers (bpe_encode min 2.29->2.41; training_batches wash), so
-BPE_CKPT_SPAN=2 was landed on bpe_train_from_dict only — this harness's
-global patch now only moves the trainer loop.
+RESULT (r17, final): ALL spans > 1 measured negative and per-round
+checkpoints stayed everywhere. A first ab_bench run (then FIXED variant
+order) read span 2 at 0.92x for bpe_train, but an order-alternating 3-way
+rerun reversed it (span 1 min 1.31 vs span 2 min 1.52) and the closing
+bench passes agreed — the first reading was position bias (ab_bench now
+alternates order per rep). bpe_final_state consumers measured span 2 at
++5% from the start. BPE_CKPT_SPAN stays 1; only the trainer loop reads it.
 """
 from __future__ import annotations
 

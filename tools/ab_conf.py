@@ -30,12 +30,20 @@ from recsys_pipeline_spark.session import get_spark  # noqa: E402
 # tasks and everything else as 1 — raising openCost collapses multi-split
 # scans to one task (less scheduling, less parallelism; compute-dense text
 # pipelines re-fan via io.spread regardless).
+# r17 experiment 2: coalescePartitions.minPartitionSize 1m -> 64k measured
+# TOTAL(min) 0.993x / TOTAL(median) 1.011x — a wash with real losers
+# (boilerplate_ngrams 1.36x, doc_repetition 1.31x): byte-proportional small
+# stages pay task overhead for the parallelism only compute-dense stages
+# want. Stock kept; the compute-dense exchanges get explicit widths instead
+# (fuzzy_decontaminate verify, rolling_anomaly window).
 CONFS = {
-    "minpart_1m": {
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+    "scan_stock": {
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.files.openCostInBytes": "4194304",
     },
-    "minpart_64k": {
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "scan_big": {
+        "spark.sql.files.maxPartitionBytes": "536870912",
+        "spark.sql.files.openCostInBytes": "16777216",
     },
 }
 
